@@ -1,0 +1,44 @@
+"""Engine configuration.
+
+Defaults mirror the reference server's defaults
+(``crates/sierradb-server/src/config.rs:192-208``): 32 partitions,
+4 buckets, replication factor min(nodes, 3). Replication/quorum is
+delegated to the storage platform (Parquet/Delta on a replicated FS), so
+only the logical-layout knobs survive here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # Logical partition count for the event table. Reference default:
+    # config.rs:200 (num_partitions = 32). partition_id = hash % num_partitions.
+    num_partitions: int = 32
+    # Coarse bucket tier (reference: 4). Kept for arithmetic parity
+    # (bucket_id = partition_id % num_buckets); physically subsumed by
+    # Spark partitioning.
+    num_buckets: int = 4
+    # Max stream id length (crates/sierradb/src/lib.rs:26).
+    max_stream_id_len: int = 64
+    # Max event name length (ShortString, format.rs:150).
+    max_event_name_len: int = 255
+    # Strict versioning: reject ExpectedVersion Any/Exists on append
+    # (config.rs:74-76, eappend.rs:180-188).
+    strict_versioning: bool = False
+    # Default scan batch size (DEFAULT_BATCH_SIZE, sierradb-cluster/src/lib.rs:43).
+    default_batch_size: int = 50
+    # Shuffle partitions for local testing; at 100 TB cluster scale this
+    # should be ~2-3x total executor cores (AQE coalesces the tail).
+    shuffle_partitions: int = 32
+
+    def bucket_for_partition(self, partition_id: int) -> int:
+        """bucket_id = partition_id % num_buckets (database.rs:66)."""
+        if self.num_buckets == 1:
+            return 0
+        return partition_id % self.num_buckets
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,133 @@
+"""SierraDB ID scheme, re-implemented from observed behavior.
+
+Reference semantics (all cited against /root/reference/):
+
+- Default partition key: ``uuid5(NAMESPACE_PARTITION_KEY, stream_id)``
+  (``crates/sierradb-server/src/request/eappend.rs:193-195``; namespace
+  constant ``crates/sierradb/src/id.rs:9``).
+- Event IDs are v7-style UUIDs with a 16-bit partition hash embedded in
+  bits 46-61 of the 128-bit value (``id.rs:21-47``):
+  [timestamp_ms:48][rand:12][version=7:4][variant=0b10:2][hash:16][rand:46]
+- ``partition_hash`` is extracted from ANY uuid by reading bits 46-61
+  (``id.rs:50-53``); for partition keys this doubles as the routing hash
+  (``eappend.rs:192``).
+- ``partition_id = partition_hash % num_partitions`` (``eappend.rs:197``),
+  ``bucket_id = partition_id % num_buckets`` (``id.rs:63-69``).
+- UUID flag bit: MSB of byte 8 (bit 65 counted from the MSB side), used
+  to mark implicit-commit transactions (``id.rs:75-98``).
+
+These are pure-Python (driver-side / ingest-side); the hash *extraction*
+is also provided as a Column expression so EGET can prune partitions
+JVM-side without a UDF.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# uuid5(NAMESPACE_DNS, "sierradb.tqwewe.com") — id.rs:8-9
+NAMESPACE_PARTITION_KEY = _uuid.UUID("219bd637-e279-53e9-9e2b-eabe5d9120cc")
+
+
+def partition_key_for_stream(stream_id: str) -> _uuid.UUID:
+    """Default partition key: uuid5(namespace, stream_id). eappend.rs:193-195."""
+    return _uuid.uuid5(NAMESPACE_PARTITION_KEY, stream_id)
+
+
+def uuid_to_partition_hash(u: _uuid.UUID | str) -> int:
+    """Extract the embedded 16-bit hash: bits 46-61 of the 128-bit value. id.rs:50-53."""
+    if isinstance(u, str):
+        u = _uuid.UUID(u)
+    return (u.int >> 46) & 0xFFFF
+
+
+def uuid_v7_with_partition_hash(
+    partition_hash: int,
+    *,
+    timestamp_ms: int,
+    rand12: int,
+    rand46: int,
+) -> _uuid.UUID:
+    """v7-style UUID with embedded partition hash. id.rs:21-47.
+
+    Randomness/timestamps are explicit parameters (caller supplies them)
+    so ingest can be made deterministic under test; production callers
+    pass ``int(time.time()*1000)`` and ``secrets.randbits``.
+    """
+    ts48 = timestamp_ms & 0xFFFFFFFFFFFF
+    val = (
+        (ts48 << 80)
+        | ((rand12 & 0x0FFF) << 68)
+        | (0x7 << 64)
+        | (0x2 << 62)
+        | ((partition_hash & 0xFFFF) << 46)
+        | (rand46 & ((1 << 46) - 1))
+    )
+    return _uuid.UUID(int=val)
+
+
+def new_event_id(partition_hash: int) -> _uuid.UUID:
+    """Production event-id generator (non-deterministic)."""
+    import secrets
+    import time
+
+    return uuid_v7_with_partition_hash(
+        partition_hash,
+        timestamp_ms=int(time.time() * 1000),
+        rand12=secrets.randbits(12),
+        rand46=secrets.randbits(46),
+    )
+
+
+def validate_event_id(event_id: _uuid.UUID | str, partition_hash: int) -> bool:
+    """Event IDs must embed the routing hash. id.rs:71-73, database.rs:880."""
+    return uuid_to_partition_hash(event_id) == partition_hash
+
+
+def partition_id_for_hash(partition_hash: int, num_partitions: int) -> int:
+    """partition_id = hash % num_partitions. eappend.rs:197."""
+    return partition_hash % num_partitions
+
+
+def set_uuid_flag(u: _uuid.UUID, flag: bool) -> _uuid.UUID:
+    """Set/clear the MSB of byte 8 (implicit-commit marker). id.rs:75-89."""
+    b = bytearray(u.bytes)
+    if flag:
+        b[8] |= 0x80
+    else:
+        b[8] &= 0x7F
+    return _uuid.UUID(bytes=bytes(b))
+
+
+def get_uuid_flag(u: _uuid.UUID) -> bool:
+    """id.rs:92-97."""
+    return (u.bytes[8] & 0x80) != 0
+
+
+# --- Column-expression variants (JVM-side, no UDF) ---------------------------
+
+
+def uuid_hash_col(uuid_str_col: Column | str) -> Column:
+    """Column expr extracting bits 46-61 from a canonical UUID string.
+
+    The 16 embedded bits span hex nibbles: the UUID's 128-bit value
+    >> 46 & 0xFFFF. Hex digit i (0-indexed from the left, dashes removed)
+    holds bits (127-4i-3 .. 127-4i). Bits 61..46 live in hex digits
+    16..20 (5 nibbles, shifted). Cheapest correct route: take hex chars
+    17..21 (20 bits = bits 63..44), parse base-16, >>2 & 0xFFFF... but
+    bits 63-62 are the variant; simpler: chars index 16..20 give bits
+    63..44 → (v >> 2) & 0xFFFF drops bits 45-44 and masks the variant.
+    """
+    c = F.col(uuid_str_col) if isinstance(uuid_str_col, str) else uuid_str_col
+    hex32 = F.lower(F.regexp_replace(c, "-", ""))
+    # chars 17..21 (1-based substr): bits 63..44 of the 128-bit value
+    top20 = F.conv(F.substring(hex32, 17, 5), 16, 10).cast("long")
+    return (F.shiftright(top20, 2) % F.lit(1 << 16)).cast("int")
+
+
+def partition_id_col(uuid_str_col: Column | str, num_partitions: int) -> Column:
+    """partition_id from a uuid string column, for EGET pruning."""
+    return F.pmod(uuid_hash_col(uuid_str_col), F.lit(num_partitions)).cast("int")

@@ -1,0 +1,207 @@
+"""EventStore integration tests — the SierraDB invariants.
+
+Checks the invariants the reference's model-based fuzzer enforces
+(fuzz/fuzz_targets/commands.rs:41-160, examples/validate_partition_sequences.rs):
+gapless monotone sequences per partition, gapless monotone versions per
+stream, hash-consistent event ids, optimistic-concurrency conflicts,
+transactional atomicity, watermark-gated reads.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from sierradb_spark import ids
+from sierradb_spark.config import EngineConfig
+from sierradb_spark.eventstore import AppendRequest, EventStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return EventStore(spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8))
+
+
+def test_append_and_scan_roundtrip(store):
+    res = store.append(
+        [
+            AppendRequest("user-123", "UserCreated", b'{"name":"john"}', expected_version="empty"),
+            AppendRequest("user-123", "UserRenamed", b'{"name":"jane"}', expected_version="0"),
+            AppendRequest("user-456", "UserCreated", b"{}", expected_version="any"),
+        ]
+    )
+    assert [r.accepted for r in res] == [True, True, True]
+    assert [r.stream_version for r in res[:2]] == [0, 1]
+
+    rows = store.scan("user-123").collect()
+    assert [r["stream_version"] for r in rows] == [0, 1]
+    assert [r["event_name"] for r in rows] == ["UserCreated", "UserRenamed"]
+    assert rows[0]["payload"] == b'{"name":"john"}'
+    # partition arithmetic matches the reference's derivation
+    pkey = str(ids.partition_key_for_stream("user-123"))
+    assert rows[0]["partition_key"] == pkey
+    expected_pid = ids.uuid_to_partition_hash(pkey) % 32
+    assert rows[0]["partition_id"] == expected_pid
+
+
+def test_version_conflicts(store):
+    store.append([AppendRequest("s1", "E", expected_version="empty")])
+    res = store.append(
+        [
+            AppendRequest("s1", "E", expected_version="empty"),  # conflict: exists
+            AppendRequest("s1", "E", expected_version="5"),  # conflict: behind
+            AppendRequest("s2", "E", expected_version="exists"),  # conflict: empty stream
+            AppendRequest("s1", "E", expected_version="0"),  # ok
+        ]
+    )
+    assert [r.accepted for r in res] == [False, False, False, True]
+    assert res[3].stream_version == 1
+    assert "ahead" in res[0].error
+    assert "behind" in res[1].error
+    assert "incompatible" in res[2].error
+
+
+def test_conflict_does_not_consume_version_or_sequence(store):
+    store.append([AppendRequest("sA", "E", expected_version="empty")])
+    res = store.append(
+        [
+            AppendRequest("sA", "E", expected_version="7"),  # rejected
+            AppendRequest("sA", "E", expected_version="0"),  # must get version 1
+        ]
+    )
+    assert res[0].accepted is False
+    assert res[1].stream_version == 1
+    # sequences stay gapless
+    seqs = [
+        r["partition_sequence"]
+        for r in store.pscan(res[1].partition_id).collect()
+    ]
+    assert seqs == list(range(len(seqs)))
+
+
+def test_transaction_atomicity(store):
+    store.append([AppendRequest("t1", "E", expected_version="empty")])
+    # one txn: second event conflicts → whole txn rejected
+    res = store.append_transaction(
+        [
+            AppendRequest("t1", "E", expected_version="0", partition_key=str(ids.partition_key_for_stream("t1"))),
+            AppendRequest("t1", "E", expected_version="5", partition_key=str(ids.partition_key_for_stream("t1"))),
+        ]
+    )
+    assert [r.accepted for r in res] == [False, False]
+    assert store.stream_version("t1") == 0
+    # valid txn: two events, in-txn version increments
+    res = store.append_transaction(
+        [
+            AppendRequest("t1", "E", expected_version="0", partition_key=str(ids.partition_key_for_stream("t1"))),
+            AppendRequest("t1", "E", expected_version="1", partition_key=str(ids.partition_key_for_stream("t1"))),
+        ]
+    )
+    assert [r.accepted for r in res] == [True, True]
+    assert [r.stream_version for r in res] == [1, 2]
+
+
+def test_gapless_invariants_many_streams(store):
+    import random
+
+    rng = random.Random(42)
+    reqs = [
+        AppendRequest(f"stream-{rng.randrange(20)}", "E", payload=b"x")
+        for _ in range(300)
+    ]
+    res = store.append(reqs)
+    assert all(r.accepted for r in res)
+    ev = store.events()
+    # gapless per partition
+    bad_part = (
+        ev.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("partition_sequence").alias("lo"),
+            F.max("partition_sequence").alias("hi"),
+            F.count_distinct("partition_sequence").alias("d"),
+        )
+        .where((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1) | (F.col("d") != F.col("n")))
+        .count()
+    )
+    assert bad_part == 0
+    # gapless per stream
+    bad_stream = (
+        ev.groupBy("stream_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("stream_version").alias("lo"),
+            F.max("stream_version").alias("hi"),
+            F.count_distinct("stream_version").alias("d"),
+        )
+        .where((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1) | (F.col("d") != F.col("n")))
+        .count()
+    )
+    assert bad_stream == 0
+    # a stream lives entirely in one partition
+    assert (
+        ev.groupBy("stream_id")
+        .agg(F.count_distinct("partition_id").alias("p"))
+        .where(F.col("p") > 1)
+        .count()
+        == 0
+    )
+    # every event id embeds its partition key's hash
+    for row in ev.select("event_id", "partition_key").collect():
+        assert ids.uuid_to_partition_hash(row["event_id"]) == ids.uuid_to_partition_hash(
+            row["partition_key"]
+        )
+
+
+def test_eget_returns_whole_transaction(store):
+    pkey = str(ids.partition_key_for_stream("g1"))
+    res = store.append_transaction(
+        [
+            AppendRequest("g1", "A", partition_key=pkey),
+            AppendRequest("g1", "B", partition_key=pkey),
+        ]
+    )
+    got = store.get(res[0].event_id).collect()
+    assert sorted(r["event_name"] for r in got) == ["A", "B"]
+
+
+def test_eget_miss_and_unknown_stream(store):
+    store.append([AppendRequest("known", "E")])
+    missing = str(
+        ids.uuid_v7_with_partition_hash(
+            ids.uuid_to_partition_hash(ids.partition_key_for_stream("known")),
+            timestamp_ms=1, rand12=0, rand46=0,
+        )
+    )
+    assert store.get(missing).count() == 0
+    assert store.stream_version("nope") is None
+    assert store.scan("nope").count() == 0
+
+
+def test_scan_ranges_and_limits(store):
+    reqs = [AppendRequest("r1", f"E{i}") for i in range(10)]
+    store.append(reqs)
+    assert [r["stream_version"] for r in store.scan("r1", 3, 6).collect()] == [3, 4, 5, 6]
+    assert [r["stream_version"] for r in store.scan("r1", "-", "+", count=3).collect()] == [0, 1, 2]
+    assert [
+        r["stream_version"] for r in store.scan("r1", direction="reverse", count=4).collect()
+    ] == [9, 8, 7, 6]
+    pid = store.scan("r1").collect()[0]["partition_id"]
+    seqs = [r["partition_sequence"] for r in store.pscan(pid, 2, 5).collect()]
+    assert seqs == [2, 3, 4, 5]
+    assert store.partition_sequence(pid) == 9
+    assert store.stream_version("r1") == 9
+
+
+def test_ids_column_expr_matches_python(store, spark):
+    """uuid_hash_col (JVM-side pruning expr) == pure-Python extraction."""
+    keys = [str(uuid.uuid4()) for _ in range(50)] + [
+        str(ids.partition_key_for_stream(f"s{i}")) for i in range(50)
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "u string").withColumn(
+        "h", ids.uuid_hash_col("u")
+    )
+    for row in df.collect():
+        assert row["h"] == ids.uuid_to_partition_hash(row["u"])
