@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, MinHash, and n-gram Jaccard.
+
+Design for 100 TB:
+- Exact dedup hashes each document once (md5, JVM-side) and groups on
+  the digest — the shuffle carries 16-byte keys, never document bodies.
+- MinHash signatures are computed per document from word 3-gram
+  shingles; near-dup candidate generation is a self-join on *band*
+  values (LSH banding), so candidate pairs — not all N² pairs — reach
+  the verification stage. Signature min() uses md5 digests as the hash
+  family (lexicographic min of md5(shingle || seed)), which is
+  engine-portable: both Spark and DuckDB agree bit-for-bit on md5 of
+  the same bytes, so the whole pipeline is oracle-checkable.
+- Verification computes exact shingle-set Jaccard only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sierradb_spark.operators.base import Registry, load
+
+REG = Registry()
+
+N_HASHES = 4  # minhash signature width (seeds 0..3)
+SHINGLE_K = 3  # words per shingle
+
+
+def with_shingles(d: DataFrame, *keep: str) -> DataFrame:
+    """Project documents → (*keep, n_toks, shingles) in two stages.
+
+    Staged projections matter: higher-order functions run interpreted
+    (no whole-stage codegen, no common-subexpression elimination), so if
+    the token array stays an inline expression every element access
+    inside the shingle lambda re-runs the regex split — O(n²) per
+    document. Materializing ``toks`` as a projection attribute first
+    makes each access an O(1) array lookup; Catalyst keeps the stage
+    boundary because the alias is expensive and multiply-referenced.
+    """
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    staged = d.select(*keep, toks.alias("toks"))
+    t = F.col("toks")
+    n = F.size(t)
+    sh = F.when(n < SHINGLE_K, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - SHINGLE_K),
+            lambda i: F.concat_ws(
+                " ", F.get(t, i), F.get(t, i + 1), F.get(t, i + 2)
+            ),
+        )
+    )
+    return staged.select(*keep, n.alias("n_toks"), sh.alias("shingles"))
+
+
+def minhash_col(shingles: Column, seed: int) -> Column:
+    """One minhash value: lexicographic min of md5(shingle || '#seed')."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}"))))
+    )
+
+
+_SQL_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+# DuckDB shingle list: list_transform over an index range. range() is
+# empty when the doc has < K tokens.
+_SQL_SHINGLES = (
+    f"list_transform(range(1, greatest(len({_SQL_TOKS}) - {SHINGLE_K - 2}, 1)), "
+    f"i -> concat_ws(' ', {_SQL_TOKS}[i], {_SQL_TOKS}[i+1], {_SQL_TOKS}[i+2]))"
+)
+
+
+def _sql_minhash(seed: int) -> str:
+    return (
+        f"list_min(list_transform({_SQL_SHINGLES}, s -> md5(concat(s, '#{seed}'))))"
+    )
+
+
+@REG.add(
+    "dedup_exact_stats",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_duplicates
+        FROM documents
+    """,
+    doc="Exact dedup summary: hash-distinct over md5 digests. The digest (16 B) is "
+    "what shuffles, not the document body.",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_duplicates"),
+    )
+
+
+@REG.add(
+    "dedup_exact_keep_first",
+    oracle="""
+        SELECT md5(text) AS text_hash,
+               min(doc_id) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+        HAVING count(*) > 1
+    """,
+    doc="Exact dedup, keep-first policy: groups of identical documents with the "
+    "surviving doc_id. (Empty result on corpora with no exact duplicates.)",
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@REG.add(
+    "minhash_signatures",
+    oracle=f"""
+        SELECT doc_id,
+               {_sql_minhash(0)} AS sig0,
+               {_sql_minhash(1)} AS sig1,
+               {_sql_minhash(2)} AS sig2,
+               {_sql_minhash(3)} AS sig3
+        FROM documents
+    """,
+    headline=True,
+    doc="MinHash signatures (4 hashes over word 3-gram shingles). Signature "
+    "computation is embarrassingly parallel — no shuffle at all; md5-based hash "
+    "family keeps it engine-portable for the oracle check.",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    sh = F.col("shingles")
+    cols = [minhash_col(sh, i).alias(f"sig{i}") for i in range(N_HASHES)]
+    return d.select("doc_id", *cols)
+
+
+@REG.add(
+    "near_dup_candidate_pairs",
+    oracle=f"""
+        WITH sigs AS (
+            SELECT doc_id,
+                   concat({_sql_minhash(0)}, {_sql_minhash(1)}) AS band0,
+                   concat({_sql_minhash(2)}, {_sql_minhash(3)}) AS band1
+            FROM documents
+            WHERE len({_SQL_TOKS}) >= {SHINGLE_K}
+        ),
+        bands AS (
+            SELECT doc_id, band0 AS band FROM sigs
+            UNION ALL
+            SELECT doc_id, band1 AS band FROM sigs
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    """,
+    doc="LSH banding: 2 bands x 2 hashes; documents sharing any band value become "
+    "candidate near-dup pairs. The join is on band digests, so work scales with "
+    "collisions, not N².",
+)
+def near_dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    sh = F.col("shingles")
+    sigs = (
+        d.where(F.col("n_toks") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.concat(minhash_col(sh, 0), minhash_col(sh, 1)).alias("band0"),
+            F.concat(minhash_col(sh, 2), minhash_col(sh, 3)).alias("band1"),
+        )
+    )
+    bands = sigs.select("doc_id", F.col("band0").alias("band")).unionAll(
+        sigs.select("doc_id", F.col("band1").alias("band"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@REG.add(
+    "ngram_jaccard_similar_pairs",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, source, list_distinct({_SQL_SHINGLES}) AS shingle_set
+            FROM documents
+            WHERE len({_SQL_TOKS}) >= {SHINGLE_K}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+                     / nullif(len(a.shingle_set) + len(b.shingle_set)
+                              - len(list_intersect(a.shingle_set, b.shingle_set)), 0),
+                     4) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+              / nullif(len(a.shingle_set) + len(b.shingle_set)
+                       - len(list_intersect(a.shingle_set, b.shingle_set)), 0) >= 0.2
+    """,
+    doc="Exact n-gram Jaccard over candidate pairs blocked by source (at scale the "
+    "blocking key is the LSH band from near_dup_candidate_pairs; `source` keeps the "
+    "oracle cheap). array_intersect/size compute |A∩B| JVM-side.",
+)
+def ngram_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_shingles(load(spark, sf_dir, "documents"), "doc_id", "source")
+    sh = (
+        d.where(F.col("n_toks") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(F.col("shingles")).alias("shingle_set"),
+        )
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingle_set"), F.col("b.shingle_set")))
+    union = (
+        F.size(F.col("a.shingle_set")) + F.size(F.col("b.shingle_set")) - inter
+    )
+    jac = inter.cast("double") / F.nullif(union, F.lit(0))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= 0.2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

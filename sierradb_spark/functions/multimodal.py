@@ -1,0 +1,56 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video content is carried as opaque BINARY columns with a
+typed metadata struct — exactly SierraDB's opaque-payload convention
+(SURVEY §1.3) applied to media. The Spark-side plumbing (schema,
+Arrow-batched decode UDF signature, per-batch iteration) is real and
+tested; the actual codec step is a deterministic stub (in
+``_media_codec.py``, kept import-light for worker unpickling) because
+the test container ships no image/audio libraries — swap
+``fake_decode`` for a PIL/ffmpeg call in production and nothing else
+changes.
+
+``mapInPandas`` is the right shape at 100 TB: decode happens
+partition-local in Arrow batches, metadata-only queries never touch
+the binary column (column pruning), and the decode stage can be scaled
+independently by repartitioning before it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sierradb_spark.functions._media_codec import DECODED_SCHEMA, decode_media_batches
+from sierradb_spark.operators.base import Registry, load
+
+REG = Registry()
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a media-shaped table from documents: text bytes stand
+    in for encoded image blobs (no media files ship with the testdata)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.struct(
+            F.lit("image/fake").alias("content_type"),
+            F.col("n_chars").alias("content_length"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+@REG.add(
+    "multimodal_decode_metadata",
+    oracle=None,  # decode runs through a Pandas UDF — not SQL-expressible
+    doc="Decode/feature-extract pipeline over binary media columns via mapInPandas "
+    "(Arrow batches). Codec stubbed deterministically; plumbing (schema, batching, "
+    "partitioning) is the real article. Rows-only correctness check.",
+)
+def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "media").mapInPandas(
+        decode_media_batches, schema=DECODED_SCHEMA
+    )

@@ -1,0 +1,17 @@
+"""Assembled query registry — the declared operator surface.
+
+``REGISTRY.queries`` maps name → Query(spark_fn, oracle_sql). This is
+what ``__spark_entry__.py`` exposes to the driver's correctness gate,
+and what ``bench.py`` samples its headline set from.
+"""
+
+from sierradb_spark.operators.base import Query, Registry, load
+
+from sierradb_spark.operators import event_reads, relational, windows
+from sierradb_spark.functions import dedup, multimodal, similarity, text
+
+REGISTRY = Registry()
+for mod in (event_reads, relational, windows, text, dedup, similarity, multimodal):
+    REGISTRY.merge(mod.REG)
+
+__all__ = ["Query", "Registry", "REGISTRY", "load"]

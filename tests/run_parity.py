@@ -1,0 +1,142 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet tables, then compares row count, column
+names, and an order-insensitive value hash. Run while iterating:
+
+    python tests/run_parity.py                # sf0.001, all queries
+    python tests/run_parity.py sf0.01 q1_pricing_summary escan_stream_range
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from sierradb_spark.operators.base import TABLES
+
+
+def norm_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # normalize -0.0 and represent with enough digits
+        if v == 0:
+            return "0"
+        return repr(round(v, 10))
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, list):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf = "sf0.001"
+    if args and args[0].startswith("sf"):
+        sf = args[0]
+        args = args[1:]
+    sf_dir = f"/root/testdata/{sf}"
+
+    from sierradb_spark.operators import REGISTRY
+    from sierradb_spark.session import get_spark
+
+    spark = get_spark(app_name="parity", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    names = args or list(REGISTRY.queries)
+    failures = []
+    for name in names:
+        q = REGISTRY.queries[name]
+        t0 = time.time()
+        try:
+            sdf = q.spark(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            print(f"okNV {name}: rows={len(srows)} (no oracle, rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(q.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            sh = table_hash(scols, srows)
+            oh = table_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash spark={sh} oracle={oh}")
+                # show a sample mismatch for debugging
+                so = sorted(
+                    "|".join(
+                        norm_value(r[i])
+                        for i in sorted(range(len(scols)), key=lambda i: scols[i])
+                    )
+                    for r in srows
+                )
+                oo = sorted(
+                    "|".join(
+                        norm_value(r[i])
+                        for i in sorted(range(len(ocols)), key=lambda i: ocols[i])
+                    )
+                    for r in orows
+                )
+                for a, b in zip(so, oo):
+                    if a != b:
+                        problems.append(f"  first diff:\n  spark : {a}\n  oracle: {b}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"ok   {name}: rows={len(srows)} hash match [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
