@@ -1,0 +1,177 @@
+"""Structured Streaming ingest: the continuous write path.
+
+The reference's server loop (RESP3 appends → writer thread pool group
+commit, ``crates/sierradb/src/writer_thread_pool.rs:292-520,687-699``)
+maps to a Structured Streaming query: a stream of append requests →
+``foreachBatch`` → the same validate/assign/commit logic the batch API
+uses (eventstore/store.py). One micro-batch == one group commit; the
+trigger interval is the group-commit knob (reference defaults: 5 ms /
+50 events / 4 KB, ``config.rs:206-208``).
+
+Scale design:
+- Per-batch cost is O(batch) — heads recovery prunes to touched
+  partitions, the validation shuffle moves only batch rows. Append
+  throughput is independent of table size (the reference's headline
+  design goal, README.md:96-99).
+- Exactly-once: the streaming checkpoint records source offsets per
+  batch; replays re-run ``_apply_batch`` idempotently only when the
+  sink commit did not complete. On Delta this is a txn-id check; on
+  plain Parquet a replayed batch may duplicate — documented trade-off,
+  acceptable for the test container (no Delta available).
+
+Request-stream contract: any streaming DataFrame with columns
+``stream_id, event_name, payload, metadata, expected_version`` (+
+optional ``timestamp_ms``, ``partition_key``, ``event_id``, ``txn_id``).
+Missing columns are filled with defaults during enrichment.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid as _uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from sierradb_spark import ids
+from sierradb_spark.eventstore.store import EventStore
+
+
+def enrich_requests(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Derive partition_key/partition_id/event_id/timestamp columns.
+
+    Mirrors request enrichment in the reference handler
+    (``request/eappend.rs:189-217``): default partition_key =
+    uuid5(NAMESPACE, stream_id), partition_hash from the key, event_id =
+    v7-with-embedded-hash, ms→ns timestamp scaling. Runs as Arrow-batched
+    pandas UDFs (the UUID math is not expressible in Column algebra).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def default_pkey(stream_id: pd.Series) -> pd.Series:
+        return stream_id.map(lambda s: str(ids.partition_key_for_stream(s)))
+
+    @pandas_udf("int")
+    def pid_of(pkey: pd.Series) -> pd.Series:
+        return pkey.map(
+            lambda k: ids.partition_id_for_hash(
+                ids.uuid_to_partition_hash(k), num_partitions
+            )
+        )
+
+    @pandas_udf("string")
+    def gen_event_id(pkey: pd.Series, ts_ns: pd.Series) -> pd.Series:
+        import secrets
+
+        def gen(args):
+            k, ns = args
+            return str(
+                ids.uuid_v7_with_partition_hash(
+                    ids.uuid_to_partition_hash(k),
+                    timestamp_ms=int(ns) // 1_000_000,
+                    rand12=secrets.randbits(12),
+                    rand46=secrets.randbits(46),
+                )
+            )
+
+        return pd.Series(map(gen, zip(pkey, ts_ns)))
+
+    cols = dict.fromkeys(df.columns)
+    if "expected_version" not in cols:
+        df = df.withColumn("expected_version", F.lit("any"))
+    if "metadata" not in cols:
+        df = df.withColumn("metadata", F.lit(b""))
+    if "payload" not in cols:
+        df = df.withColumn("payload", F.lit(b""))
+    now_ns = time.time_ns()
+    if "timestamp_ms" in cols:
+        df = df.withColumn(
+            "timestamp_ns",
+            F.coalesce(F.col("timestamp_ms") * 1_000_000, F.lit(now_ns)),
+        )
+    else:
+        df = df.withColumn("timestamp_ns", F.lit(now_ns))
+    if "partition_key" in cols:
+        df = df.withColumn(
+            "partition_key",
+            F.coalesce(F.col("partition_key"), default_pkey(F.col("stream_id"))),
+        )
+    else:
+        df = df.withColumn("partition_key", default_pkey(F.col("stream_id")))
+    df = df.withColumn("partition_id", pid_of(F.col("partition_key")))
+    if "event_id" in cols:
+        df = df.withColumn(
+            "event_id",
+            F.coalesce(
+                F.col("event_id"),
+                gen_event_id(F.col("partition_key"), F.col("timestamp_ns")),
+            ),
+        )
+    else:
+        df = df.withColumn(
+            "event_id", gen_event_id(F.col("partition_key"), F.col("timestamp_ns"))
+        )
+    if "txn_id" not in cols:
+        # One event per transaction (EAPPEND), implicit-commit flag set
+        # (id.rs:77-100): txn id equals a flagged v4 uuid.
+        @pandas_udf("string")
+        def gen_txn(stream_id: pd.Series) -> pd.Series:
+            return pd.Series(
+                str(ids.set_uuid_flag(_uuid.uuid4(), True)) for _ in stream_id
+            )
+
+        df = df.withColumn("txn_id", gen_txn(F.col("stream_id")))
+    # Batch-local arrival order: monotonic id is unique and ordered per
+    # partition of the source; good enough as the serialization tiebreak
+    # (the reference serializes by channel arrival, an equally arbitrary
+    # but consistent order).
+    return df.withColumn("arrival", F.monotonically_increasing_id())
+
+
+class StreamIngest:
+    """Continuous ingest into an EventStore table via foreachBatch."""
+
+    def __init__(self, store: EventStore) -> None:
+        self.store = store
+
+    def start(
+        self,
+        requests: DataFrame,
+        checkpoint: str,
+        trigger_interval: str | None = None,
+        available_now: bool = False,
+        on_batch=None,
+    ) -> StreamingQuery:
+        if not requests.isStreaming:
+            raise ValueError("requests must be a streaming DataFrame")
+
+        def process(batch: DataFrame, batch_id: int) -> None:
+            enriched = enrich_requests(batch, self.store.config.num_partitions)
+            req_cols = [
+                "arrival",
+                "txn_id",
+                "stream_id",
+                "event_name",
+                "expected_version",
+                "event_id",
+                "partition_key",
+                "partition_id",
+                "timestamp_ns",
+                "payload",
+                "metadata",
+            ]
+            result = self.store._apply_batch(enriched.select(*req_cols))
+            if on_batch is not None:
+                on_batch(batch_id, result)
+
+        writer = requests.writeStream.foreachBatch(process).option(
+            "checkpointLocation", checkpoint
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_interval:
+            writer = writer.trigger(processingTime=trigger_interval)
+        return writer.start()

@@ -1,0 +1,176 @@
+"""Streaming integration tests — subscriptions + continuous ingest.
+
+Mirrors the reference's integration test (``tests/subscriptions.rs:22-190``:
+N events across partitions → subscribe-all → complete in-order delivery,
+exercised across ack-window sizes) plus the catch-up/live seam exactness
+the reference implements with ``has_seen`` dedup (subscription.rs:101-293);
+here the streaming checkpoint makes the seam exact by construction.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sierradb_spark.config import EngineConfig
+from sierradb_spark.eventstore import AppendRequest, EventStore
+from sierradb_spark.streaming import (
+    PartitionMatcher,
+    StreamIngest,
+    StreamMatcher,
+    Subscription,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return EventStore(spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8))
+
+
+def _fill(store: EventStore, n: int = 120, n_streams: int = 12, batches: int = 3):
+    rng = random.Random(7)
+    per = n // batches
+    for b in range(batches):
+        store.append(
+            [
+                AppendRequest(f"stream-{rng.randrange(n_streams)}", f"E{b}", payload=b"x")
+                for _ in range(per)
+            ]
+        )
+    return n
+
+
+def _assert_ordered_complete(store, delivered, expect_n):
+    """Complete, per-partition-ordered, gapless delivery (the assertion
+    at tests/subscriptions.rs:150-190)."""
+    assert len(delivered) == expect_n
+    by_part: dict[int, list[int]] = {}
+    for r in delivered:
+        by_part.setdefault(r["partition_id"], []).append(r["partition_sequence"])
+    for pid, seqs in by_part.items():
+        assert seqs == sorted(seqs), f"partition {pid} out of order"
+        assert seqs == list(range(len(seqs))), f"partition {pid} not gapless"
+
+
+def test_subscribe_all_ordered_complete(store, tmp_path):
+    n = _fill(store)
+    delivered: list = []
+    sub = Subscription(store, PartitionMatcher())
+    sub.catchup(delivered.extend, str(tmp_path / "ckpt"))
+    _assert_ordered_complete(store, delivered, n)
+
+
+def test_subscribe_windowed_backpressure(store, tmp_path):
+    """maxFilesPerTrigger=1 = smallest ack window: many micro-batches,
+    delivery must still be complete and ordered (window matrix
+    tests/subscriptions.rs:98-101)."""
+    n = _fill(store)
+    delivered: list = []
+    batches: list[int] = []
+
+    def deliver(rows):
+        delivered.extend(rows)
+        batches.append(len(rows))
+
+    sub = Subscription(store, PartitionMatcher(), max_files_per_trigger=1)
+    sub.catchup(deliver, str(tmp_path / "ckpt"))
+    assert len(batches) > 1  # the window actually bit
+    # per-partition order must hold ACROSS batches too
+    by_part: dict[int, list[int]] = {}
+    for r in delivered:
+        by_part.setdefault(r["partition_id"], []).append(r["partition_sequence"])
+    for pid, seqs in by_part.items():
+        assert seqs == sorted(seqs)
+    _assert_ordered_complete(store, delivered, n)
+
+
+def test_catchup_live_seam_exact(store, tmp_path):
+    """Catch-up then live tail over one checkpoint: no duplicates, no
+    gaps across the seam (S3/S4)."""
+    _fill(store, n=60, batches=2)
+    ckpt = str(tmp_path / "ckpt")
+    sub = Subscription(store, PartitionMatcher())
+    first: list = []
+    sub.catchup(first.extend, ckpt)
+
+    # "live" events arrive after the catch-up pass
+    store.append([AppendRequest(f"stream-{i % 5}", "Late", payload=b"y") for i in range(30)])
+    second: list = []
+    sub.catchup(second.extend, ckpt)
+
+    assert len(first) == 60
+    assert len(second) == 30  # only the new events — no replay
+    seen = [(r["partition_id"], r["partition_sequence"]) for r in first + second]
+    assert len(seen) == len(set(seen))  # no duplicates
+    _assert_ordered_complete(store, first + second, 90)
+
+
+def test_stream_matcher_from_versions(store, tmp_path):
+    for i in range(6):
+        store.append([AppendRequest("sA", f"A{i}"), AppendRequest("sB", f"B{i}")])
+    delivered: list = []
+    sub = Subscription(
+        store, StreamMatcher(streams=("sA", "sB"), from_versions={"sA": 3})
+    )
+    sub.catchup(delivered.extend, str(tmp_path / "ckpt"))
+    got = {(r["stream_id"], r["stream_version"]) for r in delivered}
+    assert got == {("sA", v) for v in (3, 4, 5)} | {("sB", v) for v in range(6)}
+    # FROM LATEST = head+1: nothing historical delivered
+    head = store.stream_version("sA")
+    late: list = []
+    sub2 = Subscription(store, StreamMatcher(("sA",), {"sA": head + 1}))
+    sub2.catchup(late.extend, str(tmp_path / "ckpt2"))
+    assert late == []
+    store.append([AppendRequest("sA", "New")])
+    sub2.catchup(late.extend, str(tmp_path / "ckpt2"))
+    assert [(r["stream_id"], r["event_name"]) for r in late] == [("sA", "New")]
+
+
+def test_stream_ingest_end_to_end(store, spark, tmp_path):
+    """File-source request stream → StreamIngest → gapless, versioned table."""
+    reqs = [
+        (f"u-{i % 10}", "Evt", b"{}", b"", "any")
+        for i in range(200)
+    ]
+    src = str(tmp_path / "requests")
+    spark.createDataFrame(
+        reqs, "stream_id string, event_name string, payload binary, metadata binary, expected_version string"
+    ).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "stream_id string, event_name string, payload binary, metadata binary, expected_version string"
+        )
+        .parquet(src)
+    )
+    results: list = []
+    q = StreamIngest(store).start(
+        stream,
+        checkpoint=str(tmp_path / "ingest_ckpt"),
+        available_now=True,
+        on_batch=lambda bid, df: results.append(df.groupBy("accepted").count().collect()),
+    )
+    q.awaitTermination(300)
+
+    ev = store.events()
+    assert ev.count() == 200
+    bad = (
+        ev.groupBy("stream_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("stream_version").alias("hi"),
+            F.count_distinct("stream_version").alias("d"),
+        )
+        .where((F.col("hi") != F.col("n") - 1) | (F.col("d") != F.col("n")))
+        .count()
+    )
+    assert bad == 0
+    # watermarks advanced to the table heads
+    wm = {r["partition_id"]: r["confirmed_sequence"] for r in store.watermarks().collect()}
+    heads = {
+        r["partition_id"]: r["hi"]
+        for r in ev.groupBy("partition_id").agg(F.max("partition_sequence").alias("hi")).collect()
+    }
+    assert wm == heads
