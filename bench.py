@@ -35,8 +35,7 @@ def main() -> int:
     for name, q in headline.items():
         t0 = time.perf_counter()
         df = q.spark(spark, sf_dir)
-        n = df.count() if df.isStreaming is False else -1
-        _ = df.collect()
+        n = len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 

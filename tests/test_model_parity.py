@@ -1,0 +1,191 @@
+"""Model-based randomized parity test — the reference fuzzer, ported.
+
+The reference's centerpiece test is a model-based fuzzer
+(``fuzz/fuzz_targets/commands.rs``): a pure in-memory ``DatabaseModel``
+oracle (:41-160) runs an arbitrary command sequence — AppendSingle,
+AppendMultiple, ReadEvent, ReadStream, ReadPartition, ReopenDatabase —
+against the real database and asserts equivalence. The semantics live in
+the oracle, which transfers verbatim to Python; the Spark engine must
+agree with it on every read after every command.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+import pytest
+
+from sierradb_spark import ids
+from sierradb_spark import versions as V
+from sierradb_spark.config import EngineConfig
+from sierradb_spark.eventstore import AppendRequest, EventStore
+
+N_PARTITIONS = 32
+
+
+@dataclass
+class ModelEvent:
+    stream_id: str
+    stream_version: int
+    partition_id: int
+    partition_sequence: int
+    event_name: str
+    payload: bytes
+
+
+@dataclass
+class DatabaseModel:
+    """Pure-Python oracle (commands.rs:41-160): dict partitions, stream
+    versions, all-or-nothing transactional appends."""
+
+    partitions: dict[int, list[ModelEvent]] = field(default_factory=dict)
+    stream_versions: dict[str, int] = field(default_factory=dict)
+
+    def partition_of(self, stream_id: str) -> int:
+        pkey = str(ids.partition_key_for_stream(stream_id))
+        return ids.partition_id_for_hash(
+            ids.uuid_to_partition_hash(pkey), N_PARTITIONS
+        )
+
+    def append_txn(
+        self, reqs: list[tuple[str, str, str, bytes]]
+    ) -> tuple[bool, list[int]]:
+        """[(stream_id, event_name, expected_version, payload)] →
+        (accepted, stream_versions). Validates the whole txn against
+        current + in-txn state before applying (database.rs:867-897)."""
+        staged = dict()
+        versions = []
+        for stream_id, _name, expected, _p in reqs:
+            cur = staged.get(stream_id, self.stream_versions.get(stream_id))
+            if not V.is_satisfied_by(V.parse_expected_version(expected), cur):
+                return False, []
+            nv = V.next_version(cur)
+            staged[stream_id] = nv
+            versions.append(nv)
+        for (stream_id, name, _e, payload), nv in zip(reqs, versions):
+            pid = self.partition_of(stream_id)
+            part = self.partitions.setdefault(pid, [])
+            part.append(
+                ModelEvent(stream_id, nv, pid, len(part), name, payload)
+            )
+            self.stream_versions[stream_id] = nv
+        return True, versions
+
+    def read_stream(self, stream_id: str) -> list[ModelEvent]:
+        pid = self.partition_of(stream_id)
+        return [e for e in self.partitions.get(pid, []) if e.stream_id == stream_id]
+
+    def read_partition(self, pid: int) -> list[ModelEvent]:
+        return list(self.partitions.get(pid, []))
+
+
+STREAMS = [f"stream-{i}" for i in range(8)]
+NAMES = ["Created", "Updated", "Deleted"]
+
+
+def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> str:
+    """Weighted expected-version generation (commands.rs:522-850): mostly
+    valid, sometimes deliberately conflicting."""
+    roll = rng.random()
+    cur = model.stream_versions.get(stream)
+    if roll < 0.4:
+        return "any"
+    if roll < 0.55:
+        return "empty" if cur is None else str(cur)
+    if roll < 0.7:
+        return "exists"
+    # adversarial: exact version that may or may not match
+    return str(rng.randrange(0, 5))
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_randomized_command_sequence(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    model = DatabaseModel()
+    store = EventStore(
+        spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8)
+    )
+
+    def check_stream(stream_id: str) -> None:
+        got = [
+            (r["stream_id"], r["stream_version"], r["event_name"], bytes(r["payload"]))
+            for r in store.scan(stream_id).collect()
+        ]
+        want = [
+            (e.stream_id, e.stream_version, e.event_name, e.payload)
+            for e in model.read_stream(stream_id)
+        ]
+        assert got == want, f"stream {stream_id} diverged (seed {seed})"
+
+    def check_partition(pid: int) -> None:
+        got = [
+            (r["partition_sequence"], r["stream_id"], r["stream_version"])
+            for r in store.pscan(pid).collect()
+        ]
+        want = [
+            (e.partition_sequence, e.stream_id, e.stream_version)
+            for e in model.read_partition(pid)
+        ]
+        assert got == want, f"partition {pid} diverged (seed {seed})"
+
+    n_appends = 0
+    for step in range(30):
+        roll = rng.random()
+        if roll < 0.55:  # append batch (single-event txns)
+            reqs = []
+            for _ in range(rng.randrange(1, 6)):
+                s = rng.choice(STREAMS)
+                reqs.append(
+                    (s, rng.choice(NAMES), random_expected(rng, model, s), b"p")
+                )
+            # model applies txns serially in arrival order — same order
+            # the store serializes them within the batch
+            expected_results = []
+            for r in reqs:
+                ok, vers = model.append_txn([r])
+                expected_results.append((ok, vers[0] if ok else None))
+            res = store.append(
+                [
+                    AppendRequest(s, n, payload=p, expected_version=e)
+                    for (s, n, e, p) in reqs
+                ]
+            )
+            got = [(r.accepted, r.stream_version) for r in res]
+            assert got == expected_results, f"append diverged at step {step} (seed {seed})"
+            n_appends += 1
+        elif roll < 0.7:  # multi-event atomic txn on one stream's partition
+            s = rng.choice(STREAMS)
+            pkey = str(ids.partition_key_for_stream(s))
+            reqs = [
+                (s, rng.choice(NAMES), random_expected(rng, model, s), b"t")
+                for _ in range(rng.randrange(2, 4))
+            ]
+            ok, vers = model.append_txn(reqs)
+            res = store.append_transaction(
+                [
+                    AppendRequest(
+                        s, n, payload=p, expected_version=e, partition_key=pkey
+                    )
+                    for (s, n, e, p) in reqs
+                ]
+            )
+            assert all(r.accepted for r in res) == ok, f"txn diverged step {step} (seed {seed})"
+            if ok:
+                assert [r.stream_version for r in res] == vers
+        elif roll < 0.85:  # read checks
+            check_stream(rng.choice(STREAMS))
+        elif roll < 0.95:
+            pid = model.partition_of(rng.choice(STREAMS))
+            check_partition(pid)
+        else:  # ReopenDatabase (commands.rs:332): fresh handle, same path
+            store = EventStore(
+                spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8)
+            )
+
+    # final full sweep
+    for s in STREAMS:
+        check_stream(s)
+    for pid in {model.partition_of(s) for s in STREAMS}:
+        check_partition(pid)
+    assert n_appends > 0
