@@ -197,6 +197,128 @@ def near_dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 16  # 4 hex digits of md5; production would use 64
+
+
+@REG.add(
+    "simhash_dedup_buckets",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+            FROM documents
+        ),
+        digests AS (
+            SELECT doc_id, list_transform(t, x -> md5(x)) AS d FROM toks
+        ),
+        bits AS (
+            SELECT doc_id,
+                   list_sum(list_transform(range(16),
+                       b -> CASE WHEN len(list_filter(d,
+                                x -> (('0x' || substr(x, 1 + b // 4, 1))::INT >> (b % 4)) & 1 = 1))
+                               > len(d) - len(list_filter(d,
+                                x -> (('0x' || substr(x, 1 + b // 4, 1))::INT >> (b % 4)) & 1 = 1))
+                            THEN (2 ** b)::BIGINT ELSE 0 END)) AS simhash
+            FROM digests
+        )
+        SELECT simhash,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS keep_doc_id
+        FROM bits GROUP BY simhash
+    """,
+    doc="SimHash dedup: 16-bit simhash from per-token md5 nibbles (bit b set iff "
+    "more tokens have bit b set than clear). Docs sharing a simhash value are "
+    "near-dup bucket candidates; at 64 bits buckets are compared by Hamming "
+    "distance over band rotations. Signature computation is shuffle-free; the "
+    "groupBy shuffles 8-byte keys only.",
+)
+def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    # stage md5 digests once; each bit expression then only does
+    # substr+conv per digest (cheap attribute access, no re-hash)
+    digests = d.select("doc_id", toks.alias("t")).select(
+        "doc_id", F.transform(F.col("t"), lambda t: F.md5(t)).alias("d")
+    )
+    def bit_set(x, b):  # noqa: E306
+        return (
+            F.conv(F.substring(x, 1 + b // 4, 1), 16, 10).cast("int")
+            .bitwiseAND(F.lit(1 << (b % 4))) != 0
+        )
+
+    def bit_vote(b):
+        n_set = F.size(F.filter(F.col("d"), lambda x: bit_set(x, b)))
+        return F.when(
+            n_set > F.size(F.col("d")) - n_set, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    simhash = bit_vote(0)
+    for b in range(1, SIMHASH_BITS):
+        simhash = simhash + bit_vote(b)
+    return (
+        digests.select("doc_id", simhash.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@REG.add(
+    "embedding_near_dup_pairs",
+    oracle="""
+        WITH n AS (
+            SELECT vec_id,
+                   embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0), 4) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0) >= 0.4
+    """,
+    doc="Embedding-cosine near-dup: all pairs above a cosine threshold. Norms are "
+    "precomputed per vector (one pass) so the pair stage does one dot product per "
+    "pair. Brute-force here = the exact baseline; at 100 TB the pair generation is "
+    "replaced by LSH/IVF bucketing (see lsh_bucket_candidates) with this exact "
+    "scorer applied per bucket.",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.similarity import dot_col
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("embedding").cast("array<double>"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot_col(F.col("a.v"), F.col("b.v")) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+
+
 @REG.add(
     "ngram_jaccard_similar_pairs",
     oracle=f"""

@@ -174,6 +174,127 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the split GPT-style BPE applies before merges. Same regex both engines.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@REG.add(
+    "bpe_token_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   regexp_extract_all(text, '{BPE_PATTERN}') AS pieces
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(pieces)) AS BIGINT) AS total_pieces,
+               round(avg(CAST(len(pieces) AS DOUBLE)), 4) AS avg_pieces,
+               CAST(sum(len(list_distinct(pieces))) AS BIGINT) AS total_unique_pieces
+        FROM t GROUP BY lang
+    """,
+    doc="BPE-ish token counting: regex pre-tokenization (letter runs / digit runs / "
+    "punctuation) — the piece count that drives token-budget estimates. "
+    "regexp_extract_all runs JVM-side in codegen; no Python in the loop.",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0).alias("pieces"),
+    )
+    return staged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("pieces")).alias("total_pieces"),
+        F.round(F.avg(F.size("pieces").cast("double")), 4).alias("avg_pieces"),
+        F.sum(F.size(F.array_distinct("pieces"))).alias("total_unique_pieces"),
+    )
+
+
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 4  # winnowing window (k-grams)
+WINNOW_MOD = 2**31 - 1
+
+
+@REG.add(
+    "winnow_fingerprints",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(length(text) - {WINNOW_K - 2}, 1)),
+                       i -> list_reduce(
+                               list_transform(range(0, {WINNOW_K}),
+                                              j -> ascii(substr(text, i + j, 1))),
+                               (a, c) -> (a::BIGINT * 31 + c) % {WINNOW_MOD})) AS hashes
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(hashes) < {WINNOW_W} THEN hashes
+                            ELSE list_transform(
+                                range(1, len(hashes) - {WINNOW_W - 2}),
+                                i -> list_min(hashes[i : i + {WINNOW_W - 1}]))
+                       END) AS fps
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               list_min(fps) AS min_fp,
+               list_max(fps) AS max_fp
+        FROM w
+    """,
+    doc="Winnowing document fingerprints (Schleimer et al.): rolling polynomial "
+    "hash (base 31 mod 2^31-1) over char 8-grams, then the min hash of each "
+    "4-gram window — the standard plagiarism/near-dup fingerprint set. All "
+    "array ops are JVM-side; digests are staged as attributes so each k-gram "
+    "hashes its own chars exactly once.",
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    # Stage char codes once (split+ascii is O(len)); each k-gram hash
+    # then reads 8 ints from the staged array instead of re-slicing the
+    # string per character (which is O(position) on UTF8 strings).
+    codes_df = d.select(
+        "doc_id",
+        F.transform(F.split(text, ""), lambda c: F.ascii(c)).alias("codes"),
+    )
+    codes = F.col("codes")
+    staged = codes_df.select(
+        "doc_id",
+        F.when(
+            F.size(codes) < WINNOW_K, F.array().cast("array<long>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(codes) - (WINNOW_K - 1)),
+                lambda i: F.aggregate(
+                    F.slice(codes, i, WINNOW_K),
+                    F.lit(0).cast("long"),
+                    lambda a, c: (a * 31 + c) % WINNOW_MOD,
+                ),
+            )
+        ).alias("hashes"),
+    )
+    h = F.col("hashes")
+    fps = F.array_distinct(
+        F.when(F.size(h) < WINNOW_W, h).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - (WINNOW_W - 1)),
+                lambda i: F.array_min(F.slice(h, i, WINNOW_W)),
+            )
+        )
+    )
+    return staged.select("doc_id", fps.alias("fps")).select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
 @REG.add(
     "doc_fingerprint",
     oracle=f"""
