@@ -337,6 +337,18 @@ class EventStore:
             for x in results
         ]
 
+    def append_df(self, requests: DataFrame) -> DataFrame:
+        """Batch append from a DataFrame of request rows (the connector
+        path — sources/connectors.py): columns ``stream_id, event_name``
+        plus optional payload/metadata/expected_version/timestamp_ms/
+        partition_key/event_id. Enrichment and validation identical to
+        the row API; returns the per-request result DataFrame."""
+        from sierradb_spark.streaming.ingest import enrich_requests
+
+        enriched = enrich_requests(requests, self.config.num_partitions)
+        cols = [f.name for f in APPEND_REQUEST_SCHEMA.fields]
+        return self._apply_batch(enriched.select(*cols))
+
     def _apply_batch(self, batch: DataFrame) -> DataFrame:
         """Validate + assign + commit one batch. Returns per-request results.
 

@@ -300,6 +300,116 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "tumbling_window_value",
+    oracle="""
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY time_bucket(INTERVAL '6 hours', ts), event_type
+    """,
+    doc="Event-time tumbling window aggregation (6h buckets) — the batch form of "
+    "the streaming windowed agg (F.window is the same operator under a watermark "
+    "in readStream). Epoch-aligned in both engines.",
+)
+def tumbling_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@REG.add(
+    "value_percentiles_by_type",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` == DuckDB "
+    "`quantile_cont`, both linear interpolation). At 100 TB swap for "
+    "approx_percentile (t-digest): single-pass, mergeable, no full sort.",
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@REG.add(
+    "string_funcs_suppliers",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               substr(p_type, 1, 5) AS type_prefix,
+               concat(p_brand, '/', CAST(p_size AS VARCHAR)) AS brand_size,
+               CAST(contains(p_type, 'BRUSHED') AS INT) AS is_brushed,
+               replace(p_name, ' ', '_') AS name_slug
+        FROM part
+        WHERE p_name LIKE 'p%'
+    """,
+    doc="Scalar string-function surface (upper/length/substr/concat/contains/"
+    "replace/LIKE) — all whole-stage-codegen built-ins; the LIKE prefix is a "
+    "pushed-down StringStartsWith filter at the scan.",
+)
+def string_funcs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("p%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("/", "p_brand", F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.col("p_type").contains("BRUSHED").cast("int").alias("is_brushed"),
+        F.regexp_replace("p_name", " ", "_").alias("name_slug"),
+    )
+
+
+@REG.add(
+    "orders_above_customer_avg",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+    """,
+    doc="Correlated scalar subquery (orders 50% above their customer's average). "
+    "Decorrelated the scalable way: one partial-aggregated pass builds per-customer "
+    "averages, then an equi-join — never a per-row subquery execution.",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    avgs = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        o.join(avgs, "o_custkey")
+        .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+        )
+    )
+
+
+@REG.add(
     "monthly_event_rollup",
     oracle="""
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,

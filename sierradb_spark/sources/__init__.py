@@ -1,0 +1,15 @@
+from sierradb_spark.sources.connectors import (
+    events_from_csv,
+    events_from_json,
+    export_events,
+    rate_request_stream,
+    request_stream_from_files,
+)
+
+__all__ = [
+    "events_from_json",
+    "events_from_csv",
+    "export_events",
+    "request_stream_from_files",
+    "rate_request_stream",
+]

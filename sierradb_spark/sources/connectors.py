@@ -1,0 +1,127 @@
+"""Source/sink connectors for the event store.
+
+The reference's only ingress is RESP3 appends and its only storage is
+its own segment format (SURVEY §2.7: no file-format connectors). A
+Spark-native engine gets format breadth from the platform; this module
+pins down the *contract*: anything that can produce rows with
+``stream_id, event_name [, payload, metadata, expected_version,
+timestamp_ms, partition_key, event_id]`` can feed the append path
+(batch `EventStore.append_df` or streaming `StreamIngest`).
+
+Scale notes: file sources list directories on the driver — at 100 TB
+ingest should come from a queue source (Kafka) where offsets are the
+source of truth; the request contract is identical, so swapping
+`request_stream_from_files` for `spark.readStream.format("kafka")` +
+a `from_json` projection changes one line of glue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Minimal request columns a source must provide; the rest are defaulted
+# by enrichment (streaming/ingest.py, mirroring request/eappend.rs:189-217).
+REQUEST_CORE_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("event_name", T.StringType(), False),
+        T.StructField("payload", T.StringType(), True),
+        T.StructField("metadata", T.StringType(), True),
+        T.StructField("expected_version", T.StringType(), True),
+        T.StructField("timestamp_ms", T.LongType(), True),
+    ]
+)
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    """Fill optional request columns and coerce payload/metadata to binary."""
+    cols = set(df.columns)
+    if "expected_version" in cols:
+        df = df.withColumn(
+            "expected_version", F.coalesce(F.col("expected_version"), F.lit("any"))
+        )
+    else:
+        df = df.withColumn("expected_version", F.lit("any"))
+    for c in ("payload", "metadata"):
+        if c in cols:
+            df = df.withColumn(c, F.col(c).cast("binary"))
+        else:
+            df = df.withColumn(c, F.lit(b""))
+    return df
+
+
+def events_from_json(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read newline-delimited JSON append requests."""
+    return _normalize(spark.read.schema(REQUEST_CORE_SCHEMA).json(path))
+
+
+def events_from_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read CSV append requests (header row required)."""
+    return _normalize(
+        spark.read.schema(REQUEST_CORE_SCHEMA).option("header", True).csv(path)
+    )
+
+
+def request_stream_from_files(
+    spark: SparkSession, path: str, fmt: str = "json", max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming source of append requests from a landing directory.
+
+    json/csv/parquet; each discovered file becomes part of a micro-batch
+    (one group commit). Kafka replaces this 1:1 at scale.
+    """
+    reader = spark.readStream.schema(REQUEST_CORE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt == "json":
+        return _normalize(reader.json(path))
+    if fmt == "csv":
+        return _normalize(reader.option("header", True).csv(path))
+    if fmt == "parquet":
+        return _normalize(reader.parquet(path))
+    raise ValueError(f"unsupported stream format {fmt}")
+
+
+def rate_request_stream(
+    spark: SparkSession, rows_per_second: int = 1000, n_streams: int = 100
+) -> DataFrame:
+    """Synthetic append-request stream (rate source) for ingest load tests.
+
+    Mirrors the reference's benchmark harness role
+    (crates/sierradb/benches/random_sequential.rs): deterministic
+    stream routing, tiny payloads, tunable rate.
+    """
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(
+        F.concat(F.lit("stream-"), (F.col("value") % n_streams).cast("string")).alias(
+            "stream_id"
+        ),
+        F.lit("BenchEvent").alias("event_name"),
+        F.encode(F.col("value").cast("string"), "utf-8").alias("payload"),
+        F.lit(b"").alias("metadata"),
+        F.lit("any").alias("expected_version"),
+        (F.col("timestamp").cast("double") * 1000).cast("long").alias("timestamp_ms"),
+    )
+
+
+def export_events(events: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Sink: export an events DataFrame (payload/metadata hex-encoded for
+    text formats so the files round-trip losslessly)."""
+    if fmt == "parquet":
+        events.write.mode("overwrite").parquet(path)
+        return
+    text = events.withColumn("payload", F.hex("payload")).withColumn(
+        "metadata", F.hex("metadata")
+    )
+    if fmt == "json":
+        text.write.mode("overwrite").json(path)
+    elif fmt == "csv":
+        text.drop("timestamp").write.mode("overwrite").option("header", True).csv(path)
+    else:
+        raise ValueError(f"unsupported export format {fmt}")

@@ -1,0 +1,77 @@
+"""Connector tests: batch/stream sources feeding the append path, sinks
+round-tripping the events table."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sierradb_spark.config import EngineConfig
+from sierradb_spark.eventstore import AppendRequest, EventStore
+from sierradb_spark.sources import (
+    events_from_csv,
+    events_from_json,
+    export_events,
+    request_stream_from_files,
+)
+from sierradb_spark.streaming import StreamIngest
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return EventStore(spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8))
+
+
+def test_json_source_append_df(store, spark, tmp_path):
+    src = tmp_path / "in.jsonl"
+    reqs = [
+        {"stream_id": f"j-{i % 4}", "event_name": "FromJson", "payload": f"p{i}"}
+        for i in range(40)
+    ]
+    src.write_text("\n".join(json.dumps(r) for r in reqs))
+    df = events_from_json(spark, str(src))
+    res = store.append_df(df)
+    assert res.where(~F.col("accepted")).count() == 0
+    assert store.events().count() == 40
+    assert store.stream_version("j-0") == 9
+
+
+def test_csv_source(store, spark, tmp_path):
+    src = tmp_path / "in.csv"
+    lines = ["stream_id,event_name,payload,metadata,expected_version,timestamp_ms"]
+    lines += [f"c-{i % 3},FromCsv,x,,any,{1700000000000 + i}" for i in range(30)]
+    src.write_text("\n".join(lines))
+    res = store.append_df(events_from_csv(spark, str(src)))
+    assert res.where(~F.col("accepted")).count() == 0
+    ev = store.events()
+    assert ev.count() == 30
+    # timestamp_ms carried through the ms→ns scaling
+    assert ev.agg(F.min("timestamp_ns")).collect()[0][0] == 1700000000000 * 1_000_000
+
+
+def test_streaming_json_source(store, spark, tmp_path):
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.jsonl").write_text(
+        "\n".join(
+            json.dumps({"stream_id": "s-1", "event_name": f"E{i}"}) for i in range(10)
+        )
+    )
+    stream = request_stream_from_files(spark, str(land), fmt="json")
+    q = StreamIngest(store).start(
+        stream, checkpoint=str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(300)
+    assert store.stream_version("s-1") == 9
+
+
+def test_export_roundtrip(store, spark, tmp_path):
+    store.append([AppendRequest(f"e-{i}", "E", payload=b"\x00\xffbin") for i in range(10)])
+    out = str(tmp_path / "export")
+    export_events(store.events(), out, fmt="json")
+    back = spark.read.json(out)
+    assert back.count() == 10
+    row = back.where(F.col("stream_id") == "e-0").collect()[0]
+    assert bytes.fromhex(row["payload"]) == b"\x00\xffbin"
