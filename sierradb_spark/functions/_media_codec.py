@@ -1,9 +1,14 @@
 """Worker-side media 'codec' — import-light on purpose.
 
 This module is what Spark Python workers unpickle for the multimodal
-decode stage; it must not import anything from the operator registry
-(that would re-enter package __init__ on the worker and hit a circular
-import). Only stdlib + pandas here.
+decode/feature/resize/frame-sample stages; it must not import anything
+from the operator registry (that would re-enter package __init__ on the
+worker and hit a circular import). Only stdlib + pandas/numpy here.
+
+Every transform is a deterministic stand-in (the container ships no
+image/audio libraries); the Spark-side plumbing — schemas, Arrow batch
+iteration, per-stage column pruning — is the real article. Swapping a
+fake for PIL/ffmpeg changes only the body of the per-blob function.
 """
 
 from __future__ import annotations
@@ -11,12 +16,25 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes long, sha8 string, fake_width int, fake_height int, "
     "fake_channels int"
 )
+
+FEATURES_SCHEMA = (
+    "doc_id long, mean_byte double, std_byte double, entropy double, "
+    "n_distinct_bytes int"
+)
+
+RESIZED_SCHEMA = (
+    "doc_id long, src_width int, src_height int, dst_width int, dst_height int, "
+    "scale double"
+)
+
+FRAMES_SCHEMA = "doc_id long, frame_no int, frame_offset long, frame_sha8 string"
 
 
 def fake_decode(blob: bytes) -> tuple[int, int, int]:
@@ -45,3 +63,80 @@ def decode_media_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "fake_channels": [m[2] for m in meta],
             }
         )
+
+
+def feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Byte-level feature extraction (the embed-ready feature vector
+    stage): mean/std/entropy/distinct over the raw bytes, vectorized
+    with numpy per Arrow batch — the shape a real CNN/CLIP feature
+    extractor would have (blob → fixed-width numeric features)."""
+    for pdf in it:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            a = np.frombuffer(bytes(blob), dtype=np.uint8)
+            if len(a) == 0:
+                rows.append((doc_id, 0.0, 0.0, 0.0, 0))
+                continue
+            counts = np.bincount(a, minlength=256)
+            p = counts[counts > 0] / len(a)
+            rows.append(
+                (
+                    doc_id,
+                    round(float(a.mean()), 6),
+                    round(float(a.std()), 6),
+                    round(float(-(p * np.log2(p)).sum()), 6),
+                    int((counts > 0).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "mean_byte", "std_byte", "entropy", "n_distinct_bytes"]
+        )
+
+
+def resize_batches(target: int):
+    """'Resize' stage factory: longest side → ``target`` px, aspect kept.
+    Production: PIL thumbnail; the geometry math is the real part."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                w, h, _c = fake_decode(bytes(blob))
+                scale = target / max(w, h)
+                rows.append(
+                    (doc_id, w, h, round(w * scale) or 1, round(h * scale) or 1,
+                     round(scale, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "src_width", "src_height", "dst_width",
+                         "dst_height", "scale"],
+            )
+
+    return run
+
+
+def frame_sample_batches(n_frames: int, frame_size: int):
+    """'Video' frame sampling: treat the blob as a frame container and
+    take n evenly-spaced fixed-size frames (ffmpeg -vf fps=... in
+    production). Emits one row per sampled frame — a 1→N mapInPandas,
+    the fan-out shape that matters for partition sizing downstream."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                n_avail = max(len(b) // frame_size, 1)
+                take = min(n_frames, n_avail)
+                for k in range(take):
+                    off = (k * n_avail // take) * frame_size
+                    frame = b[off : off + frame_size]
+                    rows.append(
+                        (doc_id, k, off, hashlib.sha256(frame).hexdigest()[:8])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_no", "frame_offset", "frame_sha8"]
+            )
+
+    return run

@@ -21,7 +21,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.functions._media_codec import DECODED_SCHEMA, decode_media_batches
+from sierradb_spark.functions._media_codec import (
+    DECODED_SCHEMA,
+    FEATURES_SCHEMA,
+    FRAMES_SCHEMA,
+    RESIZED_SCHEMA,
+    decode_media_batches,
+    feature_batches,
+    frame_sample_batches,
+    resize_batches,
+)
 from sierradb_spark.operators.base import Registry, load
 
 REG = Registry()
@@ -53,4 +62,68 @@ def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
     return media.select("doc_id", "media").mapInPandas(
         decode_media_batches, schema=DECODED_SCHEMA
+    )
+
+
+@REG.add(
+    "multimodal_metadata_only",
+    oracle="""
+        SELECT source AS origin,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+               CAST(max(n_chars) AS BIGINT) AS max_bytes
+        FROM documents
+    GROUP BY source
+    """,
+    doc="Metadata-only media query: aggregates over the typed metadata struct "
+    "WITHOUT touching the binary column — column pruning keeps the blob out of "
+    "the scan entirely (the 100 TB win: metadata queries cost MB, not TB).",
+)
+def multimodal_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return media.groupBy(F.col("media_meta.origin").alias("origin")).agg(
+        F.count("*").alias("n_media"),
+        F.sum("media_meta.content_length").alias("total_bytes"),
+        F.max("media_meta.content_length").alias("max_bytes"),
+    )
+
+
+@REG.add(
+    "multimodal_byte_features",
+    oracle=None,  # numpy feature extraction — not SQL-expressible
+    doc="Feature-extraction stage: blob → numeric feature vector (mean/std/"
+    "entropy/distinct bytes) via numpy per Arrow batch — the CLIP/CNN-shaped "
+    "stage. Rows-only check.",
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "media").mapInPandas(
+        feature_batches, schema=FEATURES_SCHEMA
+    )
+
+
+@REG.add(
+    "multimodal_resize_plan",
+    oracle=None,
+    doc="Resize stage: decode dims → target-256 geometry (aspect preserved). "
+    "Rows-only check.",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "media").mapInPandas(
+        resize_batches(256), schema=RESIZED_SCHEMA
+    )
+
+
+@REG.add(
+    "multimodal_frame_sample",
+    oracle=None,
+    doc="Frame-sampling stage: 1→N fan-out (4 evenly spaced 64-byte 'frames' "
+    "per blob) — the ffmpeg-shaped stage whose output cardinality drives "
+    "downstream repartitioning. Rows-only check.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "media").mapInPandas(
+        frame_sample_batches(n_frames=4, frame_size=64), schema=FRAMES_SCHEMA
     )
