@@ -106,7 +106,10 @@ def gap_ok_col(expected: Column, current: Column) -> Column:
         F.when(expected == ANY, F.lit(True))
         .when(expected == EXISTS, current.isNotNull())
         .when(expected == EMPTY, current.isNull())
-        .otherwise(exact.isNotNull() & (exact == current))
+        # current.isNotNull() first: FALSE AND NULL = FALSE, so the
+        # result is a real boolean even when the stream doesn't exist
+        # (exact == NULL alone would propagate NULL).
+        .otherwise(exact.isNotNull() & current.isNotNull() & (exact == current))
     )
 
 
