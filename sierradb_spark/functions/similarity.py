@@ -168,6 +168,75 @@ def label_centroid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @REG.add(
+    "ivf_probe1_topk",
+    oracle=f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        comp AS (
+            SELECT e.label, t.i, avg(e.embedding[t.i]::DOUBLE) AS c
+            FROM embeddings e, range(1, 65) t(i)
+            GROUP BY e.label, t.i
+        ),
+        cent AS (
+            SELECT label, list(c ORDER BY i) AS cv FROM comp GROUP BY label
+        ),
+        best AS (
+            SELECT cent.label
+            FROM cent, q
+            ORDER BY list_dot_product(cent.cv, q.qv)
+                     / nullif(sqrt(list_dot_product(cent.cv, cent.cv))
+                              * sqrt(list_dot_product(q.qv, q.qv)), 0) DESC,
+                     cent.label ASC
+            LIMIT 1
+        )
+        SELECT e.vec_id, e.label,
+               round({_sql_cos('e.embedding', 'q.qv')}, 4) AS cosine
+        FROM embeddings e, q, best
+        WHERE e.label = best.label AND e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    doc="IVF-style ANN, nprobe=1: build per-cell centroids (cells = labels here; "
+    "k-means assignments in production), route the query to its nearest centroid, "
+    "exact-rerank only that cell — the scan touches ~1/|cells| of the data. At "
+    "100 TB the cell id is a partition column, so probing is partition pruning; "
+    "recall is tuned by probing more cells. Centroid build is one partial-agg "
+    "pass (shuffle carries |cells|x|dims| rows, never vectors).",
+)
+def ivf_probe1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    # centroid build: posexplode → per-(label, dim) partial-agg → reassemble
+    comp = (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("c"))
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    best = (
+        cent.crossJoin(F.broadcast(q))
+        .select("label", cosine_col(F.col("cv"), F.col("qv")).alias("ccos"))
+        .orderBy(F.col("ccos").desc(), F.col("label").asc())
+        .limit(1)
+        .select("label")
+    )
+    cos = F.round(cosine_col(_dvec("embedding"), F.col("qv")), 4).alias("cosine")
+    return (
+        e.join(F.broadcast(best), "label")  # probe: only the routed cell is scanned
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@REG.add(
     "lsh_bucket_candidates",
     oracle=f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

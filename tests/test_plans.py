@@ -1,0 +1,97 @@
+"""Plan-shape regression tests: the 100 TB design properties, asserted.
+
+A query that silently loses a pushdown, broadcasts nothing, or plans a
+cartesian product would still pass value-correctness tests at sf0.01 —
+these tests fail it immediately instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sierradb_spark.operators import REGISTRY
+from sierradb_spark.plans import assert_plan
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return REGISTRY.queries[name].spark(spark, sf_dir)
+
+    return run
+
+
+def test_q1_single_shuffle_pruned_scan(q):
+    # scan only the 7 needed of 17 lineitem columns; one exchange; partial agg
+    f = assert_plan(
+        q("q1_pricing_summary"),
+        max_shuffles=1,
+        require_pushed_filter="l_shipdate",
+        max_scan_columns=7,
+    )
+    assert f["partial_aggs"] > 0
+
+
+def test_q3_broadcasts_dimensions_topk(q):
+    assert_plan(
+        q("q3_top_revenue_orders"),
+        require_broadcast_joins=2,
+        require_pushed_filter="c_mktsegment",
+        require_top_k=True,
+        forbid_nested_loop=True,
+    )
+
+
+def test_q5_all_dimensions_broadcast(q):
+    # 5 of the 6-table join tree broadcast; only lineitem⋈orders may shuffle
+    assert_plan(
+        q("q5_nation_revenue"),
+        require_broadcast_joins=5,
+        require_pushed_filter="r_name",
+        forbid_nested_loop=True,
+    )
+
+
+def test_point_lookup_pushes_key(q):
+    assert_plan(
+        q("eget_point_lookup"),
+        max_shuffles=0,
+        require_pushed_filter="event_id",
+    )
+
+
+def test_stream_scan_pushes_both_bounds(q):
+    f = assert_plan(
+        q("escan_stream_range"),
+        max_shuffles=0,
+        require_pushed_filter="user_id",
+    )
+    pushed = ";".join(f["pushed_filters"])
+    assert "GreaterThanOrEqual(event_id" in pushed and "LessThanOrEqual(event_id" in pushed
+
+
+def test_reverse_limit_is_topk_not_sort(q):
+    assert_plan(q("escan_reverse_limit"), require_top_k=True, max_shuffles=0)
+
+
+def test_watermark_gate_broadcasts(q):
+    assert_plan(q("watermark_gated_scan"), require_broadcast_joins=1)
+
+
+def test_topk_cosine_no_cartesian_explosion(q):
+    # the 1-row query vector joins as a broadcast nested loop (fine);
+    # a CartesianProduct would mean the broadcast was lost
+    f = assert_plan(q("similarity_topk_cosine"), require_top_k=True)
+    assert f["nested_loop_joins"] <= 1
+
+
+def test_lsh_banding_is_equi_join(q):
+    # band matching must plan as a hash join on the band key — a
+    # nested-loop fallback here is the O(N^2) failure mode
+    assert_plan(
+        q("near_dup_candidate_pairs"),
+        forbid_nested_loop=False,
+    )
+    f = assert_plan(q("near_dup_candidate_pairs"))
+    assert f["broadcast_hash_joins"] + f["sort_merge_joins"] >= 1
+    assert f["nested_loop_joins"] == 0
