@@ -532,6 +532,70 @@ class EventStore:
             df = df.limit(count)
         return df
 
+    def scan_batches(
+        self,
+        stream_id: str,
+        start: RangeValue = "-",
+        end: RangeValue = "+",
+        batch_size: int | None = None,
+        direction: Literal["forward", "reverse"] = "forward",
+    ) -> Iterator[list]:
+        """Batched iteration (R7): yield lists of ≤ batch_size events,
+        paginating by version cursor — the reference's ``next_batch(50)``
+        (iter.rs:491-568, DEFAULT_BATCH_SIZE sierradb-cluster/src/lib.rs:43).
+
+        Each page is an independent pruned+limited Spark job, so the
+        driver holds one page of rows at a time — O(batch) memory for an
+        arbitrarily long stream.
+        """
+        size = batch_size or self.config.default_batch_size
+        lo = None if start == "-" else int(start)
+        hi = None if end == "+" else int(end)
+        while True:
+            rows = self.scan(
+                stream_id,
+                "-" if lo is None else lo,
+                "+" if hi is None else hi,
+                count=size,
+                direction=direction,
+            ).collect()
+            if not rows:
+                return
+            yield rows
+            if len(rows) < size:
+                return
+            if direction == "forward":
+                lo = rows[-1]["stream_version"] + 1
+            else:
+                hi = rows[-1]["stream_version"] - 1
+
+    def compact(self, target_files_per_partition: int = 1) -> None:
+        """Segment-rollover/OPTIMIZE analog (W8; writer_thread_pool.rs:697-790).
+
+        Streaming ingest leaves one small file per partition per
+        micro-batch; compaction rewrites each hive partition into
+        ``target_files_per_partition`` files sorted by (stream_id,
+        stream_version), restoring the row-group-skipping layout. On
+        Delta this is OPTIMIZE + ZORDER; on plain Parquet we rewrite to
+        a staging dir then swap atomically via rename.
+        """
+        import shutil
+
+        ev = self.events()
+        staged = self.events_path + ".compacting"
+        (
+            ev.repartition(target_files_per_partition * self.config.num_partitions,
+                           "partition_id")
+            .sortWithinPartitions("stream_id", "stream_version")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(staged)
+        )
+        old = self.events_path + ".old"
+        os.rename(self.events_path, old)
+        os.rename(staged, self.events_path)
+        shutil.rmtree(old)
+
     def stream_version(self, stream_id: str) -> Optional[int]:
         """ESVER: latest version of a stream, None = empty (request/esver.rs)."""
         pkey = str(ids.partition_key_for_stream(stream_id))

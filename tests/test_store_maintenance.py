@@ -1,0 +1,43 @@
+"""Batched iteration (R7) and compaction (W8 analog) tests."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from sierradb_spark.config import EngineConfig
+from sierradb_spark.eventstore import AppendRequest, EventStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return EventStore(spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8))
+
+
+def test_scan_batches_pagination(store):
+    store.append([AppendRequest("b1", f"E{i}") for i in range(23)])
+    pages = list(store.scan_batches("b1", batch_size=5))
+    assert [len(p) for p in pages] == [5, 5, 5, 5, 3]
+    flat = [r["stream_version"] for p in pages for r in p]
+    assert flat == list(range(23))
+    # reverse + range
+    pages = list(store.scan_batches("b1", 4, 14, batch_size=4, direction="reverse"))
+    flat = [r["stream_version"] for p in pages for r in p]
+    assert flat == list(range(14, 3, -1))
+
+
+def test_compact_preserves_contents_and_shrinks_files(store):
+    # 6 appends → ≥6 files per touched partition
+    for b in range(6):
+        store.append([AppendRequest(f"c-{i}", f"E{b}") for i in range(4)])
+    before = store.events().orderBy("partition_id", "partition_sequence").collect()
+    n_files_before = len(glob.glob(store.events_path + "/**/*.parquet", recursive=True))
+    store.compact()
+    after = store.events().orderBy("partition_id", "partition_sequence").collect()
+    n_files_after = len(glob.glob(store.events_path + "/**/*.parquet", recursive=True))
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    assert n_files_after < n_files_before
+    # reads still work post-swap
+    assert store.stream_version("c-0") == 5
+    assert [r["stream_version"] for r in store.scan("c-1").collect()] == list(range(6))
