@@ -39,6 +39,38 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
+    # Ingest throughput: 20k-event append batch (validate + assign gapless
+    # sequences + commit) into a scratch store — the reference's headline
+    # write-path concern (group commit, writer_thread_pool.rs:687-699).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from sierradb_spark.eventstore import EventStore
+
+    scratch = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        store = EventStore(spark, scratch)
+        n_ev = 20_000
+        reqs = spark.range(n_ev).select(
+            F.concat(F.lit("bench-"), (F.col("id") % 200).cast("string")).alias(
+                "stream_id"
+            ),
+            F.lit("BenchEvent").alias("event_name"),
+            F.encode(F.col("id").cast("string"), "utf-8").alias("payload"),
+        )
+        t0 = time.perf_counter()
+        res = store.append_df(reqs)
+        n_ok = res.where("accepted").count()
+        timings["ingest_20k_events"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# ingest_20k_events: {timings['ingest_20k_events']}s accepted={n_ok} "
+            f"({int(n_ok / timings['ingest_20k_events'])} ev/s)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

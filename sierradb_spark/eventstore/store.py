@@ -416,10 +416,23 @@ class EventStore:
             .partitionBy("partition_id")
             .parquet(self.events_path)
         )
+        # Watermark advance is O(batch): merge the batch's per-partition
+        # maxima over the previous watermark table (both tiny) — never a
+        # rescan of the events table. Gap-freeness holds because sequence
+        # assignment itself is gapless and this runs after the events land.
+        batch_wm = accepted.groupBy("partition_id").agg(
+            F.max("partition_sequence").alias("batch_max")
+        )
         new_wm = (
-            self.events()
-            .groupBy("partition_id")
-            .agg(F.max("partition_sequence").alias("confirmed_sequence"))
+            self.watermarks()
+            .join(batch_wm, "partition_id", "full_outer")
+            .select(
+                "partition_id",
+                F.greatest(
+                    F.coalesce(F.col("confirmed_sequence"), F.lit(-1)),
+                    F.coalesce(F.col("batch_max"), F.lit(-1)),
+                ).alias("confirmed_sequence"),
+            )
         )
         tmp = self.watermarks_path + ".tmp"
         new_wm.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -131,3 +131,103 @@ def uuid_hash_col(uuid_str_col: Column | str) -> Column:
 def partition_id_col(uuid_str_col: Column | str, num_partitions: int) -> Column:
     """partition_id from a uuid string column, for EGET pruning."""
     return F.pmod(uuid_hash_col(uuid_str_col), F.lit(num_partitions)).cast("int")
+
+
+def _dashed(hex32: Column) -> Column:
+    """Canonical 8-4-4-4-12 form from 32 hex chars."""
+    return F.concat_ws(
+        "-",
+        F.substring(hex32, 1, 8),
+        F.substring(hex32, 9, 4),
+        F.substring(hex32, 13, 4),
+        F.substring(hex32, 17, 4),
+        F.substring(hex32, 21, 12),
+    )
+
+
+def _hex(value: Column, width: int) -> Column:
+    """Non-negative long → fixed-width lowercase hex."""
+    return F.lpad(F.lower(F.conv(value.cast("string"), 10, 16)), width, "0")
+
+
+def uuid5_col(stream_id: Column | str) -> Column:
+    """JVM-side uuid5(NAMESPACE_PARTITION_KEY, stream_id) — the default
+    partition key (eappend.rs:193-195) with zero Python in the loop.
+
+    uuid5 = SHA1(namespace_bytes || name_utf8)[0:16] with the version
+    nibble forced to 5 (hex char 13) and the variant byte's top two bits
+    forced to 0b10 ((b8 & 0x3f) | 0x80, hex chars 17-18). sha1/conv/
+    substring are all codegen built-ins.
+    """
+    c = F.col(stream_id) if isinstance(stream_id, str) else stream_id
+    digest = F.sha1(
+        F.concat(F.lit(NAMESPACE_PARTITION_KEY.bytes), F.encode(c, "utf-8"))
+    )
+    b8 = F.conv(F.substring(digest, 17, 2), 16, 10).cast("int")
+    variant = _hex((b8.bitwiseAND(F.lit(0x3F)).bitwiseOR(F.lit(0x80))).cast("long"), 2)
+    hex32 = F.concat(
+        F.substring(digest, 1, 12),
+        F.lit("5"),
+        F.substring(digest, 14, 3),
+        variant,
+        F.substring(digest, 19, 14),
+    )
+    return _dashed(hex32)
+
+
+def event_id_col(
+    partition_hash: Column, timestamp_ms: Column, seed: int | None = None
+) -> Column:
+    """JVM-side v7-with-embedded-hash event id (id.rs:21-47).
+
+    Layout: [ts_ms:48][rand:12][ver=7:4][var=10:2][hash:16][rand:46].
+    Randomness from F.rand() (rerolled on task retry — same caveat as
+    any random id generator). The low 64 bits are assembled as two
+    32-bit halves so conv() never sees a negative long.
+    """
+    rand12 = F.floor((F.rand(seed) if seed is not None else F.rand()) * (1 << 12)).cast("long")
+    rand46 = (
+        F.floor((F.rand(seed + 1) if seed is not None else F.rand()) * (1 << 23)).cast("long")
+        * (1 << 23)
+        + F.floor((F.rand(seed + 2) if seed is not None else F.rand()) * (1 << 23)).cast("long")
+    )
+    ts48 = _hex(timestamp_ms.cast("long").bitwiseAND(F.lit((1 << 48) - 1)), 12)
+    # next 16 bits: rand12 then version nibble (always 7)
+    mid16 = F.concat(_hex(rand12, 3), F.lit("7"))
+    h = partition_hash.cast("long")
+    high32 = (
+        F.lit(0b10 << 30).cast("long")
+        + F.shiftleft(h, 14)
+        + F.shiftright(rand46, 32)
+    )
+    low32 = rand46.bitwiseAND(F.lit((1 << 32) - 1))
+    return _dashed(F.concat(ts48, mid16, _hex(high32, 8), _hex(low32, 8)))
+
+
+def txn_id_col(implicit_commit: bool, seed: int | None = None) -> Column:
+    """JVM-side v4 transaction id with the implicit-commit flag as the
+    MSB of byte 8 (id.rs:77-100): flagged ids draw the variant char from
+    [89ab] (MSB set), unflagged from [0-7]."""
+
+    def r(off: int) -> Column:
+        return F.rand(seed + off) if seed is not None else F.rand()
+
+    def rhex(off: int, nbits: int, width: int) -> Column:
+        return _hex(F.floor(r(off) * (1 << nbits)).cast("long"), width)
+
+    variant = (
+        F.substring(F.lit("89ab"), (F.floor(r(3) * 4) + 1).cast("int"), 1)
+        if implicit_commit
+        else F.substring(F.lit("01234567"), (F.floor(r(3) * 8) + 1).cast("int"), 1)
+    )
+    hex32 = F.concat(
+        rhex(0, 32, 8),
+        rhex(1, 16, 4),
+        F.lit("4"),
+        rhex(2, 12, 3),
+        variant,
+        rhex(4, 12, 3),
+        rhex(5, 24, 6),
+        rhex(6, 24, 6),
+    )
+    return _dashed(hex32)

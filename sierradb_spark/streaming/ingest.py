@@ -28,9 +28,7 @@ Missing columns are filled with defaults during enrichment.
 from __future__ import annotations
 
 import time
-import uuid as _uuid
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -45,40 +43,17 @@ def enrich_requests(df: DataFrame, num_partitions: int) -> DataFrame:
     Mirrors request enrichment in the reference handler
     (``request/eappend.rs:189-217``): default partition_key =
     uuid5(NAMESPACE, stream_id), partition_hash from the key, event_id =
-    v7-with-embedded-hash, ms→ns timestamp scaling. Runs as Arrow-batched
-    pandas UDFs (the UUID math is not expressible in Column algebra).
+    v7-with-embedded-hash, ms→ns timestamp scaling.
+
+    Entirely JVM-side Column algebra (ids.uuid5_col / event_id_col /
+    txn_id_col — sha1 + conv + substring): the first implementation used
+    chained pandas UDFs and each UDF-on-UDF dependency became its own
+    ArrowEvalPython stage — a serial JVM↔Python round-trip per batch that
+    dominated ingest wall time. Keeping enrichment in whole-stage codegen
+    removed Python from the ingest hot path entirely (the only remaining
+    Python is the per-partition sequence assignment, one Arrow exchange
+    per micro-batch by design).
     """
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def default_pkey(stream_id: pd.Series) -> pd.Series:
-        return stream_id.map(lambda s: str(ids.partition_key_for_stream(s)))
-
-    @pandas_udf("int")
-    def pid_of(pkey: pd.Series) -> pd.Series:
-        return pkey.map(
-            lambda k: ids.partition_id_for_hash(
-                ids.uuid_to_partition_hash(k), num_partitions
-            )
-        )
-
-    @pandas_udf("string")
-    def gen_event_id(pkey: pd.Series, ts_ns: pd.Series) -> pd.Series:
-        import secrets
-
-        def gen(args):
-            k, ns = args
-            return str(
-                ids.uuid_v7_with_partition_hash(
-                    ids.uuid_to_partition_hash(k),
-                    timestamp_ms=int(ns) // 1_000_000,
-                    rand12=secrets.randbits(12),
-                    rand46=secrets.randbits(46),
-                )
-            )
-
-        return pd.Series(map(gen, zip(pkey, ts_ns)))
-
     cols = dict.fromkeys(df.columns)
     if "expected_version" not in cols:
         df = df.withColumn("expected_version", F.lit("any"))
@@ -97,33 +72,25 @@ def enrich_requests(df: DataFrame, num_partitions: int) -> DataFrame:
     if "partition_key" in cols:
         df = df.withColumn(
             "partition_key",
-            F.coalesce(F.col("partition_key"), default_pkey(F.col("stream_id"))),
+            F.coalesce(F.col("partition_key"), ids.uuid5_col("stream_id")),
         )
     else:
-        df = df.withColumn("partition_key", default_pkey(F.col("stream_id")))
-    df = df.withColumn("partition_id", pid_of(F.col("partition_key")))
+        df = df.withColumn("partition_key", ids.uuid5_col("stream_id"))
+    phash = ids.uuid_hash_col("partition_key")
+    df = df.withColumn(
+        "partition_id", F.pmod(phash, F.lit(num_partitions)).cast("int")
+    )
+    gen_eid = ids.event_id_col(
+        phash, (F.col("timestamp_ns") / 1_000_000).cast("long")
+    )
     if "event_id" in cols:
-        df = df.withColumn(
-            "event_id",
-            F.coalesce(
-                F.col("event_id"),
-                gen_event_id(F.col("partition_key"), F.col("timestamp_ns")),
-            ),
-        )
+        df = df.withColumn("event_id", F.coalesce(F.col("event_id"), gen_eid))
     else:
-        df = df.withColumn(
-            "event_id", gen_event_id(F.col("partition_key"), F.col("timestamp_ns"))
-        )
+        df = df.withColumn("event_id", gen_eid)
     if "txn_id" not in cols:
         # One event per transaction (EAPPEND), implicit-commit flag set
         # (id.rs:77-100): txn id equals a flagged v4 uuid.
-        @pandas_udf("string")
-        def gen_txn(stream_id: pd.Series) -> pd.Series:
-            return pd.Series(
-                str(ids.set_uuid_flag(_uuid.uuid4(), True)) for _ in stream_id
-            )
-
-        df = df.withColumn("txn_id", gen_txn(F.col("stream_id")))
+        df = df.withColumn("txn_id", ids.txn_id_col(implicit_commit=True))
     # Batch-local arrival order: monotonic id is unique and ordered per
     # partition of the source; good enough as the serialization tiebreak
     # (the reference serializes by channel arrival, an equally arbitrary
