@@ -609,9 +609,14 @@ class EventStore:
         os.rename(staged, self.events_path)
         shutil.rmtree(old)
 
-    def stream_version(self, stream_id: str) -> Optional[int]:
-        """ESVER: latest version of a stream, None = empty (request/esver.rs)."""
-        pkey = str(ids.partition_key_for_stream(stream_id))
+    def stream_version(
+        self, stream_id: str, partition_key: str | None = None
+    ) -> Optional[int]:
+        """ESVER: latest version of a stream, None = empty
+        (``ESVER stream [PARTITION_KEY u]``, request/esver.rs): streams
+        appended under an explicit partition key live in that key's
+        partition, so the lookup must accept the same key."""
+        pkey = partition_key or str(ids.partition_key_for_stream(stream_id))
         pid = ids.partition_id_for_hash(
             ids.uuid_to_partition_hash(pkey), self.config.num_partitions
         )
