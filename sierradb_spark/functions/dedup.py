@@ -214,12 +214,12 @@ SIMHASH_BITS = 16  # 4 hex digits of md5; production would use 64
         ),
         bits AS (
             SELECT doc_id,
-                   list_sum(list_transform(range(16),
+                   CAST(list_sum(list_transform(range(16),
                        b -> CASE WHEN len(list_filter(d,
                                 x -> (('0x' || substr(x, 1 + b // 4, 1))::INT >> (b % 4)) & 1 = 1))
                                > len(d) - len(list_filter(d,
                                 x -> (('0x' || substr(x, 1 + b // 4, 1))::INT >> (b % 4)) & 1 = 1))
-                            THEN (2 ** b)::BIGINT ELSE 0 END)) AS simhash
+                            THEN (2 ** b)::BIGINT ELSE 0 END)) AS BIGINT) AS simhash
             FROM digests
         )
         SELECT simhash,

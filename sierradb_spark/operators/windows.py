@@ -94,10 +94,10 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sessions AS (
             SELECT user_id, ts, event_id,
-                   sum(new_session) OVER (
+                   CAST(sum(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_no
+                   ) AS BIGINT) AS session_no
             FROM flagged
         )
         SELECT user_id, session_no,
