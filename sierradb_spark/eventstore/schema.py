@@ -53,6 +53,25 @@ APPEND_REQUEST_SCHEMA = T.StructType(
         T.StructField("timestamp_ns", T.LongType(), False),
         T.StructField("payload", T.BinaryType(), True),
         T.StructField("metadata", T.BinaryType(), True),
+        # Non-null = request failed validation (bad event_id hash, length
+        # limits, malformed expected_version, multi-partition txn...);
+        # carried through assignment so the whole transaction is rejected
+        # without consuming sequences (database.rs:867-897 validates the
+        # txn before any write).
+        T.StructField("reject_reason", T.StringType(), True),
+    ]
+)
+
+# Stream-heads log record: the latest (version, sequence) per stream as
+# of one commit. The Spark-native replacement for the reference's live
+# stream indexes (writer_thread_pool.rs:43-54): the write path reads
+# max() over this log instead of scanning the events table.
+HEADS_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("stream_version", T.LongType(), False),
+        T.StructField("partition_sequence", T.LongType(), False),
     ]
 )
 

@@ -11,49 +11,72 @@ Read path: EGET / ESCAN / EPSCAN / ESVER / EPSEQ as DataFrame queries
 with partition pruning and watermark gating (``sierradb-cluster/src/
 read.rs:460-496,663-697``).
 
+Commit protocol (plain-Parquet stand-in for Delta/Iceberg):
+every append publishes ONE manifest file in ``_commits/`` via atomic
+rename. A manifest names the event/heads data files added by the commit
+and carries the full per-partition confirmed-watermark map. Readers
+resolve the file set and watermarks from the latest manifest chain, so
+
+- a crash mid-commit leaves only unreferenced (invisible) data files —
+  readers can never observe events, heads, or watermarks from a commit
+  that did not complete (the reference's confirmation-watermark
+  visibility contract, docs/Watermarks.md, read.rs:460-496);
+- events, stream heads, and watermarks move ATOMICALLY together, so
+  ESVER can never report a version that ESCAN will not return
+  (GetStreamVersion parity, sierradb-cluster/src/read.rs:1044-1068);
+- there are no swap windows where a concurrent reader sees a missing
+  directory or an empty watermark table.
+Single WRITER per store (the reference's writer-thread discipline);
+readers are unrestricted. On a production cluster, swap this module's
+manifest log for Delta/Iceberg commits — the semantics are identical.
+
 Scale notes (100 TB):
-- The events table is hive-partitioned by ``partition_id`` and sorted
-  within files by (stream_id, stream_version) — stream scans prune to
-  one partition directory and skip row groups via min/max stats; this
-  replaces the reference's per-segment stream/partition indexes
-  (SURVEY §2.4).
-- Validation+assignment shuffles the *batch* (not the table) by
-  partition_id — cost is O(batch), independent of table size, matching
-  the reference's "consistent write performance regardless of database
-  size" design goal (README.md:96-99).
-- Heads (latest version per stream) are recovered per-batch by an
-  aggregation over only the touched partitions; a compacted heads table
-  (maintained in the same commit) caps that cost at scale — see
-  ``refresh_heads``.
-- On a production cluster the table format should be Delta/Iceberg so
-  the append + watermark updates are a single atomic commit; plain
-  Parquet is used here because the test container ships no table
-  format. The commit protocol is isolated in ``_commit``.
+- Events are hive-partitioned by ``partition_id`` and sorted within
+  files by (stream_id, stream_version): stream scans prune to one
+  partition directory and skip row groups via min/max stats, replacing
+  the reference's per-segment stream/partition indexes (SURVEY §2.4).
+- The write path NEVER scans the events table. Current stream versions
+  come from the heads log (O(streams touched since last compaction)),
+  partition sequences from the manifest's watermark map (O(partitions),
+  driver-side). Append cost is O(batch) regardless of table size —
+  the reference's headline design goal (README.md:96-99).
+- The hot bulk-ingest path (no expected-version preconditions) is pure
+  JVM: sequence/version assignment via two window functions over one
+  hash(partition_id) exchange. The Arrow/pandas path is used only when
+  optimistic-concurrency checks require per-partition serial replay.
+- Fixed overhead per commit is ~4 Spark jobs; tiny state (watermarks,
+  manifests) lives driver-side with zero Spark jobs to read it.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import secrets
+import shutil
 import time
 import uuid as _uuid
-from dataclasses import dataclass, field
-from typing import Iterable, Iterator, Literal, Optional, Sequence
+from dataclasses import dataclass
+from typing import Iterator, Literal, Optional, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sierradb_spark import ids
+from sierradb_spark import versions as V
 from sierradb_spark.config import DEFAULT_CONFIG, EngineConfig
 from sierradb_spark.eventstore.schema import (
     APPEND_REQUEST_SCHEMA,
     APPEND_RESULT_SCHEMA,
     EVENT_SCHEMA,
+    HEADS_SCHEMA,
 )
-from sierradb_spark import versions as V
 
 RangeValue = int | Literal["-", "+"]
+
+_EVENT_COLS = [f.name for f in EVENT_SCHEMA.fields]
+_RESULT_COLS = [f.name for f in APPEND_RESULT_SCHEMA.fields]
 
 
 @dataclass
@@ -85,14 +108,26 @@ class VersionConflict(Exception):
     pass
 
 
+@dataclass(frozen=True)
+class _State:
+    """Table state resolved from the manifest chain."""
+
+    commit: int
+    events_files: tuple[str, ...]
+    heads_files: tuple[str, ...]
+    watermarks: dict[int, int]  # partition_id -> confirmed_sequence
+
+
 def _validate_and_assign(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Serialized per-partition validation + assignment.
+    """Serialized per-partition validation + assignment (slow path).
 
     Runs once per ``partition_id`` group (applyInPandas). Input carries
     ``cur_stream_version`` / ``cur_partition_sequence`` columns (heads
-    as of the previous commit; NaN = empty). Transactions are processed
-    in arrival order; a transaction is all-or-nothing (EMAPPEND,
-    request/emappend.rs; database.rs:867-897 validates the whole txn).
+    as of the previous commit; NaN = empty) and ``reject_reason`` from
+    request validation. Transactions are processed in arrival order; a
+    transaction is all-or-nothing (EMAPPEND, request/emappend.rs;
+    database.rs:867-897 validates the whole txn), and a transaction with
+    any invalid request is rejected whole without consuming sequences.
 
     Pure pandas + the versions truth table — no Spark calls here; the
     sequential loop is the *semantic* serialization point the reference
@@ -109,13 +144,46 @@ def _validate_and_assign(pdf: pd.DataFrame) -> pd.DataFrame:
             stream_heads[sid] = None if pd.isna(ver) else int(ver)
 
     out_rows = []
+
+    def _reject(rows, error: str) -> None:
+        for row in rows:
+            out_rows.append(
+                {
+                    "arrival": row.arrival,
+                    "txn_id": row.txn_id,
+                    "accepted": False,
+                    "error": error,
+                    "event_id": row.event_id,
+                    "partition_key": row.partition_key,
+                    "partition_id": row.partition_id,
+                    "partition_sequence": None,
+                    "stream_id": row.stream_id,
+                    "stream_version": None,
+                    "event_name": row.event_name,
+                    "timestamp_ns": row.timestamp_ns,
+                    "payload": row.payload,
+                    "metadata": row.metadata,
+                }
+            )
+
     for _, txn in pdf.groupby("txn_id", sort=False):
+        rows = list(txn.itertuples(index=False))
+        # Request-validation rejection is all-or-nothing per transaction
+        # (database.rs:867-897 validates before any write).
+        reasons = [
+            r.reject_reason
+            for r in rows
+            if isinstance(r.reject_reason, str) and r.reject_reason
+        ]
+        if reasons:
+            _reject(rows, reasons[0])
+            continue
         # Validate the whole transaction against current state, tracking
         # in-txn version increments (a txn may append 2 events to one stream).
         txn_heads = dict(stream_heads)
         error = None
         planned = []
-        for row in txn.itertuples(index=False):
+        for row in rows:
             cur = txn_heads.get(row.stream_id)
             expected = V.parse_expected_version(row.expected_version)
             gap = V.gap_from(expected, cur)
@@ -148,27 +216,8 @@ def _validate_and_assign(pdf: pd.DataFrame) -> pd.DataFrame:
                     }
                 )
         else:
-            for row in txn.itertuples(index=False):
-                out_rows.append(
-                    {
-                        "arrival": row.arrival,
-                        "txn_id": row.txn_id,
-                        "accepted": False,
-                        "error": error,
-                        "event_id": row.event_id,
-                        "partition_key": row.partition_key,
-                        "partition_id": row.partition_id,
-                        "partition_sequence": None,
-                        "stream_id": row.stream_id,
-                        "stream_version": None,
-                        "event_name": row.event_name,
-                        "timestamp_ns": row.timestamp_ns,
-                        "payload": row.payload,
-                        "metadata": row.metadata,
-                    }
-                )
-    cols = [f.name for f in APPEND_RESULT_SCHEMA.fields]
-    return pd.DataFrame(out_rows, columns=cols)
+            _reject(rows, error)
+    return pd.DataFrame(out_rows, columns=_RESULT_COLS)
 
 
 class EventStore:
@@ -184,26 +233,104 @@ class EventStore:
         self.path = path
         self.config = config
         self.events_path = os.path.join(path, "events")
-        self.watermarks_path = os.path.join(path, "watermarks")
-        os.makedirs(self.events_path, exist_ok=True)
+        self.heads_path = os.path.join(path, "heads")
+        self.commits_path = os.path.join(path, "_commits")
+        self.staging_path = os.path.join(path, "_staging")
+        for p in (self.events_path, self.heads_path, self.commits_path):
+            os.makedirs(p, exist_ok=True)
+        # Manifests are immutable once renamed into place: cache parses.
+        self._manifest_cache: dict[str, dict] = {}
 
-    # --- helpers -------------------------------------------------------------
+    # --- manifest log --------------------------------------------------------
 
-    def _events_exist(self) -> bool:
-        for root, _dirs, files in os.walk(self.events_path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+    def _read_state(self) -> _State:
+        """Resolve table state from the manifest chain.
+
+        A ``base`` manifest (written by compact()) supersedes everything
+        before it; later manifests add files incrementally. This is the
+        plain-file analogue of a Delta checkpoint + JSON commits; the
+        listing is O(#commits since compaction).
+        """
+        try:
+            names = sorted(
+                n for n in os.listdir(self.commits_path) if n.endswith(".json")
+            )
+        except FileNotFoundError:
+            names = []
+        if not names:
+            return _State(0, (), (), {})
+        manifests = []
+        for n in names:
+            m = self._manifest_cache.get(n)  # immutable once renamed in
+            if m is None:
+                with open(os.path.join(self.commits_path, n)) as f:
+                    m = json.load(f)
+                self._manifest_cache[n] = m
+            manifests.append(m)
+        start = 0
+        for i in range(len(manifests) - 1, -1, -1):
+            if manifests[i].get("base"):
+                start = i
+                break
+        events: list[str] = []
+        heads: list[str] = []
+        for m in manifests[start:]:
+            events.extend(m.get("events_add", ()))
+            heads.extend(m.get("heads_add", ()))
+        wm = {int(k): int(v) for k, v in manifests[-1]["watermarks"].items()}
+        return _State(manifests[-1]["commit"], tuple(events), tuple(heads), wm)
+
+    def _wm(self) -> dict[int, int]:
+        """Per-partition confirmed watermarks — driver-side dict, zero
+        Spark jobs (the table is tiny by construction: ≤ num_partitions
+        entries, carried inline in each manifest)."""
+        return self._read_state().watermarks
+
+    def _write_manifest(self, manifest: dict) -> None:
+        name = f"{manifest['commit']:020d}.json"
+        tmp = os.path.join(self.commits_path, f".{name}.tmp-{secrets.token_hex(4)}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.commits_path, name))  # the commit point
+
+    # --- table views ---------------------------------------------------------
 
     def events(self) -> DataFrame:
-        """The raw events DataFrame (unfiltered; no watermark gate)."""
-        if not self._events_exist():
+        """The committed events DataFrame.
+
+        File list comes from the manifest chain, so uncommitted staging
+        or orphaned crash leftovers are never visible; hive partition
+        dirs (``partition_id=N``) still drive partition pruning via
+        ``basePath``.
+        """
+        state = self._read_state()
+        if not state.events_files:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
-        df = self.spark.read.schema(EVENT_SCHEMA).parquet(self.events_path)
-        return df
+        paths = [os.path.join(self.events_path, p) for p in state.events_files]
+        return (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .option("basePath", self.events_path)
+            .parquet(*paths)
+        )
+
+    def heads(self) -> DataFrame:
+        """The stream-heads log: latest (stream_version,
+        partition_sequence) per stream as of each commit; read with
+        latest-wins (max) per stream. Replaces the reference's live
+        stream indexes (writer_thread_pool.rs:43-54) so the write path
+        never scans the events table. Compacted by :meth:`compact`.
+        """
+        state = self._read_state()
+        if not state.heads_files:
+            return self.spark.createDataFrame([], HEADS_SCHEMA)
+        paths = [os.path.join(self.heads_path, p) for p in state.heads_files]
+        return self.spark.read.schema(HEADS_SCHEMA).parquet(*paths)
 
     def watermarks(self) -> DataFrame:
-        """Per-partition confirmed watermark table (SURVEY §4.3).
+        """Per-partition confirmed watermark table (SURVEY §4.3) as a
+        DataFrame (from the driver-side dict — no file scan).
 
         On Spark storage a committed append is quorum-durable, so the
         confirmed watermark equals the max partition_sequence at the
@@ -211,31 +338,45 @@ class EventStore:
         never see a sequence above it, and it only advances gaplessly
         because sequence assignment itself is gapless).
         """
-        if os.path.exists(self.watermarks_path):
-            return self.spark.read.parquet(self.watermarks_path)
+        wm = self._wm()
         return self.spark.createDataFrame(
-            [], "partition_id int, confirmed_sequence long"
+            [(int(p), int(s)) for p, s in sorted(wm.items())],
+            "partition_id int, confirmed_sequence long",
         )
 
     def _watermark_of(self, partition_id: int) -> Optional[int]:
-        rows = (
-            self.watermarks()
-            .where(F.col("partition_id") == partition_id)
-            .collect()
-        )
-        return rows[0]["confirmed_sequence"] if rows else None
+        return self._wm().get(int(partition_id))
 
     def visible_events(self) -> DataFrame:
         """Events gated by the confirmation watermark (read.rs:460-496).
 
-        Broadcast-joins the (tiny) watermark table — at 100 TB this is a
-        map-side filter, no shuffle of the event table.
+        With manifest commits every referenced event is at-or-below the
+        manifest's watermark, so the gate is a map-side filter against a
+        literal map — no join, no shuffle of the event table.
         """
-        wm = F.broadcast(self.watermarks())
-        ev = self.events()
-        return ev.join(wm, "partition_id", "inner").where(
-            F.col("partition_sequence") <= F.col("confirmed_sequence")
-        ).drop("confirmed_sequence")
+        wm = self._wm()
+        if not wm:
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        return self.events().where(
+            F.col("partition_sequence") <= self._wm_col(wm)
+        )
+
+    @staticmethod
+    def _wm_col(wm: dict[int, int]):
+        """confirmed_sequence for this row's partition, as a literal-map
+        Column (−1 when the partition has no watermark). O(partitions)
+        literals — fine for the reference's 2^16 cap; use a broadcast
+        join instead if partition counts ever grow beyond that."""
+        if not wm:
+            return F.lit(-1).cast("long")
+        pairs: list = []
+        for pid, seq in wm.items():
+            pairs.append(F.lit(int(pid)))
+            pairs.append(F.lit(int(seq)))
+        return F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col("partition_id").cast("int")),
+            F.lit(-1),
+        ).cast("long")
 
     # --- write path ----------------------------------------------------------
 
@@ -243,13 +384,18 @@ class EventStore:
         """EAPPEND: each request is its own transaction."""
         return self.append_transactions([[r] for r in requests])
 
-    def append_transaction(self, requests: Sequence[AppendRequest]) -> list[AppendResult]:
+    def append_transaction(
+        self, requests: Sequence[AppendRequest]
+    ) -> list[AppendResult]:
         """EMAPPEND: all requests form one atomic transaction.
 
         All events must share one partition (request/emappend.rs;
         database.rs:867-897): we enforce a single partition_key.
         """
-        keys = {r.partition_key or str(ids.partition_key_for_stream(r.stream_id)) for r in requests}
+        keys = {
+            r.partition_key or str(ids.partition_key_for_stream(r.stream_id))
+            for r in requests
+        }
         if len(keys) > 1:
             raise ValueError("EMAPPEND requires a single partition_key across events")
         return self.append_transactions([list(requests)])
@@ -262,6 +408,9 @@ class EventStore:
         This is the same code path the streaming ingest uses per
         micro-batch (streaming/ingest.py); batch semantics == one
         group-commit of the reference (writer_thread_pool.rs:687-699).
+        A transaction that resolves to more than one partition_id is
+        rejected whole (single-partition invariant, database.rs:867-897)
+        rather than split across partition groups.
         """
         rows = []
         arrival = 0
@@ -270,10 +419,13 @@ class EventStore:
             txn_id = str(
                 ids.set_uuid_flag(_uuid.uuid4(), len(txn) == 1)
             )  # implicit-commit flag for single-event txns (id.rs:75-89)
+            txn_rows = []
+            txn_pids = set()
             for r in txn:
                 pkey = r.partition_key or str(ids.partition_key_for_stream(r.stream_id))
                 phash = ids.uuid_to_partition_hash(pkey)
                 pid = ids.partition_id_for_hash(phash, self.config.num_partitions)
+                txn_pids.add(pid)
                 eid = r.event_id or str(
                     ids.uuid_v7_with_partition_hash(
                         phash,
@@ -299,8 +451,8 @@ class EventStore:
                     raise ValueError(
                         "strict versioning rejects 'any'/'exists'"
                     )  # eappend.rs:180-188
-                rows.append(
-                    (
+                txn_rows.append(
+                    [
                         arrival,
                         txn_id,
                         r.stream_id,
@@ -316,13 +468,20 @@ class EventStore:
                         ),
                         r.payload,
                         r.metadata,
-                    )
+                        None,  # reject_reason
+                    ]
                 )
                 arrival += 1
+            if len(txn_pids) > 1:
+                # Reject rather than raise: the batch may carry other
+                # valid transactions (EMAPPEND single-partition rule).
+                for tr in txn_rows:
+                    tr[-1] = "transaction spans multiple partitions"
+            rows.extend(tuple(tr) for tr in txn_rows)
         if not rows:
             return []
         batch = self.spark.createDataFrame(rows, APPEND_REQUEST_SCHEMA)
-        result_df = self._apply_batch(batch)
+        result_df = self._apply_batch(batch, fast=False)
         results = result_df.orderBy("arrival").collect()
         return [
             AppendResult(
@@ -341,55 +500,134 @@ class EventStore:
         """Batch append from a DataFrame of request rows (the connector
         path — sources/connectors.py): columns ``stream_id, event_name``
         plus optional payload/metadata/expected_version/timestamp_ms/
-        partition_key/event_id. Enrichment and validation identical to
-        the row API; returns the per-request result DataFrame."""
+        partition_key/event_id/txn_id. Enrichment and validation are
+        JVM-side (streaming/ingest.py: invalid requests are routed to
+        rejected results, never executor exceptions); returns the
+        per-request result DataFrame.
+
+        When the caller supplies no ``expected_version`` column (bulk
+        ingest), assignment runs on the pure-JVM fast path — no Python
+        in the hot loop at all.
+        """
         from sierradb_spark.streaming.ingest import enrich_requests
 
-        enriched = enrich_requests(requests, self.config.num_partitions)
+        fast = (
+            "expected_version" not in requests.columns
+            and not self.config.strict_versioning
+        )
+        enriched = enrich_requests(requests, self.config)
         cols = [f.name for f in APPEND_REQUEST_SCHEMA.fields]
-        return self._apply_batch(enriched.select(*cols))
+        return self._apply_batch(enriched.select(*cols), fast=fast)
 
-    def _apply_batch(self, batch: DataFrame) -> DataFrame:
+    def _apply_batch(self, batch: DataFrame, fast: bool) -> DataFrame:
         """Validate + assign + commit one batch. Returns per-request results.
 
-        Heads recovery reads ONLY the touched partitions (partition
-        pruning on the hive partition column) — O(touched partitions),
-        not O(table).
+        One localCheckpoint pins the batch (so the non-deterministic
+        generated ids are evaluated exactly once); everything downstream
+        — assignment, the events write, the heads aggregation — reuses
+        those cached blocks. Heads recovery reads the heads log, never
+        the events table: O(streams since compaction), not O(table).
         """
-        touched = [r["partition_id"] for r in batch.select("partition_id").distinct().collect()]
-        ev = self.events().where(F.col("partition_id").isin(touched))
-        stream_heads = ev.groupBy("partition_id", "stream_id").agg(
-            F.max("stream_version").alias("cur_stream_version")
+        batch = batch.localCheckpoint(eager=True)
+        state = self._read_state()
+        heads = (
+            self.heads()
+            .groupBy("partition_id", "stream_id")
+            .agg(F.max("stream_version").alias("cur_stream_version"))
         )
-        part_heads = ev.groupBy("partition_id").agg(
-            F.max("partition_sequence").alias("cur_partition_sequence")
+        # Driver-side join-strategy pick: heads-log file sizes are known,
+        # so broadcast outright when small (saves the batch-side shuffle
+        # by (pid, stream) — the batch then shuffles exactly once, for
+        # the window/groupBy). Big heads logs (huge stream cardinality)
+        # fall back to a sort-merge join, which is the right plan there.
+        heads_bytes = 0
+        for rel in state.heads_files:
+            try:
+                heads_bytes += os.path.getsize(os.path.join(self.heads_path, rel))
+            except OSError:
+                heads_bytes = 1 << 40
+                break
+        if heads_bytes < 64 * 1024 * 1024:
+            heads = F.broadcast(heads)
+        enr = batch.join(heads, ["partition_id", "stream_id"], "left")
+        base_seq = (
+            self._wm_col(state.watermarks)
+            if state.watermarks
+            else F.lit(-1).cast("long")
         )
-        enriched = (
-            batch.join(stream_heads, ["partition_id", "stream_id"], "left")
-            .join(part_heads, ["partition_id"], "left")
-        )
-        # One group per partition: the Spark-native single-writer-per-
-        # partition discipline. Shuffle size = batch size, never table size.
-        result = (
-            enriched.repartition(
-                min(self.config.num_partitions, self.config.shuffle_partitions),
-                "partition_id",
+        if fast:
+            result = self._assign_fast(enr, base_seq)
+        else:
+            enr = enr.withColumn(
+                "cur_partition_sequence",
+                F.when(base_seq >= 0, base_seq).cast("long"),
             )
-            .groupBy("partition_id")
-            .applyInPandas(_validate_and_assign, schema=APPEND_RESULT_SCHEMA)
-        )
-        result = result.localCheckpoint(eager=True)  # pin results before commit
-        self._commit(result.where(F.col("accepted")))
+            # One group per partition: the Spark-native single-writer-
+            # per-partition discipline. Shuffle size = batch size.
+            result = (
+                enr.groupBy("partition_id")
+                .applyInPandas(_validate_and_assign, schema=APPEND_RESULT_SCHEMA)
+                .localCheckpoint(eager=True)  # pin before commit + return
+            )
+        self._commit(result.where(F.col("accepted")), state)
         return result
 
-    def _commit(self, accepted: DataFrame) -> None:
-        """Write accepted events + advance watermarks.
+    @staticmethod
+    def _assign_fast(enr: DataFrame, base_seq) -> DataFrame:
+        """Pure-JVM gapless assignment for precondition-free batches.
 
-        With Delta/Iceberg this is one transactional multi-table commit;
-        with plain Parquet we order writes so readers using the
-        watermark gate never observe uncommitted sequences (events land
-        first, watermark advance publishes them — §4.3).
+        partition_sequence: row_number over hash(partition_id) — ONE
+        exchange; stream_version: row_number over (partition_id,
+        stream_id), which Catalyst satisfies with a sort under the same
+        exchange (hash(pid) clusters (pid, stream) too — no second
+        shuffle; verified in tests/test_plans.py). Rejected requests
+        (request validation) are excluded before assignment so they
+        never consume sequences, mirroring the slow path.
         """
+        ws = Window.partitionBy("partition_id").orderBy("arrival")
+        wv = Window.partitionBy("partition_id", "stream_id").orderBy("arrival")
+        valid = enr.where(F.col("reject_reason").isNull())
+        assigned = (
+            valid.withColumn(
+                "partition_sequence",
+                (base_seq + F.row_number().over(ws)).cast("long"),
+            )
+            .withColumn(
+                "stream_version",
+                (
+                    F.coalesce(F.col("cur_stream_version"), F.lit(-1))
+                    + F.row_number().over(wv)
+                ).cast("long"),
+            )
+            .withColumn("accepted", F.lit(True))
+            .withColumn("error", F.lit(None).cast("string"))
+        )
+        rejected = (
+            enr.where(F.col("reject_reason").isNotNull())
+            .withColumn("accepted", F.lit(False))
+            .withColumn("error", F.col("reject_reason"))
+            .withColumn("partition_sequence", F.lit(None).cast("long"))
+            .withColumn("stream_version", F.lit(None).cast("long"))
+        )
+        return assigned.select(*_RESULT_COLS).unionByName(
+            rejected.select(*_RESULT_COLS)
+        )
+
+    def _commit(self, accepted: DataFrame, state: _State) -> None:
+        """Write events + heads + watermark advance as one atomic commit.
+
+        1. Events land in a staging dir (one Spark job), then move into
+           ``events/partition_id=N/`` via same-filesystem renames.
+        2. Per-stream heads + per-partition maxima come back to the
+           driver in ONE small aggregation (O(streams in batch) rows);
+           the heads file and the manifest are written driver-side.
+        3. The manifest rename is the commit point. A crash anywhere
+           before it leaves only unreferenced files — invisible to every
+           reader, subscription, and the next append (which reads state
+           from manifests only). Orphans are swept by :meth:`compact`.
+        """
+        token = secrets.token_hex(8)
+        staging = os.path.join(self.staging_path, token)
         events = accepted.select(
             "event_id",
             "partition_key",
@@ -412,39 +650,81 @@ class EventStore:
         # per-segment stream index, SURVEY §2.4 X2).
         (
             events.sortWithinPartitions("stream_id", "stream_version")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("partition_id")
-            .parquet(self.events_path)
+            .parquet(staging)
         )
-        # Watermark advance is O(batch): merge the batch's per-partition
-        # maxima over the previous watermark table (both tiny) — never a
-        # rescan of the events table. Gap-freeness holds because sequence
-        # assignment itself is gapless and this runs after the events land.
-        batch_wm = accepted.groupBy("partition_id").agg(
-            F.max("partition_sequence").alias("batch_max")
-        )
-        new_wm = (
-            self.watermarks()
-            .join(batch_wm, "partition_id", "full_outer")
-            .select(
-                "partition_id",
-                F.greatest(
-                    F.coalesce(F.col("confirmed_sequence"), F.lit(-1)),
-                    F.coalesce(F.col("batch_max"), F.lit(-1)),
-                ).alias("confirmed_sequence"),
+        # Move staged files into the live layout. Readers don't follow
+        # directory listings (manifest-driven), so placement order is
+        # irrelevant for correctness; renames are same-fs and O(#files).
+        added: list[str] = []
+        i = 0
+        for root, _dirs, files in os.walk(staging):
+            part = os.path.basename(root)
+            if not part.startswith("partition_id="):
+                continue
+            os.makedirs(os.path.join(self.events_path, part), exist_ok=True)
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.join(part, f"{token}-{i:04d}.parquet")
+                os.rename(
+                    os.path.join(root, fn), os.path.join(self.events_path, rel)
+                )
+                added.append(rel)
+                i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        if not added:
+            return  # nothing accepted; no commit
+        # One driver-bound aggregation: per-stream heads (for the heads
+        # log) — per-partition watermarks are its per-pid maxima.
+        heads_pdf = (
+            accepted.groupBy("partition_id", "stream_id")
+            .agg(
+                F.max("stream_version").alias("stream_version"),
+                F.max("partition_sequence").alias("partition_sequence"),
             )
+            .toPandas()
         )
-        tmp = self.watermarks_path + ".tmp"
-        new_wm.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = self.watermarks_path
-        swap = self.watermarks_path + ".old"
-        if os.path.exists(old):
-            os.rename(old, swap)
-        os.rename(tmp, old)
-        if os.path.exists(swap):
-            import shutil
+        heads_rel = f"heads-{state.commit + 1:012d}-{token}.parquet"
+        self._write_heads_file(heads_pdf, os.path.join(self.heads_path, heads_rel))
+        wm = dict(state.watermarks)
+        for pid, seq in (
+            heads_pdf.groupby("partition_id")["partition_sequence"].max().items()
+        ):
+            wm[int(pid)] = max(int(wm.get(int(pid), -1)), int(seq))
+        self._write_manifest(
+            {
+                "commit": state.commit + 1,
+                "base": False,
+                "events_add": added,
+                "heads_add": [heads_rel],
+                "watermarks": {str(p): int(s) for p, s in wm.items()},
+            }
+        )
 
-            shutil.rmtree(swap)
+    @staticmethod
+    def _write_heads_file(pdf: pd.DataFrame, path: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "partition_id": pa.array(
+                    pdf["partition_id"].astype("int32"), type=pa.int32()
+                ),
+                "stream_id": pa.array(pdf["stream_id"].astype(str), type=pa.string()),
+                "stream_version": pa.array(
+                    pdf["stream_version"].astype("int64"), type=pa.int64()
+                ),
+                "partition_sequence": pa.array(
+                    pdf["partition_sequence"].astype("int64"), type=pa.int64()
+                ),
+            }
+        )
+        tmp = path + f".tmp-{secrets.token_hex(4)}"
+        pq.write_table(table, tmp)
+        os.rename(tmp, path)
 
     # --- read path -----------------------------------------------------------
 
@@ -454,26 +734,23 @@ class EventStore:
         Partition pruned from the hash embedded in the UUID
         (id.rs:50-53; read path database.rs:127-207): only one
         partition directory is scanned, and parquet column stats skip
-        row groups within it.
+        row groups within it. Events are manifest-committed, hence
+        already watermark-visible (§commit protocol above).
         """
         phash = ids.uuid_to_partition_hash(event_id)
         pid = ids.partition_id_for_hash(phash, self.config.num_partitions)
-        wm = self._watermark_of(pid)
-        if wm is None:
+        if self._watermark_of(pid) is None:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         part = self.events().where(F.col("partition_id") == pid)
         target = part.where(F.col("event_id") == event_id).select("transaction_id")
         # EGET returns the whole transaction's events (database.rs:127-207).
         out = (
             part.join(F.broadcast(target), "transaction_id", "left_semi")
-            .where(F.col("partition_sequence") <= F.lit(wm))
             .orderBy("partition_sequence")
         )
-        return out.select(*[f.name for f in EVENT_SCHEMA.fields])
+        return out.select(*_EVENT_COLS)
 
-    def _range_filter(
-        self, col: str, start: RangeValue, end: RangeValue
-    ) -> F.Column:
+    def _range_filter(self, col: str, start: RangeValue, end: RangeValue) -> F.Column:
         cond = F.lit(True)
         if start != "-":
             cond = cond & (F.col(col) >= int(start))
@@ -493,25 +770,28 @@ class EventStore:
         """ESCAN: version-range scan of one stream (request/escan.rs:105-162).
 
         Pruned to the stream's single partition (a stream lives entirely
-        in one partition — routing invariant), clamped to the confirmed
-        watermark (read.rs:671-674), ordered by stream_version, with an
-        optional COUNT limit (read.rs:663-697).
+        in one partition — routing invariant), ordered by stream_version,
+        with an optional COUNT limit (read.rs:663-697). The watermark
+        clamp (read.rs:671-674) is implicit: only manifest-committed
+        files are readable.
         """
         pkey = partition_key or str(ids.partition_key_for_stream(stream_id))
         pid = ids.partition_id_for_hash(
             ids.uuid_to_partition_hash(pkey), self.config.num_partitions
         )
-        wm = self._watermark_of(pid)
-        if wm is None:
+        if self._watermark_of(pid) is None:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         df = (
             self.events()
             .where(F.col("partition_id") == pid)
             .where(F.col("stream_id") == stream_id)
-            .where(F.col("partition_sequence") <= F.lit(wm))
             .where(self._range_filter("stream_version", start, end))
         )
-        order = F.col("stream_version").asc() if direction == "forward" else F.col("stream_version").desc()
+        order = (
+            F.col("stream_version").asc()
+            if direction == "forward"
+            else F.col("stream_version").desc()
+        )
         df = df.orderBy(order)
         if count is not None:
             df = df.limit(count)
@@ -526,13 +806,11 @@ class EventStore:
         direction: Literal["forward", "reverse"] = "forward",
     ) -> DataFrame:
         """EPSCAN: sequence-range scan of one partition (request/epscan.rs:90-136)."""
-        wm = self._watermark_of(partition_id)
-        if wm is None:
+        if self._watermark_of(partition_id) is None:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         df = (
             self.events()
             .where(F.col("partition_id") == partition_id)
-            .where(F.col("partition_sequence") <= F.lit(wm))
             .where(self._range_filter("partition_sequence", start, end))
         )
         order = (
@@ -588,26 +866,77 @@ class EventStore:
         Streaming ingest leaves one small file per partition per
         micro-batch; compaction rewrites each hive partition into
         ``target_files_per_partition`` files sorted by (stream_id,
-        stream_version), restoring the row-group-skipping layout. On
-        Delta this is OPTIMIZE + ZORDER; on plain Parquet we rewrite to
-        a staging dir then swap atomically via rename.
+        stream_version), folds the heads log into one file, publishes a
+        ``base`` manifest (supersedes the chain), and deletes superseded
+        + orphaned files. Readers are never disturbed: the base manifest
+        lands by atomic rename and old files are removed only after it.
+        On Delta this is OPTIMIZE + ZORDER + checkpoint + VACUUM.
         """
-        import shutil
-
-        ev = self.events()
-        staged = self.events_path + ".compacting"
+        state = self._read_state()
+        if not state.events_files:
+            return
+        token = secrets.token_hex(8)
+        staging = os.path.join(self.staging_path, token)
         (
-            ev.repartition(target_files_per_partition * self.config.num_partitions,
-                           "partition_id")
+            self.events()
+            .repartition(
+                target_files_per_partition * self.config.num_partitions,
+                "partition_id",
+            )
             .sortWithinPartitions("stream_id", "stream_version")
             .write.mode("overwrite")
             .partitionBy("partition_id")
-            .parquet(staged)
+            .parquet(staging)
         )
-        old = self.events_path + ".old"
-        os.rename(self.events_path, old)
-        os.rename(staged, self.events_path)
-        shutil.rmtree(old)
+        added: list[str] = []
+        i = 0
+        for root, _dirs, files in os.walk(staging):
+            part = os.path.basename(root)
+            if not part.startswith("partition_id="):
+                continue
+            os.makedirs(os.path.join(self.events_path, part), exist_ok=True)
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.join(part, f"compact-{token}-{i:04d}.parquet")
+                os.rename(os.path.join(root, fn), os.path.join(self.events_path, rel))
+                added.append(rel)
+                i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        heads_pdf = (
+            self.heads()
+            .groupBy("partition_id", "stream_id")
+            .agg(
+                F.max("stream_version").alias("stream_version"),
+                F.max("partition_sequence").alias("partition_sequence"),
+            )
+            .toPandas()
+        )
+        heads_rel = f"heads-base-{state.commit + 1:012d}-{token}.parquet"
+        self._write_heads_file(heads_pdf, os.path.join(self.heads_path, heads_rel))
+        self._write_manifest(
+            {
+                "commit": state.commit + 1,
+                "base": True,
+                "events_add": added,
+                "heads_add": [heads_rel],
+                "watermarks": {str(p): int(s) for p, s in state.watermarks.items()},
+            }
+        )
+        # Sweep everything the base manifest does not reference —
+        # superseded data files AND crash orphans.
+        keep_events = set(added)
+        keep_heads = {heads_rel}
+        for root, _dirs, files in os.walk(self.events_path):
+            for fn in files:
+                rel = os.path.relpath(os.path.join(root, fn), self.events_path)
+                if rel not in keep_events:
+                    os.unlink(os.path.join(root, fn))
+        for fn in os.listdir(self.heads_path):
+            if fn not in keep_heads and os.path.isfile(
+                os.path.join(self.heads_path, fn)
+            ):
+                os.unlink(os.path.join(self.heads_path, fn))
 
     def stream_version(
         self, stream_id: str, partition_key: str | None = None
@@ -615,13 +944,22 @@ class EventStore:
         """ESVER: latest version of a stream, None = empty
         (``ESVER stream [PARTITION_KEY u]``, request/esver.rs): streams
         appended under an explicit partition key live in that key's
-        partition, so the lookup must accept the same key."""
+        partition, so the lookup must accept the same key.
+
+        Served from the heads log — O(heads files) with predicate
+        pushdown, never an events scan (GetStreamVersion parity,
+        read.rs:1044-1068). Heads are manifest-committed together with
+        the watermark advance, so this can never report a version that
+        scan() would not return (watermark-gated by construction).
+        """
         pkey = partition_key or str(ids.partition_key_for_stream(stream_id))
         pid = ids.partition_id_for_hash(
             ids.uuid_to_partition_hash(pkey), self.config.num_partitions
         )
+        if self._watermark_of(pid) is None:
+            return None
         row = (
-            self.events()
+            self.heads()
             .where(F.col("partition_id") == pid)
             .where(F.col("stream_id") == stream_id)
             .agg(F.max("stream_version").alias("v"))
@@ -630,5 +968,6 @@ class EventStore:
         return row["v"]
 
     def partition_sequence(self, partition_id: int) -> Optional[int]:
-        """EPSEQ: latest confirmed sequence of a partition (request/epseq.rs)."""
+        """EPSEQ: latest confirmed sequence of a partition
+        (request/epseq.rs) — the manifest watermark, driver-side."""
         return self._watermark_of(partition_id)

@@ -29,30 +29,38 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from sierradb_spark import ids
+from sierradb_spark.config import DEFAULT_CONFIG, EngineConfig
 from sierradb_spark.eventstore.store import EventStore
 
 
-def enrich_requests(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Derive partition_key/partition_id/event_id/timestamp columns.
+def enrich_requests(
+    df: DataFrame, config: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Derive partition_key/partition_id/event_id/timestamp columns and
+    validate the request — all JVM-side.
 
-    Mirrors request enrichment in the reference handler
-    (``request/eappend.rs:189-217``): default partition_key =
-    uuid5(NAMESPACE, stream_id), partition_hash from the key, event_id =
-    v7-with-embedded-hash, ms→ns timestamp scaling.
+    Mirrors request enrichment + validation in the reference handler
+    (``request/eappend.rs:180-217``, ``database.rs:867-897``): default
+    partition_key = uuid5(NAMESPACE, stream_id), partition_hash from the
+    key, event_id = v7-with-embedded-hash, ms→ns timestamp scaling.
+    Invalid requests (caller event_id that does not embed the routing
+    hash — database.rs:880; stream_id/event_name length limits —
+    lib.rs:26, format.rs:150; malformed or strict-rejected
+    expected_version — eappend.rs:180-188) get a non-null
+    ``reject_reason`` and are routed to rejected results downstream —
+    never an executor exception that would fail the whole micro-batch.
 
     Entirely JVM-side Column algebra (ids.uuid5_col / event_id_col /
     txn_id_col — sha1 + conv + substring): the first implementation used
     chained pandas UDFs and each UDF-on-UDF dependency became its own
     ArrowEvalPython stage — a serial JVM↔Python round-trip per batch that
     dominated ingest wall time. Keeping enrichment in whole-stage codegen
-    removed Python from the ingest hot path entirely (the only remaining
-    Python is the per-partition sequence assignment, one Arrow exchange
-    per micro-batch by design).
+    removed Python from the ingest hot path entirely.
     """
     cols = dict.fromkeys(df.columns)
     if "expected_version" not in cols:
@@ -78,19 +86,61 @@ def enrich_requests(df: DataFrame, num_partitions: int) -> DataFrame:
         df = df.withColumn("partition_key", ids.uuid5_col("stream_id"))
     phash = ids.uuid_hash_col("partition_key")
     df = df.withColumn(
-        "partition_id", F.pmod(phash, F.lit(num_partitions)).cast("int")
+        "partition_id", F.pmod(phash, F.lit(config.num_partitions)).cast("int")
     )
+    user_event_id = "event_id" in cols
     gen_eid = ids.event_id_col(
         phash, (F.col("timestamp_ns") / 1_000_000).cast("long")
     )
-    if "event_id" in cols:
+    if user_event_id:
         df = df.withColumn("event_id", F.coalesce(F.col("event_id"), gen_eid))
     else:
         df = df.withColumn("event_id", gen_eid)
-    if "txn_id" not in cols:
+    user_txn_id = "txn_id" in cols
+    if not user_txn_id:
         # One event per transaction (EAPPEND), implicit-commit flag set
         # (id.rs:77-100): txn id equals a flagged v4 uuid.
         df = df.withColumn("txn_id", ids.txn_id_col(implicit_commit=True))
+
+    # --- request validation (reject, don't crash) ---------------------------
+    reason = F.when(
+        (F.length("stream_id") < 1)
+        | (F.length("stream_id") > config.max_stream_id_len),
+        F.lit("stream_id must be 1-64 chars"),  # lib.rs:26,36-50
+    ).when(
+        F.length("event_name") > config.max_event_name_len,
+        F.lit("event_name too long"),  # format.rs:150
+    ).when(
+        ~F.col("expected_version").rlike(r"^(any|exists|empty|[0-9]+)$"),
+        F.concat(F.lit("invalid expected_version: "), F.col("expected_version")),
+    )
+    if config.strict_versioning:
+        reason = reason.when(
+            F.col("expected_version").isin("any", "exists"),
+            F.lit("strict versioning rejects 'any'/'exists'"),
+        )  # eappend.rs:180-188
+    if user_event_id:
+        reason = reason.when(
+            ids.uuid_hash_col("event_id") != phash,
+            F.lit("event_id does not embed partition hash"),  # database.rs:880
+        )
+    df = df.withColumn("reject_reason", reason.otherwise(F.lit(None)))
+    if user_txn_id:
+        # Caller-grouped transactions: a txn must resolve to ONE
+        # partition (database.rs:867-897) and is rejected whole if any
+        # of its requests is invalid. One window over txn_id (only in
+        # this path — auto-generated txn ids are single-request).
+        wtxn = Window.partitionBy("txn_id")
+        df = df.withColumn(
+            "reject_reason",
+            F.coalesce(
+                F.max("reject_reason").over(wtxn),
+                F.when(
+                    F.size(F.collect_set("partition_id").over(wtxn)) > 1,
+                    F.lit("transaction spans multiple partitions"),
+                ),
+            ),
+        )
     # Batch-local arrival order: monotonic id is unique and ordered per
     # partition of the source; good enough as the serialization tiebreak
     # (the reference serializes by channel arrival, an equally arbitrary
@@ -116,7 +166,11 @@ class StreamIngest:
             raise ValueError("requests must be a streaming DataFrame")
 
         def process(batch: DataFrame, batch_id: int) -> None:
-            enriched = enrich_requests(batch, self.store.config.num_partitions)
+            fast = (
+                "expected_version" not in batch.columns
+                and not self.store.config.strict_versioning
+            )
+            enriched = enrich_requests(batch, self.store.config)
             req_cols = [
                 "arrival",
                 "txn_id",
@@ -129,8 +183,9 @@ class StreamIngest:
                 "timestamp_ns",
                 "payload",
                 "metadata",
+                "reject_reason",
             ]
-            result = self.store._apply_batch(enriched.select(*req_cols))
+            result = self.store._apply_batch(enriched.select(*req_cols), fast=fast)
             if on_batch is not None:
                 on_batch(batch_id, result)
 

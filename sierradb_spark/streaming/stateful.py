@@ -83,11 +83,10 @@ class StreamHeadsMaintainer:
         """One availableNow pass: fold all new events into heads state and
         overwrite the snapshot with the latest emissions. State (and thus
         correctness of the fold) survives restarts via the checkpoint."""
+        from sierradb_spark.eventstore.schema import EVENT_SCHEMA
+
         spark = self.store.spark
-        src = (
-            spark.readStream.schema(spark.read.parquet(self.store.events_path).schema)
-            .parquet(self.store.events_path)
-        )
+        src = spark.readStream.schema(EVENT_SCHEMA).parquet(self.store.events_path)
         heads = stream_heads_view(src)
 
         def sink(batch: DataFrame, _bid: int) -> None:

@@ -96,11 +96,16 @@ class Subscription:
         self.max_files_per_trigger = max_files_per_trigger
 
     def dataframe(self) -> DataFrame:
-        """The filtered streaming DataFrame (pre-delivery-ordering)."""
-        reader = (
-            self.store.spark.readStream.schema(self.store.spark.read.parquet(
-                self.store.events_path).schema)
-        )
+        """The filtered streaming DataFrame (pre-delivery-ordering).
+
+        Uses the static EVENT_SCHEMA (not inference), so a subscription
+        can be created before the store's first append — matching the
+        reference, where subscribing to an empty stream is legal
+        (subscription.rs:402-438 just waits for live events).
+        """
+        from sierradb_spark.eventstore.schema import EVENT_SCHEMA
+
+        reader = self.store.spark.readStream.schema(EVENT_SCHEMA)
         if self.max_files_per_trigger:
             # The EACK window (S5): bounds in-flight work per trigger the
             # way `cursor - last_ack > window` bounds unacked deliveries.
@@ -117,15 +122,32 @@ class Subscription:
     ) -> StreamingQuery:
         """Deliver matched events, ordered within each micro-batch by
         (partition_id, partition_sequence) — the reference's per-
-        partition ordered delivery (subscription.rs:441-460)."""
+        partition ordered delivery (subscription.rs:441-460).
+
+        Deliveries are gated on the confirmed watermark, exactly like
+        the batch read paths (subscription gate subscription.rs:512-524):
+        the file source tails the events *directory*, which can briefly
+        contain files whose commit manifest has not landed yet. Rows
+        above the watermark are parked in a driver-side pending buffer
+        and delivered on the trigger after their commit completes —
+        held back, never dropped (the file source marks files processed
+        once, so dropping would lose them)."""
+
+        pending: list[Row] = []
 
         def process(batch: DataFrame, batch_id: int) -> None:
-            rows = (
-                batch.orderBy("partition_id", "partition_sequence")
-                .collect()
-            )
-            if rows:
-                deliver(rows)
+            wm = self.store._wm()
+            candidates = pending + batch.collect()
+            pending.clear()
+            ready = []
+            for r in candidates:
+                if r["partition_sequence"] <= wm.get(r["partition_id"], -1):
+                    ready.append(r)
+                else:
+                    pending.append(r)
+            ready.sort(key=lambda r: (r["partition_id"], r["partition_sequence"]))
+            if ready:
+                deliver(ready)
 
         writer = (
             self.dataframe()
