@@ -1,0 +1,228 @@
+"""Training-data pipeline operators: deterministic sampling, shard
+assignment, text normalization, and near-duplicate connected components.
+
+These are the dataset-engineering primitives a 100 TB pretraining
+pipeline runs between ingest and export (beyond-reference surface,
+BASELINE.json north star). Determinism matters: sampling and sharding
+use explicit Knuth-multiplicative hashing on the document id instead of
+engine-native random/hash functions, so (a) reruns are reproducible,
+(b) both engines (and the DuckDB oracle) agree bit-for-bit, and
+(c) resharding is stable under re-partitioning of the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sierradb_spark.operators.base import Registry, load
+
+REG = Registry()
+
+# Knuth multiplicative hash over the 32-bit ring. doc_id fits in 2^31,
+# the product fits in 63 bits — no overflow on either engine's BIGINT.
+_KNUTH = 2654435761
+_RING = 1 << 32
+
+
+def _hash32(col: F.Column) -> F.Column:
+    return (col * F.lit(_KNUTH)) % F.lit(_RING)
+
+
+@REG.add(
+    "deterministic_doc_sample",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM documents
+        WHERE (doc_id * {_KNUTH}) % {_RING} < {_RING // 10}
+    """,
+    doc="Deterministic ~10% sample via multiplicative hashing on doc_id — a pure "
+    "scan-side filter (no shuffle, no RNG state), reproducible across reruns and "
+    "engines; the property that makes held-out splits auditable at 100 TB.",
+)
+def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.where(_hash32(F.col("doc_id")) < _RING // 10).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@REG.add(
+    "train_shard_assignment",
+    oracle=f"""
+        SELECT CAST((doc_id * {_KNUTH}) % {_RING} % 16 AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+               min(doc_id) AS min_doc
+        FROM documents GROUP BY 1
+    """,
+    doc="Deterministic 16-way shard assignment for training-data export (the "
+    "write-side partitioner of a dataset dump: df.write.partitionBy(shard)). The "
+    "hash balances shards independently of input order; per-shard byte totals are "
+    "what an export planner sizes files with.",
+)
+def train_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("shard", (_hash32(F.col("doc_id")) % 16).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+@REG.add(
+    "text_normalize_stats",
+    oracle="""
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               CAST(length(t) AS BIGINT) AS norm_len,
+               CAST(CASE WHEN t = '' THEN 0
+                    ELSE length(t) - length(replace(t, ' ', '')) + 1
+               END AS BIGINT) AS n_tokens
+        FROM norm
+    """,
+    doc="Text normalization (lowercase, strip non-alphanumerics, collapse "
+    "whitespace) — the canonical pre-tokenization cleanup, kept to ASCII classes "
+    "so Java and RE2 regex semantics agree. Pure projection: whole-stage codegen, "
+    "no Python, no shuffle.",
+)
+def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    t = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    n_tokens = F.when(t == "", F.lit(0)).otherwise(
+        F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1
+    )
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("norm_len"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+
+
+# Same numeric shape as embedding_near_dup_pairs (functions/dedup.py):
+# DOUBLE[] dot products so both engines accumulate identically.
+_NEAR_DUP_PAIRS_SQL = """
+        WITH n AS (
+            SELECT vec_id,
+                   embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0) >= 0.4
+"""
+
+
+@REG.add(
+    "near_dup_components",
+    oracle=f"""
+        WITH RECURSIVE base_pairs AS ({_NEAR_DUP_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM base_pairs
+            UNION
+            SELECT doc_b, doc_a FROM base_pairs
+        ),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        walk (id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
+        )
+        SELECT CAST(label AS BIGINT) AS component,
+               CAST(count(*) AS BIGINT) AS n_members,
+               min(id) AS keep_doc
+        FROM (SELECT id, min(label) AS label FROM walk GROUP BY id)
+        GROUP BY label
+    """,
+    doc="Connected components over the embedding near-duplicate graph (cosine > "
+    "0.985): iterative min-label propagation as a DataFrame loop with per-round "
+    "localCheckpoint (truncates lineage — the standard Spark pattern for iterative "
+    "graph algorithms; Pregel-style, converges in O(diameter) rounds). Each "
+    "component keeps its minimum doc id — the dedup survivor set. Oracle: "
+    "recursive CTE computing the same transitive min-labels.",
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.similarity import dot_col
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("embedding").cast("array<double>"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot_col(F.col("a.v"), F.col("b.v")) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("doc_a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    # Min-label propagation to fixpoint: label(v) <- min(label(v),
+    # min(label(u) for u~v)). Diameter-bounded; each round is one
+    # shuffle join + aggregate on the (tiny) frontier graph.
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges.doc_a == labels.id)
+            .select(F.col("doc_b").alias("id"), "label")
+            .union(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels.groupBy("label").agg(
+        F.count("*").alias("n_members"), F.min("id").alias("keep_doc")
+    ).select(
+        F.col("label").cast("long").alias("component"),
+        "n_members",
+        "keep_doc",
+    )

@@ -7,11 +7,21 @@ and what ``bench.py`` samples its headline set from.
 
 from sierradb_spark.operators.base import Query, Registry, load
 
-from sierradb_spark.operators import event_reads, relational, windows
-from sierradb_spark.functions import dedup, multimodal, similarity, text
+from sierradb_spark.operators import event_reads, relational, relational2, windows
+from sierradb_spark.functions import dedup, multimodal, pipeline, similarity, text
 
 REGISTRY = Registry()
-for mod in (event_reads, relational, windows, text, dedup, similarity, multimodal):
+for mod in (
+    event_reads,
+    relational,
+    relational2,
+    windows,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    pipeline,
+):
     REGISTRY.merge(mod.REG)
 
 __all__ = ["Query", "Registry", "REGISTRY", "load"]
