@@ -162,38 +162,7 @@ _NEAR_DUP_PAIRS_SQL = """
     "recursive CTE computing the same transitive min-labels.",
 )
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.similarity import dot_col
-
-    emb = load(spark, sf_dir, "embeddings")
-    n = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding").cast("array<double>"),
-                    F.col("embedding").cast("array<double>"),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("nrm"),
-    )
-    a, b = n.alias("a"), n.alias("b")
-    cos = dot_col(F.col("a.v"), F.col("b.v")) / F.nullif(
-        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
-    )
-    pairs = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(cos >= 0.4)
-        .select(
-            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
-        )
-    )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
+    edges = _near_dup_edges(spark, sf_dir)
     labels = edges.select(F.col("doc_a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
@@ -226,3 +195,40 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         "keep_doc",
     )
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric near-duplicate edge list (cosine >= 0.4 pairs), eagerly
+    checkpointed so iterative consumers don't rebuild the O(n^2) join."""
+    from sierradb_spark.functions.similarity import dot_col
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("embedding").cast("array<double>"),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot_col(F.col("a.v"), F.col("b.v")) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+    )
+    return pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)

@@ -8,7 +8,14 @@ and what ``bench.py`` samples its headline set from.
 from sierradb_spark.operators.base import Query, Registry, load
 
 from sierradb_spark.operators import event_reads, relational, relational2, windows
-from sierradb_spark.functions import dedup, multimodal, pipeline, similarity, text
+from sierradb_spark.functions import (
+    dedup,
+    multimodal,
+    pipeline,
+    quality,
+    similarity,
+    text,
+)
 
 REGISTRY = Registry()
 for mod in (
@@ -21,6 +28,7 @@ for mod in (
     similarity,
     multimodal,
     pipeline,
+    quality,
 ):
     REGISTRY.merge(mod.REG)
 
