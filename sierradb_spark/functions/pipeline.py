@@ -232,3 +232,120 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
+
+
+_CTX = 2048  # context window (tokens) for sequence packing
+
+
+@REG.add(
+    "sequence_packing",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+                                        w -> w <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS cum_before
+            FROM t
+        )
+        SELECT CAST(cum_before // {_CTX} AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1
+    """,
+    doc="Sequence packing: assign documents (in deterministic doc_id order) to "
+    f"{_CTX}-token context windows by running-prefix-sum bucketing — the packing "
+    "planner of a training-data export (docs straddling a boundary spill into the "
+    "next window; the packer's writer splits them). One global running sum: at "
+    "100 TB this runs per shard (partitionBy(shard) windows) so no single-reducer "
+    "sort — the global form here keeps the oracle exact.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(F.col("text")), " +"), lambda w: w != "")
+    ).cast("long")
+    t = d.select("doc_id", n_tokens.alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        c.groupBy(F.floor(F.col("cum_before") / _CTX).cast("long").alias("pack_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@REG.add(
+    "top_bigrams_by_lang",
+    oracle="""
+        WITH w AS (
+            SELECT lang,
+                   list_filter(string_split_regex(trim(text), ' +'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ),
+        b AS (
+            SELECT lang,
+                   unnest(list_transform(list_zip(ws[:-2], ws[2:]),
+                                         p -> p[1] || ' ' || p[2])) AS bigram
+            FROM w
+        ),
+        cnt AS (
+            SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM b GROUP BY lang, bigram
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_occurrences DESC, bigram ASC) AS rn
+            FROM cnt
+        )
+        SELECT lang, bigram, n_occurrences FROM r WHERE rn <= 5
+    """,
+    doc="Top-5 bigrams per language — the n-gram LM / contamination-check "
+    "primitive. Bigrams are generated JVM-side (zip_with over two array slices, "
+    "no explode of unigrams), counted with map-side partial aggregation, and "
+    "ranked with a per-lang window over the already-aggregated counts. The "
+    "shuffle carries distinct (lang, bigram) pairs, never the token stream.",
+)
+def top_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.trim(F.col("text")), " +"), lambda w: w != "")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cnt = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.col("n_occurrences").desc(), F.col("bigram").asc()
+        )
+    )
+    return cnt.withColumn("rn", rn).where(F.col("rn") <= 5).select(
+        "lang", "bigram", "n_occurrences"
+    )

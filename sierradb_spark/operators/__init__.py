@@ -7,7 +7,15 @@ and what ``bench.py`` samples its headline set from.
 
 from sierradb_spark.operators.base import Query, Registry, load
 
-from sierradb_spark.operators import event_reads, relational, relational2, windows
+from sierradb_spark.operators import (
+    event_analytics,
+    event_reads,
+    relational,
+    relational2,
+    relational3,
+    sketches,
+    windows,
+)
 from sierradb_spark.functions import (
     dedup,
     multimodal,
@@ -22,6 +30,9 @@ for mod in (
     event_reads,
     relational,
     relational2,
+    relational3,
+    event_analytics,
+    sketches,
     windows,
     text,
     dedup,

@@ -1,0 +1,178 @@
+"""Event-sourcing analytics: state projections, cohorts, funnels.
+
+The reference is an event store: its applications rebuild aggregate
+state by folding a stream's events in order (the event-sourcing
+read-model pattern its README describes). These operators are the
+batch-analytics versions of those folds over the driver's ``events``
+table: current-state projection (the materialized read model),
+retention cohorts, and conversion funnels — the queries an
+event-sourced system answers daily.
+
+Scale shapes: every query here is one shuffle on ``user_id`` (the
+natural partition key); projections use a row_number window and
+aggregates under the SAME partitioning, so Catalyst reuses one
+exchange. At 100 TB the events table is hive-partitioned and these
+plans read only the columns they name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sierradb_spark.operators.base import Registry, load
+
+REG = Registry()
+
+
+@REG.add(
+    "user_state_projection",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS first_seen, max(ts) AS last_seen,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
+        )
+        SELECT a.user_id, r.event_type AS last_event_type,
+               round(r.value, 4) AS last_value,
+               a.n_events, a.first_seen, a.last_seen, a.total_value
+        FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
+    """,
+    doc="Current-state projection (the event-sourcing read model): fold each "
+    "user's stream to its latest event + lifetime aggregates. One shuffle on "
+    "user_id serves both the row_number window and the groupBy; the join of the "
+    "two is co-partitioned, so no further exchange.",
+)
+def user_state_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return agg.join(last, "user_id").select(
+        "user_id",
+        "last_event_type",
+        "last_value",
+        "n_events",
+        "first_seen",
+        "last_seen",
+        "total_value",
+    )
+
+
+@REG.add(
+    "retention_cohorts",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        )
+        SELECT f.cohort_day,
+               CAST((a.day - f.cohort_day) // 7 AS BIGINT) AS offset_week,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+        GROUP BY f.cohort_day, (a.day - f.cohort_day) // 7
+    """,
+    doc="Retention cohort matrix: users grouped by first-seen day, activity "
+    "counted per week offset. first-seen and distinct-activity both partial-"
+    "aggregate map-side before one user_id shuffle; the final matrix is "
+    "|cohorts x offsets| rows.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    offset_week = F.floor(
+        F.datediff(F.col("day"), F.col("cohort_day")) / 7
+    ).cast("long")
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_day", offset_week.alias("offset_week"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@REG.add(
+    "funnel_signup_purchase",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, min(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        conv AS (
+            SELECT s.user_id, s.signup_ts, min(e.ts) AS conv_ts
+            FROM s JOIN events e
+              ON e.user_id = s.user_id
+             AND e.event_type = 'purchase'
+             AND e.ts >= s.signup_ts
+            GROUP BY s.user_id, s.signup_ts
+        )
+        SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+               CAST(count(*) AS BIGINT) AS n_converted,
+               CAST(count(*) FILTER (
+                   WHERE conv_ts <= signup_ts + INTERVAL 7 DAY
+               ) AS BIGINT) AS n_converted_7d,
+               round(avg(epoch(conv_ts) - epoch(signup_ts)) / 3600, 2)
+                   AS avg_hours_to_convert
+        FROM conv
+    """,
+    doc="Conversion funnel: first signup -> first subsequent purchase, with a "
+    "7-day-window conversion count and mean hours-to-convert. Both stages "
+    "partial-aggregate to one row per user before the user_id-co-partitioned "
+    "join; the final result is a single row.",
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .where(F.col("p_ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("conv_ts"))
+    )
+    n_signup = s.agg(F.count("*").alias("n_signup"))
+    secs = (
+        F.unix_micros("conv_ts") - F.unix_micros("signup_ts")
+    ).cast("double") / 1_000_000.0
+    within_7d = F.col("conv_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY")
+    stats = conv.agg(
+        F.count("*").alias("n_converted"),
+        F.count(F.when(within_7d, 1)).alias("n_converted_7d"),
+        F.round(F.avg(secs) / 3600, 2).alias("avg_hours_to_convert"),
+    )
+    return F.broadcast(n_signup).crossJoin(stats).select(
+        "n_signup", "n_converted", "n_converted_7d", "avg_hours_to_convert"
+    )

@@ -1,0 +1,462 @@
+"""TPC-H remainder: the join/subquery shapes rounds 1 left out.
+
+Q7/Q8 (multi-way dimension joins with CASE aggregation), Q9-shaped
+(profit by nation x year), Q12-shaped (lateness buckets — the testdata
+has no shipmode/commit/receipt dates, so lateness = shipdate vs
+orderdate), Q13 (left-join count distribution), Q15 (view + scalar max
+subquery), Q17 (correlated avg subquery), Q21-shaped (EXISTS / NOT
+EXISTS), Q22-shaped (scalar subquery + anti join; no phone column, so
+country buckets come from nation).
+
+There is no ``partsupp`` table in the testdata, so Q2/Q11/Q16/Q20 are
+not expressible; their *shapes* (min-cost correlated subquery, group
+HAVING over a scalar agg, distinct-count grouping, nested semi joins)
+appear across the adapted queries below.
+
+The reference has no relational surface at all (SURVEY §2.7); these
+exercise the extension surface at the plan shapes that matter at
+100 TB: dimension broadcasts, partial aggregation before shuffles,
+semi/anti joins instead of IN/EXISTS subquery re-scans, and top-k via
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sierradb_spark.operators.base import Registry, load
+
+REG = Registry()
+
+
+@REG.add(
+    "q7_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                   AND TIMESTAMP '1997-12-31 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: bidirectional nation pair filter across a 5-way join, grouped "
+    "by year. All four dimension tables broadcast; the only shuffle is the final "
+    "4-group aggregation, and the nation predicates prune before the fact join.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@REG.add(
+    "q8_market_share",
+    oracle="""
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                     / sum(volume), 4) AS mkt_share
+        FROM (
+            SELECT year(o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+            JOIN region r   ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+              AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                    AND TIMESTAMP '1997-12-31 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    doc="TPC-H Q8: national market share inside a region — conditional aggregation "
+    "(CASE inside sum) over a 7-way join. Every dimension side is broadcast; the "
+    "numerator/denominator come out of ONE aggregation pass, not two scans.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@REG.add(
+    "q9_profit_by_nation_year",
+    oracle="""
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                              (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    doc="TPC-H Q9-shaped (no partsupp => profit is discounted revenue): LIKE-filtered "
+    "part dimension broadcast into the fact scan, grouped by supplier nation x order "
+    "year. The LIKE prunes parts BEFORE the join, so the fact scan's join input is "
+    "a fraction of the part table.",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            # Exact decimal arithmetic (prices/discounts are 2-dp values):
+            # decimal sums are order-independent, so both engines get the
+            # identical value no matter how partial aggregation interleaves.
+            # Double summation here straddled half-cent round boundaries.
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+@REG.add(
+    "q12_late_shipment_priority",
+    oracle="""
+        SELECT lateness,
+               CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                    AS BIGINT) AS high_line_count,
+               CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                    AS BIGINT) AS low_line_count
+        FROM (
+            SELECT o.o_orderpriority,
+                   CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 'late' ELSE 'on-time' END AS lateness
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ) t
+        GROUP BY lateness
+    """,
+    doc="TPC-H Q12-shaped (testdata has no shipmode/commitdate, so the bucket is "
+    "shipdate lateness vs orderdate+90d): priority-split counts per lateness bucket "
+    "via conditional aggregation. One fact-fact join on orderkey, 2-row output.",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("lateness", F.when(late, "late").otherwise("on-time"))
+        .groupBy("lateness")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@REG.add(
+    "q13_customer_order_distribution",
+    oracle="""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                              AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    doc="TPC-H Q13: order-count histogram including zero-order customers — the "
+    "left-join-then-count-distribution shape. count(o_orderkey) (not count(*)) is "
+    "what makes unmatched customers land in bucket 0 on both engines.",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@REG.add(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15: quarterly revenue view + scalar-max subquery. Spark computes the "
+    "view once and resolves the max with a rank window over the tiny aggregate "
+    "(|suppliers| rows) instead of a second scan; rounding before the max makes "
+    "float ties engine-stable.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.withColumn(
+        "rk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+    ).where(F.col("rk") == 1)
+    s = load(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(top), s.s_suppkey == top.supplier_no
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@REG.add(
+    "q17_small_quantity_revenue",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+          )
+    """,
+    doc="TPC-H Q17: correlated average subquery decorrelated into a per-part "
+    "aggregate joined back to the fact — one extra aggregation instead of a "
+    "rescan per row. The per-part avg table is |parts| rows -> broadcast.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(part_avg), li.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@REG.add(
+    "q21_waiting_suppliers",
+    oracle="""
+        WITH late AS (
+            SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        FROM late l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_4')
+          AND EXISTS (
+              SELECT 1 FROM late l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+          )
+          AND l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 10
+    """,
+    doc="TPC-H Q21-shaped (lateness = shipdate > orderdate+60d, since commit/receipt "
+    "dates don't exist): suppliers who alone held up multi-supplier orders. The "
+    "EXISTS / NOT EXISTS pair is decorrelated into one per-order aggregate "
+    "(distinct suppliers, distinct late suppliers) joined back — one shuffle on "
+    "orderkey replaces two correlated rescans.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_4")
+    )
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        "o_orderdate",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ).alias("is_late"),
+    )
+    # Decorrelated EXISTS/NOT EXISTS: per-order supplier stats.
+    order_stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    # NOTE the oracle's l3 is over ALL lineitems of the order (status-F
+    # orders only exist in `late`, but l3 ranges over lineitem — for an
+    # order in `late` every lineitem of it appears in `late` too since
+    # the join key is the order), so order_stats over lo is equivalent.
+    l1 = (
+        lo.where(F.col("is_late"))
+        .join(order_stats, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+@REG.add(
+    "q22_inactive_rich_customers",
+    oracle="""
+        WITH pool AS (
+            SELECT c.c_custkey, c.c_acctbal, n.n_name
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+                               'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7')
+        )
+        SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM pool p
+        WHERE p.c_acctbal > (SELECT avg(c_acctbal) FROM pool WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+          )
+        GROUP BY n_name
+    """,
+    doc="TPC-H Q22-shaped (no phone column => country buckets are nations): "
+    "above-average-balance customers with no orders. Scalar avg subquery becomes a "
+    "1-row cross join; NOT EXISTS becomes a left-anti join against just the "
+    "o_custkey column (column-pruned scan of orders).",
+)
+def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = [f"NATION_{i}" for i in range(1, 8)]
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name").isin(nations))
+    pool = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_acctbal", "n_name"
+    )
+    avg_bal = pool.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
