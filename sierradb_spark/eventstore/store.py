@@ -556,7 +556,10 @@ class EventStore:
             else F.lit(-1).cast("long")
         )
         if fast:
-            result = self._assign_fast(enr, base_seq)
+            # Pin the assignment once: the events write, the heads
+            # aggregation, and the caller's inspection of the results all
+            # reuse the same blocks instead of re-running the join+window.
+            result = self._assign_fast(enr, base_seq).localCheckpoint(eager=True)
         else:
             enr = enr.withColumn(
                 "cur_partition_sequence",
