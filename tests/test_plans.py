@@ -95,3 +95,42 @@ def test_lsh_banding_is_equi_join(q):
     f = assert_plan(q("near_dup_candidate_pairs"))
     assert f["broadcast_hash_joins"] + f["sort_merge_joins"] >= 1
     assert f["nested_loop_joins"] == 0
+
+
+def test_q7_q8_q9_all_dimensions_broadcast(q):
+    # multi-way TPC-H join trees: every dimension side must broadcast —
+    # a lost broadcast at 100 TB turns into a fact-table shuffle
+    assert_plan(q("q7_volume_shipping"), require_broadcast_joins=5,
+                forbid_nested_loop=True)
+    assert_plan(q("q8_market_share"), require_broadcast_joins=7,
+                require_pushed_filter="p_type", forbid_nested_loop=True)
+    assert_plan(q("q9_profit_by_nation_year"), require_broadcast_joins=4,
+                forbid_nested_loop=True)
+
+
+def test_q17_decorrelated_no_rescan_loop(q):
+    # correlated avg subquery must become a broadcast-joined aggregate,
+    # never a nested-loop re-scan per outer row
+    assert_plan(q("q17_small_quantity_revenue"), require_broadcast_joins=2,
+                forbid_nested_loop=True)
+
+
+def test_q21_exists_decorrelated_to_hash_joins(q):
+    # EXISTS/NOT EXISTS must plan as hash joins (broadcast or sort-merge)
+    # against the per-order aggregate; top-10 as TakeOrderedAndProject
+    f = assert_plan(q("q21_waiting_suppliers"), require_top_k=True,
+                    forbid_nested_loop=True)
+    assert f["broadcast_hash_joins"] + f["sort_merge_joins"] >= 2
+
+
+def test_state_projection_exchange_bounded(q):
+    # one user_id shuffle each for window + agg, broadcast for the join
+    f = assert_plan(q("user_state_projection"), max_shuffles=3)
+    assert f["broadcast_hash_joins"] >= 1
+
+
+def test_bigrams_no_unigram_explosion_shuffle(q):
+    # bigram counting: partial agg before the (lang, bigram) exchange;
+    # the token stream itself must never cross a shuffle boundary
+    f = assert_plan(q("top_bigrams_by_lang"), max_shuffles=2)
+    assert f["partial_aggs"] >= 1
