@@ -4,5 +4,13 @@ from sierradb_spark.streaming.subscribe import (
     StreamMatcher,
     Subscription,
 )
+from sierradb_spark.streaming.windowed import dedup_stream, windowed_event_counts
 
-__all__ = ["StreamIngest", "StreamMatcher", "PartitionMatcher", "Subscription"]
+__all__ = [
+    "StreamIngest",
+    "StreamMatcher",
+    "PartitionMatcher",
+    "Subscription",
+    "dedup_stream",
+    "windowed_event_counts",
+]

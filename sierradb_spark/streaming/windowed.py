@@ -1,0 +1,82 @@
+"""Event-time windowed streaming: watermarks, late data, stream dedup.
+
+The reference has NO event-time windowing — its "watermark" is a
+replication-confirmation watermark (SURVEY §2.7: ordering is by
+sequence, not time). These operators are the extension surface a
+Spark-native engine adds on top: tumbling/sliding event-time
+aggregation with late-data bounds, and watermark-bounded streaming
+deduplication (the generalization of the reference's ``has_seen`` seam
+dedup, subscription.rs:101-293, to arbitrary key spaces).
+
+Scale notes: event-time state is per (window, key) — the watermark is
+what lets the state store evict closed windows, keeping state O(open
+windows x keys) instead of O(history). Without it a 100 TB stream's
+aggregation state grows without bound; that eviction contract is
+exactly what the tests pin down (late rows below the watermark are
+dropped, finalized windows never change).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+    time_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) event-time aggregation
+    with a late-data watermark.
+
+    In append output mode a window is emitted exactly once — when the
+    watermark passes its end — and events arriving later than
+    ``watermark`` behind the max seen event time are dropped, which is
+    the state-eviction bound that keeps streaming aggregation state
+    finite.
+    """
+    w = (
+        F.window(F.col(time_col), window, slide)
+        if slide
+        else F.window(F.col(time_col), window)
+    )
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(w.alias("win"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    watermark: str = "10 minutes",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Watermark-bounded exactly-once-per-key delivery.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes, so dedup state is O(keys per watermark horizon) —
+    the streaming generalization of the reference's catch-up/live seam
+    dedup (``matcher.has_seen``), which only needed to remember one
+    position per subscription key.
+    """
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

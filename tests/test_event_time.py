@@ -1,0 +1,116 @@
+"""Event-time streaming semantics: watermark finalization, late-data
+drop, and watermark-bounded dedup.
+
+The reference has no event-time windowing (its watermark is a
+replication-confirmation watermark); these tests pin the EXTENSION
+semantics our engine adds: (a) in append mode a window is emitted
+exactly once, after the watermark passes its end; (b) an event arriving
+later than the watermark allows is dropped, never retro-mutating a
+finalized window; (c) duplicate keys within the watermark horizon are
+delivered once.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+
+SCHEMA = "ts timestamp, event_type string, value double, event_id string"
+
+
+def _write_batch(spark, path, rows, n=1):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_pass(spark, src, ckpt, transform, out):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        transform(stream)
+        .writeStream.foreachBatch(lambda b, _id: out.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def _t(minute, second=0):
+    return datetime(2024, 3, 1, 10, minute, second)
+
+
+def test_window_finalized_once_and_late_drop(spark, tmp_path):
+    from sierradb_spark.streaming import windowed_event_counts
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+
+    def agg(stream):
+        return windowed_event_counts(
+            stream, window="10 minutes", watermark="10 minutes"
+        )
+
+    # Pass 1: events 10:00-10:21. Watermark after the pass = 10:21-10m =
+    # 10:11 -> window [10:00,10:10) finalizes and is emitted.
+    _write_batch(
+        spark,
+        src,
+        [
+            (_t(0), "click", 1.0, "e1"),
+            (_t(5), "click", 2.0, "e2"),
+            (_t(12), "click", 4.0, "e3"),
+            (_t(21), "click", 8.0, "e4"),
+        ],
+    )
+    _run_pass(spark, src, ckpt, agg, out)
+    got1 = {(r["window_start"], r["n_events"], r["total_value"]) for r in out}
+    assert got1 == {(_t(0), 2, 3.0)}
+
+    # Pass 2: an on-time event (10:35) plus a LATE event at 10:01 —
+    # below the 10:11 watermark, so it must be dropped, not appended to
+    # the already-finalized [10:00,10:10) window. New watermark 10:25
+    # passes 10:20, finalizing [10:10,10:20) with exactly the pass-1
+    # event at 10:12 — and NOT the late one.
+    out2: list = []
+    _write_batch(
+        spark,
+        src,
+        [
+            (_t(35), "click", 16.0, "e5"),
+            (_t(1), "click", 32.0, "late"),
+        ],
+    )
+    _run_pass(spark, src, ckpt, agg, out2)
+    got2 = {(r["window_start"], r["n_events"], r["total_value"]) for r in out2}
+    assert got2 == {(_t(10), 1, 4.0)}  # late 10:01 event NOT re-opened/counted
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    from sierradb_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+
+    # duplicates of e1 within one batch and across batches
+    _write_batch(
+        spark,
+        src,
+        [
+            (_t(0), "click", 1.0, "e1"),
+            (_t(0, 30), "click", 1.0, "e1"),
+            (_t(1), "click", 2.0, "e2"),
+        ],
+    )
+    _run_pass(
+        spark, src, ckpt, lambda s: dedup_stream(s, keys=("event_id",)), out
+    )
+    _write_batch(spark, src, [(_t(2), "click", 1.0, "e1"), (_t(3), "view", 3.0, "e3")])
+    _run_pass(
+        spark, src, ckpt, lambda s: dedup_stream(s, keys=("event_id",)), out
+    )
+    ids = sorted(r["event_id"] for r in out)
+    assert ids == ["e1", "e2", "e3"]
