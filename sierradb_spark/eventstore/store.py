@@ -243,13 +243,19 @@ class EventStore:
 
     # --- manifest log --------------------------------------------------------
 
-    def _read_state(self) -> _State:
+    def _read_state(self, as_of: Optional[int] = None) -> _State:
         """Resolve table state from the manifest chain.
 
         A ``base`` manifest (written by compact()) supersedes everything
         before it; later manifests add files incrementally. This is the
         plain-file analogue of a Delta checkpoint + JSON commits; the
         listing is O(#commits since compaction).
+
+        ``as_of``: resolve the snapshot at that commit number instead of
+        the latest — time travel over the immutable log (files are only
+        ever removed by :meth:`compact`, so every post-compaction commit
+        remains readable, exactly like Delta time travel bounded by
+        VACUUM).
         """
         try:
             names = sorted(
@@ -257,6 +263,8 @@ class EventStore:
             )
         except FileNotFoundError:
             names = []
+        if as_of is not None:
+            names = [n for n in names if int(n.split(".")[0]) <= as_of]
         if not names:
             return _State(0, (), (), {})
         manifests = []
@@ -297,15 +305,32 @@ class EventStore:
 
     # --- table views ---------------------------------------------------------
 
-    def events(self) -> DataFrame:
+    def commits(self) -> list[int]:
+        """Commit numbers currently resolvable (time-travel targets).
+
+        The full history since the last :meth:`compact` — each is a
+        consistent snapshot: events + heads + watermarks as of that
+        commit, usable via ``events(as_of=...)``.
+        """
+        try:
+            return sorted(
+                int(n.split(".")[0])
+                for n in os.listdir(self.commits_path)
+                if n.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+
+    def events(self, as_of: Optional[int] = None) -> DataFrame:
         """The committed events DataFrame.
 
         File list comes from the manifest chain, so uncommitted staging
         or orphaned crash leftovers are never visible; hive partition
         dirs (``partition_id=N``) still drive partition pruning via
-        ``basePath``.
+        ``basePath``. ``as_of`` reads the snapshot at that commit
+        (time travel; valid back to the last compaction).
         """
-        state = self._read_state()
+        state = self._read_state(as_of)
         if not state.events_files:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         paths = [os.path.join(self.events_path, p) for p in state.events_files]
@@ -328,7 +353,7 @@ class EventStore:
         paths = [os.path.join(self.heads_path, p) for p in state.heads_files]
         return self.spark.read.schema(HEADS_SCHEMA).parquet(*paths)
 
-    def watermarks(self) -> DataFrame:
+    def watermarks(self, as_of: Optional[int] = None) -> DataFrame:
         """Per-partition confirmed watermark table (SURVEY §4.3) as a
         DataFrame (from the driver-side dict — no file scan).
 
@@ -338,7 +363,7 @@ class EventStore:
         never see a sequence above it, and it only advances gaplessly
         because sequence assignment itself is gapless).
         """
-        wm = self._wm()
+        wm = self._read_state(as_of).watermarks
         return self.spark.createDataFrame(
             [(int(p), int(s)) for p, s in sorted(wm.items())],
             "partition_id int, confirmed_sequence long",
@@ -940,6 +965,13 @@ class EventStore:
                 os.path.join(self.heads_path, fn)
             ):
                 os.unlink(os.path.join(self.heads_path, fn))
+        # Superseded manifests point at swept files — broken time-travel
+        # targets. Remove them so commits() lists only valid snapshots
+        # (Delta's checkpoint-after-VACUUM behavior).
+        base_commit = state.commit + 1
+        for fn in os.listdir(self.commits_path):
+            if fn.endswith(".json") and int(fn.split(".")[0]) < base_commit:
+                os.unlink(os.path.join(self.commits_path, fn))
 
     def stream_version(
         self, stream_id: str, partition_key: str | None = None

@@ -205,3 +205,37 @@ def test_ids_column_expr_matches_python(store, spark):
     )
     for row in df.collect():
         assert row["h"] == ids.uuid_to_partition_hash(row["u"])
+
+
+def test_time_travel_snapshots(store):
+    """events(as_of=N) resolves the exact snapshot at commit N: event
+    set, heads, and watermarks move together (manifest atomicity), and
+    the history list is stable until compaction."""
+    store.append([AppendRequest("tt", f"E{i}") for i in range(3)])
+    store.append([AppendRequest("tt", f"E{i}") for i in range(3, 5)])
+    store.append([AppendRequest("tt2", "X")])
+    c1, c2, c3 = store.commits()
+    assert store.events(as_of=c1).count() == 3
+    assert store.events(as_of=c2).count() == 5
+    assert store.events(as_of=c3).count() == 6
+    assert store.events().count() == 6
+    # snapshot watermark == max sequence in that snapshot, per partition
+    for c in (c1, c2, c3):
+        ev = store.events(as_of=c)
+        heads = {
+            r["partition_id"]: r["hi"]
+            for r in ev.groupBy("partition_id")
+            .agg(F.max("partition_sequence").alias("hi"))
+            .collect()
+        }
+        wm = {
+            r["partition_id"]: r["confirmed_sequence"]
+            for r in store.watermarks(as_of=c).collect()
+        }
+        assert wm == heads
+    # as_of=0 (before any commit) is an empty store
+    assert store.events(as_of=0).count() == 0
+    # compaction collapses history to a single base snapshot
+    store.compact()
+    assert len(store.commits()) == 1
+    assert store.events().count() == 6
