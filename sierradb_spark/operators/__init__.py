@@ -17,6 +17,7 @@ from sierradb_spark.operators import (
     windows,
 )
 from sierradb_spark.functions import (
+    contamination,
     dedup,
     multimodal,
     pipeline,
@@ -40,6 +41,7 @@ for mod in (
     multimodal,
     pipeline,
     quality,
+    contamination,
 ):
     REGISTRY.merge(mod.REG)
 
