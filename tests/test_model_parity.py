@@ -173,11 +173,16 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
             assert all(r.accepted for r in res) == ok, f"txn diverged step {step} (seed {seed})"
             if ok:
                 assert [r.stream_version for r in res] == vers
-        elif roll < 0.85:  # read checks
+        elif roll < 0.82:  # read checks
             check_stream(rng.choice(STREAMS))
-        elif roll < 0.95:
+        elif roll < 0.88:
             pid = model.partition_of(rng.choice(STREAMS))
             check_partition(pid)
+        elif roll < 0.92:  # ESVER vs model head
+            s = rng.choice(STREAMS)
+            assert store.stream_version(s) == model.stream_versions.get(s)
+        elif roll < 0.96:  # compaction mid-sequence must not change state
+            store.compact()
         else:  # ReopenDatabase (commands.rs:332): fresh handle, same path
             store = EventStore(
                 spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8)
