@@ -176,3 +176,44 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(n_signup).crossJoin(stats).select(
         "n_signup", "n_converted", "n_converted_7d", "avg_hours_to_convert"
     )
+
+
+@REG.add(
+    "range_join_value_bands",
+    oracle="""
+        WITH bands AS (
+            SELECT k AS band_id,
+                   (k * k * 20)::DOUBLE AS lo,
+                   (k * k * 20 + 50 + 10 * k)::DOUBLE AS hi
+            FROM range(10) t(k)
+        )
+        SELECT b.band_id, b.lo, b.hi,
+               CAST(count(e.event_id) AS BIGINT) AS n_events,
+               round(avg(e.value), 4) AS avg_value
+        FROM bands b LEFT JOIN events e
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band_id, b.lo, b.hi
+    """,
+    doc="Range join: events matched into IRREGULAR, overlapping value bands "
+    "(no closed-form bucket function exists, so this cannot be rewritten as a "
+    "groupBy). The band table is tiny -> broadcast nested-loop with the range "
+    "predicate evaluated stream-side, which is the correct 100 TB plan: the "
+    "fact table is scanned once, never shuffled. An event falling in two "
+    "overlapping bands counts in both (join, not partition, semantics).",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * F.col("id") * 20).cast("double").alias("lo"),
+        (F.col("id") * F.col("id") * 20 + 50 + 10 * F.col("id"))
+        .cast("double")
+        .alias("hi"),
+    )
+    joined = F.broadcast(bands).join(
+        ev, (ev.value >= bands.lo) & (ev.value < bands.hi), "left"
+    )
+    return joined.groupBy("band_id", "lo", "hi").agg(
+        F.count("event_id").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
