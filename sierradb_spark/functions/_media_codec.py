@@ -103,9 +103,12 @@ def resize_batches(target: int):
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
                 w, h, _c = fake_decode(bytes(blob))
                 scale = target / max(w, h)
+                # half-up rounding (not Python's banker's): engine-portable,
+                # so the SQL oracle's round() computes identical geometry
+                dst_w = int(w * scale + 0.5) or 1
+                dst_h = int(h * scale + 0.5) or 1
                 rows.append(
-                    (doc_id, w, h, round(w * scale) or 1, round(h * scale) or 1,
-                     round(scale, 6))
+                    (doc_id, w, h, dst_w, dst_h, int(scale * 1e6 + 0.5) / 1e6)
                 )
             yield pd.DataFrame(
                 rows,

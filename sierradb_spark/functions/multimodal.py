@@ -51,12 +51,39 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_HEXBYTE = (
+    "(strpos('0123456789abcdef', substr(s, {p1}, 1)) - 1) * 16 + "
+    "strpos('0123456789abcdef', substr(s, {p2}, 1)) - 1"
+)
+_SQL_B0 = _SQL_HEXBYTE.format(p1=1, p2=2)
+_SQL_B1 = _SQL_HEXBYTE.format(p1=3, p2=4)
+
+
 @REG.add(
     "multimodal_decode_metadata",
-    oracle=None,  # decode runs through a Pandas UDF — not SQL-expressible
-    doc="Decode/feature-extract pipeline over binary media columns via mapInPandas "
-    "(Arrow batches). Codec stubbed deterministically; plumbing (schema, batching, "
-    "partitioning) is the real article. Rows-only correctness check.",
+    # The decode stub derives dimensions from sha256(blob) — which DuckDB
+    # can compute too, so the Pandas-UDF pipeline gets a REAL value oracle:
+    # the oracle re-derives the stub's spec in SQL (hash -> first two
+    # digest bytes -> dims), proving the mapInPandas plumbing delivers
+    # exactly one correct row per blob.
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               substr(s, 1, 8) AS sha8,
+               CAST(64 + ({_SQL_B0}) % 192 AS INT) AS fake_width,
+               CAST(64 + ({_SQL_B1}) % 192 AS INT) AS fake_height,
+               3 AS fake_channels
+        FROM h
+    """,
+    doc="Decode pipeline over binary media columns via mapInPandas (Arrow "
+    "batches). Codec stubbed deterministically from the content hash; the "
+    "oracle recomputes the same spec in SQL, so this Pandas-UDF stage is "
+    "value-hash-checked like every JVM operator.",
 )
 def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
@@ -104,9 +131,26 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "multimodal_resize_plan",
-    oracle=None,
-    doc="Resize stage: decode dims → target-256 geometry (aspect preserved). "
-    "Rows-only check.",
+    oracle=f"""
+        WITH h AS (SELECT doc_id, sha256(text) AS s FROM documents),
+        dims AS (
+            SELECT doc_id,
+                   64 + ({_SQL_B0}) % 192 AS w,
+                   64 + ({_SQL_B1}) % 192 AS h
+            FROM h
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS src_width, CAST(h AS INT) AS src_height,
+               CAST(greatest(floor(w * (256.0 / greatest(w, h)) + 0.5), 1)
+                    AS INT) AS dst_width,
+               CAST(greatest(floor(h * (256.0 / greatest(w, h)) + 0.5), 1)
+                    AS INT) AS dst_height,
+               floor(256.0 / greatest(w, h) * 1e6 + 0.5) / 1e6 AS scale
+        FROM dims
+    """,
+    doc="Resize stage: decode dims -> target-256 geometry (aspect preserved, "
+    "half-up rounding). Oracle re-derives the geometry from the same content "
+    "hash, value-checking the Pandas-UDF stage.",
 )
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
