@@ -41,6 +41,7 @@ def _words_col() -> F.Column:
 
 @REG.add(
     "benchmark_contamination",
+    headline=True,
     oracle=f"""
         WITH w AS (
             SELECT doc_id, source, {_SQL_WS} AS ws FROM documents

@@ -239,6 +239,7 @@ _CTX = 2048  # context window (tokens) for sequence packing
 
 @REG.add(
     "sequence_packing",
+    headline=True,
     oracle=f"""
         WITH t AS (
             SELECT doc_id,

@@ -27,6 +27,7 @@ REG = Registry()
 
 @REG.add(
     "user_state_projection",
+    headline=True,
     oracle="""
         WITH ranked AS (
             SELECT user_id, ts, event_type, value,

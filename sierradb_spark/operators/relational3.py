@@ -160,6 +160,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "q9_profit_by_nation_year",
+    headline=True,
     oracle="""
         SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
                CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
