@@ -134,9 +134,18 @@ def frame_sample_batches(n_frames: int, frame_size: int):
                 take = min(n_frames, n_avail)
                 for k in range(take):
                     off = (k * n_avail // take) * frame_size
-                    frame = b[off : off + frame_size]
+                    # frame fingerprint over the hex encoding of the byte
+                    # range: identical bytes <=> identical hex, and an
+                    # ASCII representation lets the SQL oracle re-derive
+                    # the hash (blob slicing isn't SQL-portable)
+                    frame_hex = b.hex()[off * 2 : (off + frame_size) * 2]
                     rows.append(
-                        (doc_id, k, off, hashlib.sha256(frame).hexdigest()[:8])
+                        (
+                            doc_id,
+                            k,
+                            off,
+                            hashlib.sha256(frame_hex.encode()).hexdigest()[:8],
+                        )
                     )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_no", "frame_offset", "frame_sha8"]

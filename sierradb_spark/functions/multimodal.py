@@ -161,10 +161,34 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "multimodal_frame_sample",
-    oracle=None,
-    doc="Frame-sampling stage: 1→N fan-out (4 evenly spaced 64-byte 'frames' "
+    # Frame fingerprints are sha256 over the hex of each byte range, so
+    # the oracle re-derives them with string slicing on lower(hex(blob)).
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, lower(hex(encode(text))) AS bh,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, bh,
+                   greatest(n_bytes // 64, 1) AS n_avail,
+                   least(4, greatest(n_bytes // 64, 1)) AS take
+            FROM m
+        ),
+        f AS (
+            SELECT doc_id, CAST(k AS INT) AS frame_no,
+                   CAST((k * n_avail // take) * 64 AS BIGINT) AS frame_offset,
+                   substr(bh, (k * n_avail // take) * 128 + 1, 128) AS fh
+            FROM p, unnest(generate_series(0, take - 1)) t(k)
+        )
+        SELECT doc_id, frame_no, frame_offset,
+               substr(sha256(fh), 1, 8) AS frame_sha8
+        FROM f
+    """,
+    doc="Frame-sampling stage: 1->N fan-out (4 evenly spaced 64-byte 'frames' "
     "per blob) — the ffmpeg-shaped stage whose output cardinality drives "
-    "downstream repartitioning. Rows-only check.",
+    "downstream repartitioning. Value-checked: the oracle re-derives each "
+    "frame's offset and hex-range fingerprint in SQL.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
