@@ -1,0 +1,124 @@
+"""End-to-end training-data pipeline over the engine's operators.
+
+Chains the curation stages a pretraining run needs — quality gates,
+exact + near dedup, decontamination, stratified mixture sampling, and
+sharded export — into one runnable script over the driver's testdata.
+Every stage is the same registry operator the correctness gate checks;
+this file shows how they compose.
+
+Run:  PYTHONPATH=/root/repo python examples/pretrain_pipeline.py [sf_dir] [out_dir]
+
+The analogous reference artifact is ``crates/sierradb/examples/``
+(runnable invariant checkers); ours composes the extension surface.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sierradb_spark.operators.base import load  # noqa: E402
+from sierradb_spark.session import get_spark  # noqa: E402
+
+
+def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
+    """documents.parquet -> curated, sharded training corpus. Returns
+    per-stage row counts (the funnel report)."""
+    d = load(spark, sf_dir, "documents")
+    n0 = d.count()
+
+    # 1. Quality gate (Gopher-style): length + token-count + mean word len.
+    words = F.filter(F.split(F.trim(F.col("text")), " +"), lambda w: w != "")
+    d = d.withColumn("n_tokens", F.size(words).cast("long"))
+    mean_wl = (F.col("n_chars") - F.col("n_tokens") + 1.0) / F.col("n_tokens")
+    quality = d.where(
+        F.col("n_chars").between(80, 400)
+        & F.col("n_tokens").between(15, 80)
+        & mean_wl.between(3, 8)
+    )
+    n1 = quality.count()
+
+    # 2. Exact dedup on normalized text hash (keep lowest doc_id).
+    norm = F.md5(F.lower(F.trim(F.col("text"))))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy(norm).orderBy("doc_id"))
+    exact = quality.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
+    n2 = exact.count()
+
+    # 3. Decontamination: drop docs sharing a 4-gram with the eval split
+    #    (doc_id % 97 == 0 stands in; the eval side broadcasts).
+    grams = F.when(
+        F.size(words) >= 4,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 4),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    bench_grams = g.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    contaminated = (
+        g.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = exact.where(F.col("doc_id") % 97 != 0).join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+    n3 = clean.count()
+
+    # 4. Stratified mixture sampling (deterministic multiplicative hash).
+    rate = (
+        F.when(F.col("lang") == "en", 0.5).when(F.col("lang") == "zh", 1.0).otherwise(0.75)
+    )
+    keep = ((F.col("doc_id") * 2654435761) % (1 << 32)) < (
+        F.lit(float(1 << 32)) * rate
+    ).cast("long")
+    sampled = clean.where(keep)
+    n4 = sampled.count()
+
+    # 5. Sharded export: 8-way deterministic shard, one directory per shard.
+    sharded = sampled.withColumn(
+        "shard", ((F.col("doc_id") * 2654435761) % (1 << 32) % 8).cast("int")
+    )
+    (
+        sharded.repartition(8, "shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return {
+        "input": n0,
+        "quality_pass": n1,
+        "after_exact_dedup": n2,
+        "after_decontamination": n3,
+        "after_mixture_sampling": n4,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(tempfile.gettempdir(), "pretrain_corpus")
+    )
+    spark = get_spark(app_name="pretrain-pipeline", shuffle_partitions=8)
+    funnel = run_pipeline(spark, sf_dir, out_dir)
+    for stage, n in funnel.items():
+        print(f"{stage:>24}: {n}")
+    print(f"corpus written to {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,21 @@
+"""The end-to-end pipeline example must run and preserve its funnel
+invariants (each stage only removes rows; export is complete + sharded)."""
+
+from __future__ import annotations
+
+import os
+
+
+def test_pretrain_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    from examples.pretrain_pipeline import run_pipeline
+
+    out = str(tmp_path / "corpus")
+    funnel = run_pipeline(spark, sf_dir, out)
+    ns = list(funnel.values())
+    assert ns[0] > 0
+    assert all(a >= b for a, b in zip(ns, ns[1:])), funnel  # monotone funnel
+    assert ns[-1] > 0
+    got = spark.read.parquet(out)
+    assert got.count() == ns[-1]
+    shards = {r["shard"] for r in got.select("shard").distinct().collect()}
+    assert shards <= set(range(8)) and len(shards) > 1
