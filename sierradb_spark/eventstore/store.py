@@ -888,6 +888,39 @@ class EventStore:
             else:
                 hi = rows[-1]["stream_version"] - 1
 
+    def pscan_batches(
+        self,
+        partition_id: int,
+        start: RangeValue = "-",
+        end: RangeValue = "+",
+        batch_size: int | None = None,
+        direction: Literal["forward", "reverse"] = "forward",
+    ) -> Iterator[list]:
+        """Batched partition iteration (R7 over EPSCAN, mirroring
+        :meth:`scan_batches`): ≤ batch_size events per page, paginating
+        by sequence cursor — the reference's partition iterator with
+        ``next_batch`` (iter.rs:54-149,491-568)."""
+        size = batch_size or self.config.default_batch_size
+        lo = None if start == "-" else int(start)
+        hi = None if end == "+" else int(end)
+        while True:
+            rows = self.pscan(
+                partition_id,
+                "-" if lo is None else lo,
+                "+" if hi is None else hi,
+                count=size,
+                direction=direction,
+            ).collect()
+            if not rows:
+                return
+            yield rows
+            if len(rows) < size:
+                return
+            if direction == "forward":
+                lo = rows[-1]["partition_sequence"] + 1
+            else:
+                hi = rows[-1]["partition_sequence"] - 1
+
     def compact(self, target_files_per_partition: int = 1) -> None:
         """Segment-rollover/OPTIMIZE analog (W8; writer_thread_pool.rs:697-790).
 

@@ -41,3 +41,15 @@ def test_compact_preserves_contents_and_shrinks_files(store):
     # reads still work post-swap
     assert store.stream_version("c-0") == 5
     assert [r["stream_version"] for r in store.scan("c-1").collect()] == list(range(6))
+
+
+def test_pscan_batches_pagination(store):
+    store.append([AppendRequest("pb1", f"E{i}") for i in range(17)])
+    pid = store.scan("pb1").collect()[0]["partition_id"]
+    pages = list(store.pscan_batches(pid, batch_size=5))
+    assert [len(p) for p in pages] == [5, 5, 5, 2]
+    flat = [r["partition_sequence"] for p in pages for r in p]
+    assert flat == list(range(17))
+    pages = list(store.pscan_batches(pid, 3, 12, batch_size=4, direction="reverse"))
+    flat = [r["partition_sequence"] for p in pages for r in p]
+    assert flat == list(range(12, 2, -1))
