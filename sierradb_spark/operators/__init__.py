@@ -24,6 +24,7 @@ from sierradb_spark.functions import (
     quality,
     similarity,
     text,
+    udx,
 )
 
 REGISTRY = Registry()
@@ -42,6 +43,7 @@ for mod in (
     pipeline,
     quality,
     contamination,
+    udx,
 ):
     REGISTRY.merge(mod.REG)
 
