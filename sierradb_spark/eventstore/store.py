@@ -554,6 +554,22 @@ class EventStore:
         the events table: O(streams since compaction), not O(table).
         """
         batch = batch.localCheckpoint(eager=True)
+        if not fast and not self.config.strict_versioning:
+            # Common connector case: an expected_version column exists but
+            # every row is 'any' (no preconditions anywhere). One cheap
+            # limit(1) probe on the pinned batch upgrades it to the pure-
+            # JVM path — the per-partition serial replay exists only to
+            # order precondition checks, which such a batch doesn't have.
+            has_precondition = (
+                batch.where(
+                    F.col("expected_version").isNotNull()
+                    & (F.col("expected_version") != "any")
+                )
+                .limit(1)
+                .count()
+                > 0
+            )
+            fast = not has_precondition
         state = self._read_state()
         heads = (
             self.heads()
