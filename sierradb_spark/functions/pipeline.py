@@ -350,3 +350,97 @@ def top_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.withColumn("rn", rn).where(F.col("rn") <= 5).select(
         "lang", "bigram", "n_occurrences"
     )
+
+
+@REG.add(
+    "epoch_shuffle_order",
+    oracle=f"""
+        WITH ord AS (
+            SELECT doc_id, n_chars,
+                   (doc_id * {_KNUTH} + 17) % {_RING} AS shuffle_key
+            FROM documents
+        )
+        SELECT doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key, n_chars
+        FROM ord
+        ORDER BY shuffle_key ASC, doc_id ASC
+        LIMIT 20
+    """,
+    doc="Deterministic epoch shuffle: training order for epoch k is a sort by "
+    "hash(doc_id, k) — reproducible, resumable mid-epoch (the order is a pure "
+    "function, no RNG state to checkpoint), and a different permutation each "
+    "epoch. At 100 TB this is the sort key of the export write (range-"
+    "partitioned), not a global sort at read time; the top-20 here pins the "
+    "permutation itself.",
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = 17
+    d = load(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * _KNUTH + epoch) % _RING
+    return (
+        d.select("doc_id", key.cast("long").alias("shuffle_key"), "n_chars")
+        .orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@REG.add(
+    "dedup_keep_best_quality",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang, n_chars,
+                   md5(lower(trim(text))) AS content_key,
+                   -- quality = closeness to a 250-char target length
+                   -abs(n_chars - 250) AS quality
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY content_key
+                       ORDER BY quality DESC, doc_id ASC) AS rk,
+                   CAST(count(*) OVER (PARTITION BY content_key) AS BIGINT)
+                       AS group_size
+            FROM scored
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(count(*) FILTER (WHERE group_size > 1) AS BIGINT)
+                   AS n_kept_from_dup_groups,
+               CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        FROM ranked WHERE rk = 1
+        GROUP BY lang
+    """,
+    doc="Quality-aware dedup: within each exact-content group keep the HIGHEST-"
+    "QUALITY document (argmax via row_number over quality, doc_id tiebreak) "
+    "instead of the first — the survivor policy real pipelines use so dedup "
+    "doesn't discard the cleanest copy. One shuffle on the content hash; "
+    "quality is computed scan-side.",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"),
+        (-F.abs(F.col("n_chars") - 250)).alias("quality"),
+    )
+    w = Window.partitionBy("content_key")
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            w.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        ),
+    ).withColumn("group_size", F.count("*").over(w))
+    return (
+        ranked.where(F.col("rk") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.count(F.when(F.col("group_size") > 1, 1)).alias(
+                "n_kept_from_dup_groups"
+            ),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
