@@ -203,6 +203,11 @@ def label_centroid_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pass (shuffle carries |cells|x|dims| rows, never vectors).",
 )
 def ivf_probe1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF top-10 probing the query's ``nprobe`` nearest cells."""
     e = load(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qv")
@@ -222,12 +227,12 @@ def ivf_probe1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.crossJoin(F.broadcast(q))
         .select("label", cosine_col(F.col("cv"), F.col("qv")).alias("ccos"))
         .orderBy(F.col("ccos").desc(), F.col("label").asc())
-        .limit(1)
+        .limit(nprobe)
         .select("label")
     )
     cos = F.round(cosine_col(_dvec("embedding"), F.col("qv")), 4).alias("cosine")
     return (
-        e.join(F.broadcast(best), "label")  # probe: only the routed cell is scanned
+        e.join(F.broadcast(best), "label")  # probe: only routed cells are scanned
         .where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "label", cos)
@@ -291,3 +296,40 @@ def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@REG.add(
+    "ivf_probe2_topk",
+    oracle=f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        comp AS (
+            SELECT e.label, t.i, avg(e.embedding[t.i]::DOUBLE) AS c
+            FROM embeddings e, range(1, 65) t(i)
+            GROUP BY e.label, t.i
+        ),
+        cent AS (
+            SELECT label, list(c ORDER BY i) AS cv FROM comp GROUP BY label
+        ),
+        best AS (
+            SELECT cent.label
+            FROM cent, q
+            ORDER BY list_dot_product(cent.cv, q.qv)
+                     / nullif(sqrt(list_dot_product(cent.cv, cent.cv))
+                              * sqrt(list_dot_product(q.qv, q.qv)), 0) DESC,
+                     cent.label ASC
+            LIMIT 2
+        )
+        SELECT e.vec_id, e.label,
+               round({_sql_cos('e.embedding', 'q.qv')}, 4) AS cosine
+        FROM embeddings e, q
+        WHERE e.label IN (SELECT label FROM best) AND e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    doc="IVF ANN with nprobe=2: probe the query's TWO nearest cells — the "
+    "recall/cost knob in action (2/|cells| of the data scanned instead of "
+    "1/|cells|, strictly higher recall). Same centroid build; probing more "
+    "cells only widens the broadcast semi join on the cell id.",
+)
+def ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, nprobe=2)
