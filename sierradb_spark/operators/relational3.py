@@ -461,3 +461,100 @@ def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@REG.add(
+    "full_outer_nation_coverage",
+    oracle="""
+        WITH c AS (
+            SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer GROUP BY c_nationkey
+        ),
+        s AS (
+            SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey
+        )
+        SELECT n.n_name,
+               coalesce(c.n_customers, 0) AS n_customers,
+               coalesce(s.n_suppliers, 0) AS n_suppliers,
+               (c.nk IS NOT NULL AND s.nk IS NOT NULL) AS has_both
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        JOIN nation n ON n.n_nationkey = coalesce(c.nk, s.nk)
+    """,
+    doc="FULL OUTER join: per-nation customer/supplier coverage, preserving "
+    "nations present on either side only. Both inputs pre-aggregate to "
+    "|nations| rows before the join, so the outer join moves a handful of "
+    "rows regardless of fact cardinality.",
+)
+def full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    c = cust.groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        F.count("*").alias("n_customers")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("s_nk")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    j = c.join(s, c.c_nk == s.s_nk, "full_outer")
+    return (
+        j.join(
+            F.broadcast(n),
+            n.n_nationkey == F.coalesce(F.col("c_nk"), F.col("s_nk")),
+        )
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            (F.col("c_nk").isNotNull() & F.col("s_nk").isNotNull()).alias(
+                "has_both"
+            ),
+        )
+    )
+
+
+@REG.add(
+    "customer_spend_quartiles",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, total_spend,
+                   ntile(4) OVER (ORDER BY total_spend DESC, o_custkey ASC)
+                       AS quartile,
+                   percent_rank() OVER (ORDER BY total_spend DESC, o_custkey ASC)
+                       AS pr
+            FROM spend
+        )
+        SELECT quartile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(total_spend), 2) AS quartile_spend,
+               round(min(pr), 4) AS min_pct_rank,
+               round(max(pr), 4) AS max_pct_rank
+        FROM ranked GROUP BY quartile
+    """,
+    doc="ntile + percent_rank window functions: customer spend quartiles with "
+    "each quartile's percent-rank span. The global window sorts |customers| "
+    "pre-aggregated rows (not orders); full ordering ties broken by key so "
+    "both engines tile identically.",
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
+    ranked = spend.select(
+        "o_custkey",
+        "total_spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("total_spend"), 2).alias("quartile_spend"),
+        F.round(F.min("pr"), 4).alias("min_pct_rank"),
+        F.round(F.max("pr"), 4).alias("max_pct_rank"),
+    )
