@@ -123,3 +123,44 @@ def test_fast_path_validation_rejections(store, spark):
     assert errs[long_stream] == "stream_id must be 1-64 chars"
     assert errs["ok-stream"] == "event_name too long"
     assert res.where("accepted").count() == 1
+
+
+def test_append_df_caller_grouped_transactions(spark, tmp_path):
+    """txn_id-grouped requests through append_df: a transaction is
+    all-or-nothing (one invalid request rejects its whole txn), and a
+    txn spanning partitions is rejected whole (database.rs:867-897) —
+    while independent valid transactions in the same batch commit."""
+    from sierradb_spark.config import EngineConfig
+    from sierradb_spark.eventstore import EventStore
+
+    store = EventStore(
+        spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8)
+    )
+    rows = [
+        # txn A: two valid events on one stream (one partition) -> accepted
+        ("tA", "s-a", "E1", "any"),
+        ("tA", "s-a", "E2", "any"),
+        # txn B: second request invalid (bad expected_version) -> both rejected
+        ("tB", "s-b", "E1", "any"),
+        ("tB", "s-b", "E2", "not-a-version"),
+        # txn C: spans two streams on different partitions -> both rejected
+        ("tC", "s-c", "E1", "any"),
+        ("tC", "s-d", "E1", "any"),
+    ]
+    reqs = spark.createDataFrame(
+        rows, "txn_id string, stream_id string, event_name string, expected_version string"
+    )
+    res = {
+        (r["txn_id"], r["event_name"]): (r["accepted"], r["error"])
+        for r in store.append_df(reqs).collect()
+    }
+    assert res[("tA", "E1")][0] and res[("tA", "E2")][0]
+    assert not res[("tB", "E1")][0] and not res[("tB", "E2")][0]
+    assert "invalid expected_version" in res[("tB", "E1")][1]
+    assert not res[("tC", "E1")][0]
+    assert "spans multiple partitions" in res[("tC", "E1")][1]
+    # only txn A landed; its events share one transaction_id
+    ev = store.events().collect()
+    assert sorted(r["event_name"] for r in ev) == ["E1", "E2"]
+    assert len({r["transaction_id"] for r in ev}) == 1
+    assert [r["stream_version"] for r in sorted(ev, key=lambda r: r["stream_version"])] == [0, 1]
