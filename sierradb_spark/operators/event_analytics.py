@@ -166,7 +166,9 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_signup = s.agg(F.count("*").alias("n_signup"))
     secs = (
-        F.unix_micros("conv_ts") - F.unix_micros("signup_ts")
+        # NTZ-safe: see sessionize_streams — UTC session tz makes this exact.
+        F.unix_micros(F.col("conv_ts").cast("timestamp_ltz"))
+        - F.unix_micros(F.col("signup_ts").cast("timestamp_ltz"))
     ).cast("double") / 1_000_000.0
     within_7d = F.col("conv_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY")
     stats = conv.agg(

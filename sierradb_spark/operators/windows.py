@@ -119,8 +119,12 @@ def sessionize_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("ts").over(w).isNull()
             | (
                 # microsecond-exact gap comparison (matches DuckDB's
-                # interval arithmetic; casting to seconds would truncate)
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                # interval arithmetic; casting to seconds would truncate).
+                # cast("timestamp_ltz"): unix_micros rejects TIMESTAMP_NTZ,
+                # and the testdata parquet may carry either type; with the
+                # session tz pinned to UTC the cast is a reinterpretation.
+                F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
                 > 30 * 60 * 1_000_000
             ),
             1,
