@@ -30,9 +30,20 @@ class EngineConfig:
     strict_versioning: bool = False
     # Default scan batch size (DEFAULT_BATCH_SIZE, sierradb-cluster/src/lib.rs:43).
     default_batch_size: int = 50
+    # Replication factor (reference default min(nodes, 3), config.rs:192-205;
+    # MAX_REPLICATION_FACTOR = 12, lib.rs:27). Replication itself is the
+    # storage platform's job here; the factor survives so the recorded
+    # confirmation_count equals the write quorum the reference would reach.
+    replication_factor: int = 3
     # Shuffle partitions for local testing; at 100 TB cluster scale this
     # should be ~2-3x total executor cores (AQE coalesces the tail).
     shuffle_partitions: int = 32
+
+    @property
+    def write_quorum(self) -> int:
+        """(rf/2)+1 — confirmations a committed write has reached
+        (quorum check, sierradb-cluster/src/write/execute.rs:34-40)."""
+        return self.replication_factor // 2 + 1
 
     def bucket_for_partition(self, partition_id: int) -> int:
         """bucket_id = partition_id % num_buckets (database.rs:66)."""

@@ -26,9 +26,13 @@ resolve the file set and watermarks from the latest manifest chain, so
   (GetStreamVersion parity, sierradb-cluster/src/read.rs:1044-1068);
 - there are no swap windows where a concurrent reader sees a missing
   directory or an empty watermark table.
-Single WRITER per store (the reference's writer-thread discipline);
-readers are unrestricted. On a production cluster, swap this module's
-manifest log for Delta/Iceberg commits — the semantics are identical.
+Single WRITER per store (the reference's writer-thread discipline),
+ENFORCED by the manifest chain: publishing commit N+1 is a
+compare-and-swap on the commit number (os.link fails on collision), so
+a racing second writer loses with :class:`ConcurrentWriteError` and its
+staged files stay invisible. Readers are unrestricted. On a production
+cluster, swap this module's manifest log for Delta/Iceberg commits —
+the semantics are identical.
 
 Scale notes (100 TB):
 - Events are hive-partitioned by ``partition_id`` and sorted within
@@ -108,6 +112,17 @@ class VersionConflict(Exception):
     pass
 
 
+class ConcurrentWriteError(Exception):
+    """Another writer published the same manifest commit number first.
+
+    The reference enforces one writer per bucket by construction (one
+    writer thread owns it, writer_thread_pool.rs:56-186); here the
+    manifest chain is the serialization point: commit N+1 only lands if
+    N is still the head, so of two racing writers exactly one wins and
+    the loser's data files stay unreferenced (invisible, swept later).
+    """
+
+
 @dataclass(frozen=True)
 class _State:
     """Table state resolved from the manifest chain."""
@@ -116,6 +131,9 @@ class _State:
     events_files: tuple[str, ...]
     heads_files: tuple[str, ...]
     watermarks: dict[int, int]  # partition_id -> confirmed_sequence
+    # Ingest batch tokens already committed (streaming idempotence):
+    # a replayed foreachBatch whose token is here is skipped whole.
+    batch_tokens: frozenset[str] = frozenset()
 
 
 def _validate_and_assign(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -282,11 +300,23 @@ class EventStore:
                 break
         events: list[str] = []
         heads: list[str] = []
+        tokens: set[str] = set()
         for m in manifests[start:]:
             events.extend(m.get("events_add", ()))
             heads.extend(m.get("heads_add", ()))
+            # Base manifests carry the chain's token history forward
+            # (bounded — see compact()); incremental ones carry their own.
+            tokens.update(m.get("batch_tokens_seen", ()))
+            if m.get("batch_token"):
+                tokens.add(m["batch_token"])
         wm = {int(k): int(v) for k, v in manifests[-1]["watermarks"].items()}
-        return _State(manifests[-1]["commit"], tuple(events), tuple(heads), wm)
+        return _State(
+            manifests[-1]["commit"],
+            tuple(events),
+            tuple(heads),
+            wm,
+            frozenset(tokens),
+        )
 
     def _wm(self) -> dict[int, int]:
         """Per-partition confirmed watermarks — driver-side dict, zero
@@ -295,13 +325,29 @@ class EventStore:
         return self._read_state().watermarks
 
     def _write_manifest(self, manifest: dict) -> None:
+        """Publish a manifest with compare-and-swap semantics.
+
+        ``os.link`` (unlike ``os.rename``) fails with EEXIST when the
+        target name is taken, so publishing commit N+1 succeeds only if
+        no other writer got there first — the manifest chain is a CAS on
+        the commit number. Raises :class:`ConcurrentWriteError` on loss;
+        the loser's staged data files remain unreferenced and invisible.
+        """
         name = f"{manifest['commit']:020d}.json"
         tmp = os.path.join(self.commits_path, f".{name}.tmp-{secrets.token_hex(4)}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(self.commits_path, name))  # the commit point
+        try:
+            os.link(tmp, os.path.join(self.commits_path, name))  # the commit point
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"manifest {manifest['commit']} already published by another "
+                "writer; this store instance lost the commit race"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     # --- table views ---------------------------------------------------------
 
@@ -544,7 +590,9 @@ class EventStore:
         cols = [f.name for f in APPEND_REQUEST_SCHEMA.fields]
         return self._apply_batch(enriched.select(*cols), fast=fast)
 
-    def _apply_batch(self, batch: DataFrame, fast: bool) -> DataFrame:
+    def _apply_batch(
+        self, batch: DataFrame, fast: bool, batch_token: str | None = None
+    ) -> DataFrame:
         """Validate + assign + commit one batch. Returns per-request results.
 
         One localCheckpoint pins the batch (so the non-deterministic
@@ -552,7 +600,18 @@ class EventStore:
         — assignment, the events write, the heads aggregation — reuses
         those cached blocks. Heads recovery reads the heads log, never
         the events table: O(streams since compaction), not O(table).
+
+        ``batch_token``: idempotence key for streaming replays. If the
+        token is already in the manifest chain, the batch committed in a
+        previous incarnation (crash landed between manifest-rename and
+        checkpoint-commit) and is skipped whole — the analogue of the
+        reference's single-assignment writer thread, where a client
+        retry cannot double-append (writer_thread_pool.rs:560-645), and
+        of Delta's txn-id check.
         """
+        state = self._read_state()
+        if batch_token is not None and batch_token in state.batch_tokens:
+            return self.spark.createDataFrame([], APPEND_RESULT_SCHEMA)
         batch = batch.localCheckpoint(eager=True)
         if not fast and not self.config.strict_versioning:
             # Common connector case: an expected_version column exists but
@@ -570,7 +629,6 @@ class EventStore:
                 > 0
             )
             fast = not has_precondition
-        state = self._read_state()
         heads = (
             self.heads()
             .groupBy("partition_id", "stream_id")
@@ -613,7 +671,7 @@ class EventStore:
                 .applyInPandas(_validate_and_assign, schema=APPEND_RESULT_SCHEMA)
                 .localCheckpoint(eager=True)  # pin before commit + return
             )
-        self._commit(result.where(F.col("accepted")), state)
+        self._commit(result.where(F.col("accepted")), state, batch_token)
         return result
 
     @staticmethod
@@ -657,7 +715,9 @@ class EventStore:
             rejected.select(*_RESULT_COLS)
         )
 
-    def _commit(self, accepted: DataFrame, state: _State) -> None:
+    def _commit(
+        self, accepted: DataFrame, state: _State, batch_token: str | None = None
+    ) -> None:
         """Write events + heads + watermark advance as one atomic commit.
 
         1. Events land in a staging dir (one Spark job), then move into
@@ -687,7 +747,9 @@ class EventStore:
             "payload",
             "metadata",
             F.col("txn_id").alias("transaction_id"),
-            F.lit(2).cast("int").alias("confirmation_count"),  # quorum for rf=3
+            # A manifest-committed write is quorum-durable by platform
+            # guarantee; record the quorum the configured rf implies.
+            F.lit(self.config.write_quorum).cast("int").alias("confirmation_count"),
         )
         # Sort within files by (stream_id, stream_version) so row-group
         # stats make stream scans skip (replaces the reference's
@@ -737,15 +799,16 @@ class EventStore:
             heads_pdf.groupby("partition_id")["partition_sequence"].max().items()
         ):
             wm[int(pid)] = max(int(wm.get(int(pid), -1)), int(seq))
-        self._write_manifest(
-            {
-                "commit": state.commit + 1,
-                "base": False,
-                "events_add": added,
-                "heads_add": [heads_rel],
-                "watermarks": {str(p): int(s) for p, s in wm.items()},
-            }
-        )
+        manifest = {
+            "commit": state.commit + 1,
+            "base": False,
+            "events_add": added,
+            "heads_add": [heads_rel],
+            "watermarks": {str(p): int(s) for p, s in wm.items()},
+        }
+        if batch_token is not None:
+            manifest["batch_token"] = batch_token
+        self._write_manifest(manifest)
 
     @staticmethod
     def _write_heads_file(pdf: pd.DataFrame, path: str) -> None:
@@ -937,17 +1000,30 @@ class EventStore:
             else:
                 hi = rows[-1]["partition_sequence"] - 1
 
-    def compact(self, target_files_per_partition: int = 1) -> None:
+    def compact(
+        self,
+        target_files_per_partition: int = 1,
+        retain_seconds: float = 0.0,
+    ) -> None:
         """Segment-rollover/OPTIMIZE analog (W8; writer_thread_pool.rs:697-790).
 
         Streaming ingest leaves one small file per partition per
         micro-batch; compaction rewrites each hive partition into
         ``target_files_per_partition`` files sorted by (stream_id,
         stream_version), folds the heads log into one file, publishes a
-        ``base`` manifest (supersedes the chain), and deletes superseded
-        + orphaned files. Readers are never disturbed: the base manifest
-        lands by atomic rename and old files are removed only after it.
-        On Delta this is OPTIMIZE + ZORDER + checkpoint + VACUUM.
+        ``base`` manifest (supersedes the chain), and sweeps superseded
+        + orphaned files. On Delta this is OPTIMIZE + ZORDER +
+        checkpoint + VACUUM.
+
+        Reader safety: superseded *manifests* are removed first, so
+        ``commits()`` never lists a snapshot whose files are gone even
+        if the sweep crashes midway; then data files are removed, but
+        only ones older than ``retain_seconds`` (Delta VACUUM's
+        retention window) — a concurrent reader that resolved a
+        pre-compact manifest keeps its files alive for that grace
+        period. The default 0 is right for the single-process test rig;
+        set it above your longest query time when readers run in other
+        processes.
         """
         state = self._read_state()
         if not state.events_files:
@@ -998,29 +1074,39 @@ class EventStore:
                 "events_add": added,
                 "heads_add": [heads_rel],
                 "watermarks": {str(p): int(s) for p, s in state.watermarks.items()},
+                # Carry the chain's ingest-idempotence tokens forward
+                # (capped: replays only ever race the recent tail).
+                "batch_tokens_seen": sorted(state.batch_tokens)[-1024:],
             }
         )
-        # Sweep everything the base manifest does not reference —
-        # superseded data files AND crash orphans.
-        keep_events = set(added)
-        keep_heads = {heads_rel}
-        for root, _dirs, files in os.walk(self.events_path):
-            for fn in files:
-                rel = os.path.relpath(os.path.join(root, fn), self.events_path)
-                if rel not in keep_events:
-                    os.unlink(os.path.join(root, fn))
-        for fn in os.listdir(self.heads_path):
-            if fn not in keep_heads and os.path.isfile(
-                os.path.join(self.heads_path, fn)
-            ):
-                os.unlink(os.path.join(self.heads_path, fn))
-        # Superseded manifests point at swept files — broken time-travel
-        # targets. Remove them so commits() lists only valid snapshots
-        # (Delta's checkpoint-after-VACUUM behavior).
+        # Superseded manifests FIRST: once they are gone, commits() can
+        # never list a snapshot whose files the sweep below removed —
+        # even if we crash between the two phases (Delta's
+        # checkpoint-after-VACUUM behavior).
         base_commit = state.commit + 1
         for fn in os.listdir(self.commits_path):
             if fn.endswith(".json") and int(fn.split(".")[0]) < base_commit:
                 os.unlink(os.path.join(self.commits_path, fn))
+        # Then sweep data files the base manifest does not reference —
+        # superseded files AND crash orphans — honoring the retention
+        # window for concurrent readers mid-query on the old snapshot.
+        cutoff = time.time() - retain_seconds
+        keep_events = set(added)
+        keep_heads = {heads_rel}
+        for root, _dirs, files in os.walk(self.events_path):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.events_path)
+                if rel not in keep_events and os.path.getmtime(full) <= cutoff:
+                    os.unlink(full)
+        for fn in os.listdir(self.heads_path):
+            full = os.path.join(self.heads_path, fn)
+            if (
+                fn not in keep_heads
+                and os.path.isfile(full)
+                and os.path.getmtime(full) <= cutoff
+            ):
+                os.unlink(full)
 
     def stream_version(
         self, stream_id: str, partition_key: str | None = None

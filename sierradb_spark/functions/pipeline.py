@@ -154,22 +154,41 @@ _NEAR_DUP_PAIRS_SQL = """
         FROM (SELECT id, min(label) AS label FROM walk GROUP BY id)
         GROUP BY label
     """,
-    doc="Connected components over the embedding near-duplicate graph (cosine > "
-    "0.985): iterative min-label propagation as a DataFrame loop with per-round "
-    "localCheckpoint (truncates lineage — the standard Spark pattern for iterative "
-    "graph algorithms; Pregel-style, converges in O(diameter) rounds). Each "
-    "component keeps its minimum doc id — the dedup survivor set. Oracle: "
+    doc="Connected components over the embedding near-duplicate graph (cosine >= "
+    "0.4): iterative min-label propagation to fixpoint (min_label_components). "
+    "Each component keeps its minimum doc id — the dedup survivor set. Oracle: "
     "recursive CTE computing the same transitive min-labels.",
 )
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _near_dup_edges(spark, sf_dir)
+    labels = min_label_components(edges)
+    return labels.groupBy("label").agg(
+        F.count("*").alias("n_members"), F.min("id").alias("keep_doc")
+    ).select(
+        F.col("label").cast("long").alias("component"),
+        "n_members",
+        "keep_doc",
+    )
+
+
+def min_label_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
+    """Connected components by min-label propagation to a true fixpoint.
+
+    ``edges`` must be a *symmetric* (doc_a, doc_b) edge list. Returns
+    ``(id, label)`` where label is the component's minimum node id.
+
+    label(v) <- min(label(v), min(label(u) for u~v)) each round; the loop
+    runs until a round changes nothing (convergence is diameter-bounded,
+    so ``max_rounds`` is a runaway guard, not a correctness knob — hitting
+    it raises rather than silently returning split components). Each round
+    is one shuffle join + aggregate on the frontier graph with
+    ``localCheckpoint`` truncating lineage — the standard Spark pattern
+    for Pregel-style iteration.
+    """
     labels = edges.select(F.col("doc_a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    # Min-label propagation to fixpoint: label(v) <- min(label(v),
-    # min(label(u) for u~v)). Diameter-bounded; each round is one
-    # shuffle join + aggregate on the (tiny) frontier graph.
-    for _ in range(20):
+    for _ in range(max_rounds):
         prop = (
             edges.join(labels, edges.doc_a == labels.id)
             .select(F.col("doc_b").alias("id"), "label")
@@ -187,13 +206,10 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = prop
         if changed == 0:
-            break
-    return labels.groupBy("label").agg(
-        F.count("*").alias("n_members"), F.min("id").alias("keep_doc")
-    ).select(
-        F.col("label").cast("long").alias("component"),
-        "n_members",
-        "keep_doc",
+            return labels
+    raise RuntimeError(
+        f"min_label_components did not converge in {max_rounds} rounds; "
+        "graph diameter exceeds the runaway guard"
     )
 
 

@@ -344,32 +344,13 @@ def ann_recall_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pass over 100 TB is a scan with a broadcast hash filter.",
 )
 def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.pipeline import _near_dup_edges
+    from sierradb_spark.functions.pipeline import (
+        _near_dup_edges,
+        min_label_components,
+    )
 
     d = load(spark, sf_dir, "documents")
-    edges = _near_dup_edges(spark, sf_dir)
-    labels = edges.select(F.col("doc_a").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    )
-    for _ in range(20):
-        prop = (
-            edges.join(labels, edges.doc_a == labels.id)
-            .select(F.col("doc_b").alias("id"), "label")
-            .union(labels)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = prop
-        if changed == 0:
-            break
+    labels = min_label_components(_near_dup_edges(spark, sf_dir))
     keep = F.min("id").over(Window.partitionBy("label"))
     dropped = (
         labels.withColumn("keep", keep)

@@ -14,10 +14,12 @@ Scale design:
   throughput is independent of table size (the reference's headline
   design goal, README.md:96-99).
 - Exactly-once: the streaming checkpoint records source offsets per
-  batch; replays re-run ``_apply_batch`` idempotently only when the
-  sink commit did not complete. On Delta this is a txn-id check; on
-  plain Parquet a replayed batch may duplicate — documented trade-off,
-  acceptable for the test container (no Delta available).
+  batch, and each micro-batch carries an idempotence token
+  (query-checkpoint hash + batch_id) recorded in the manifest it
+  commits. A replay after a crash that landed between manifest-rename
+  and checkpoint-commit finds its token already in the chain and is
+  skipped whole — the same guarantee Delta's txn-id check provides,
+  on plain Parquet.
 
 Request-stream contract: any streaming DataFrame with columns
 ``stream_id, event_name, payload, metadata, expected_version`` (+
@@ -27,6 +29,8 @@ Missing columns are filled with defaults during enrichment.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import time
 
 from pyspark.sql import DataFrame, Window
@@ -65,6 +69,15 @@ def enrich_requests(
     cols = dict.fromkeys(df.columns)
     if "expected_version" not in cols:
         df = df.withColumn("expected_version", F.lit("any"))
+    else:
+        # A NULL precondition means "no precondition" (= 'any'). Without
+        # the coalesce, NULL slips past the rlike reject (NULL rlike →
+        # NULL → no reason) and then crashes parse_expected_version on
+        # the slow path — an executor exception that would fail the whole
+        # micro-batch, violating the reject-don't-crash contract.
+        df = df.withColumn(
+            "expected_version", F.coalesce(F.col("expected_version"), F.lit("any"))
+        )
     if "metadata" not in cols:
         df = df.withColumn("metadata", F.lit(b""))
     if "payload" not in cols:
@@ -165,6 +178,14 @@ class StreamIngest:
         if not requests.isStreaming:
             raise ValueError("requests must be a streaming DataFrame")
 
+        # Stable across restarts of the same query (checkpoint identifies
+        # the query; batch_id identifies the micro-batch within it): the
+        # idempotence key that lets _apply_batch skip a replayed batch
+        # whose manifest already landed — exactly-once on plain Parquet.
+        query_key = hashlib.sha256(
+            os.path.abspath(checkpoint).encode()
+        ).hexdigest()[:16]
+
         def process(batch: DataFrame, batch_id: int) -> None:
             fast = (
                 "expected_version" not in batch.columns
@@ -185,7 +206,11 @@ class StreamIngest:
                 "metadata",
                 "reject_reason",
             ]
-            result = self.store._apply_batch(enriched.select(*req_cols), fast=fast)
+            result = self.store._apply_batch(
+                enriched.select(*req_cols),
+                fast=fast,
+                batch_token=f"{query_key}-{batch_id}",
+            )
             if on_batch is not None:
                 on_batch(batch_id, result)
 

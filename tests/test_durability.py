@@ -1,0 +1,215 @@
+"""Durability/concurrency contracts of the manifest commit protocol:
+
+- single-writer enforcement via manifest-chain CAS (the reference's
+  one-writer-per-bucket discipline, writer_thread_pool.rs:56-186);
+- idempotent streaming replay via batch tokens in the manifest (the
+  reference's writer assigns sequences exactly once even on client
+  retry, writer_thread_pool.rs:560-645);
+- compact() reader safety: superseded manifests removed before data
+  files, retention window for concurrent readers.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sierradb_spark.config import EngineConfig
+from sierradb_spark.eventstore import AppendRequest, EventStore
+from sierradb_spark.eventstore.store import ConcurrentWriteError
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return EventStore(spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8))
+
+
+def _events_count(store):
+    return store.events().count()
+
+
+# --- single-writer CAS -------------------------------------------------------
+
+
+def test_manifest_cas_rejects_stale_commit(spark, tmp_path):
+    """A writer holding stale state cannot publish over the new head."""
+    path = str(tmp_path / "store")
+    s1 = EventStore(spark, path, EngineConfig(shuffle_partitions=8))
+    s2 = EventStore(spark, path, EngineConfig(shuffle_partitions=8))
+    s1.append([AppendRequest("cas-a", "E0")])
+    stale = s2._read_state()  # head == 1
+    s1.append([AppendRequest("cas-a", "E1")])  # head moves to 2
+    with pytest.raises(ConcurrentWriteError):
+        s2._write_manifest(
+            {
+                "commit": stale.commit + 1,  # = 2, already taken
+                "base": False,
+                "events_add": [],
+                "heads_add": [],
+                "watermarks": {},
+            }
+        )
+    # The loser retries from fresh state and wins cleanly; nothing lost.
+    s2.append([AppendRequest("cas-a", "E2")])
+    assert [r["stream_version"] for r in s1.scan("cas-a").collect()] == [0, 1, 2]
+
+
+def test_two_instances_interleaved_appends_no_loss(spark, tmp_path):
+    """Sequential interleaving through two instances is safe: each append
+    re-reads the manifest head, so the chain stays gapless."""
+    path = str(tmp_path / "store")
+    s1 = EventStore(spark, path, EngineConfig(shuffle_partitions=8))
+    s2 = EventStore(spark, path, EngineConfig(shuffle_partitions=8))
+    for i, s in enumerate([s1, s2, s1, s2]):
+        s.append([AppendRequest("interleave", f"E{i}")])
+    assert [r["stream_version"] for r in s1.scan("interleave").collect()] == [0, 1, 2, 3]
+    assert s2.commits() == [1, 2, 3, 4]
+
+
+# --- idempotent replay -------------------------------------------------------
+
+
+def _request_df(spark, n, stream="replay"):
+    return spark.createDataFrame(
+        [(stream, f"E{i}") for i in range(n)], "stream_id string, event_name string"
+    )
+
+
+def test_apply_batch_skips_committed_token(spark, store):
+    from sierradb_spark.streaming.ingest import enrich_requests
+
+    cols = [
+        "arrival", "txn_id", "stream_id", "event_name", "expected_version",
+        "event_id", "partition_key", "partition_id", "timestamp_ns",
+        "payload", "metadata", "reject_reason",
+    ]
+    enriched = enrich_requests(_request_df(spark, 5), store.config).select(*cols)
+    enriched = enriched.localCheckpoint(eager=True)  # stable ids across calls
+    r1 = store._apply_batch(enriched, fast=True, batch_token="qk-0")
+    assert r1.count() == 5
+    assert _events_count(store) == 5
+    # Replay of the same micro-batch (crash between manifest-rename and
+    # checkpoint-commit): token already committed -> skipped whole.
+    r2 = store._apply_batch(enriched, fast=True, batch_token="qk-0")
+    assert r2.count() == 0
+    assert _events_count(store) == 5
+    # A different token is a genuinely new batch.
+    store._apply_batch(enriched, fast=True, batch_token="qk-1")
+    assert _events_count(store) == 10
+
+
+def test_stream_ingest_checkpoint_loss_replay_no_duplicates(spark, store, tmp_path):
+    """End-to-end: re-running a query whose checkpoint was wiped replays
+    batch 0 from the same source files; the manifest token dedups it."""
+    from sierradb_spark.streaming.ingest import StreamIngest
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _request_df(spark, 8, "ckpt-loss").coalesce(1).write.mode("append").json(src)
+    ckpt = str(tmp_path / "ckpt")
+    schema = "stream_id string, event_name string"
+
+    def run():
+        reqs = spark.readStream.schema(schema).json(src)
+        q = StreamIngest(store).start(reqs, checkpoint=ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    run()
+    assert _events_count(store) == 8
+    # Simulate losing the sink-side ack: wipe the checkpoint so Spark
+    # replays the same files as batch 0 under the same query key.
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    assert _events_count(store) == 8  # no duplicates
+    assert [r["stream_version"] for r in store.scan("ckpt-loss").collect()] == list(
+        range(8)
+    )
+
+
+def test_compact_carries_tokens_forward(spark, store):
+    from sierradb_spark.streaming.ingest import enrich_requests
+
+    cols = [
+        "arrival", "txn_id", "stream_id", "event_name", "expected_version",
+        "event_id", "partition_key", "partition_id", "timestamp_ns",
+        "payload", "metadata", "reject_reason",
+    ]
+    enriched = enrich_requests(_request_df(spark, 3), store.config).select(*cols)
+    enriched = enriched.localCheckpoint(eager=True)
+    store._apply_batch(enriched, fast=True, batch_token="survives-compact")
+    store.compact()
+    r = store._apply_batch(enriched, fast=True, batch_token="survives-compact")
+    assert r.count() == 0
+    assert _events_count(store) == 3
+
+
+# --- compact() reader safety -------------------------------------------------
+
+
+def test_compact_retention_preserves_recent_files(store):
+    for b in range(3):
+        store.append([AppendRequest(f"ret-{i}", f"E{b}") for i in range(3)])
+    n_before = len(glob.glob(store.events_path + "/**/*.parquet", recursive=True))
+    store.compact(retain_seconds=3600)
+    # Old files are inside the retention window -> still on disk...
+    n_after = len(glob.glob(store.events_path + "/**/*.parquet", recursive=True))
+    assert n_after > n_before  # old + newly compacted
+    # ...but invisible: reads resolve the base manifest only.
+    assert store.events().count() == 9
+    assert store.commits() == [4]
+    # A later compact with no retention sweeps them.
+    store.append([AppendRequest("ret-0", "tail")])
+    store.compact()
+    remaining = glob.glob(store.events_path + "/**/*.parquet", recursive=True)
+    state = store._read_state()
+    assert len(remaining) == len(state.events_files)
+    assert store.events().count() == 10
+
+
+def test_compact_removes_manifests_before_commits_lists_them(store):
+    """After compact, commits() lists exactly the base snapshot — no
+    superseded manifest may survive pointing at swept files."""
+    for b in range(2):
+        store.append([AppendRequest("m-0", f"E{b}")])
+    store.compact()
+    assert store.commits() == [3]
+    # every listed commit is fully readable
+    for c in store.commits():
+        store.events(as_of=c).count()
+
+
+# --- config-derived quorum ---------------------------------------------------
+
+
+def test_confirmation_count_tracks_replication_factor(spark, tmp_path):
+    for rf, quorum in ((1, 1), (3, 2), (5, 3)):
+        st = EventStore(
+            spark,
+            str(tmp_path / f"rf{rf}"),
+            EngineConfig(shuffle_partitions=8, replication_factor=rf),
+        )
+        st.append([AppendRequest("q", "E")])
+        [row] = st.events().select("confirmation_count").collect()
+        assert row[0] == quorum, (rf, quorum)
+
+
+# --- NULL expected_version (reject-don't-crash) ------------------------------
+
+
+def test_null_expected_version_treated_as_any(spark, store):
+    reqs = spark.createDataFrame(
+        [
+            ("nullev", "E0", None),
+            ("nullev", "E1", "0"),  # real precondition forces the slow path
+        ],
+        "stream_id string, event_name string, expected_version string",
+    )
+    res = store.append_df(reqs).orderBy("arrival").collect()
+    # NULL == no precondition == 'any': both rows append, no executor crash.
+    assert [r["accepted"] for r in res] == [True, True]
+    assert [r["stream_version"] for r in res] == [0, 1]
