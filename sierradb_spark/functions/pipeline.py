@@ -251,6 +251,7 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CTX = 2048  # context window (tokens) for sequence packing
+_PACK_SHARD_DOCS = 500  # docs per packing shard (contiguous doc_id range)
 
 
 @REG.add(
@@ -280,9 +281,12 @@ _CTX = 2048  # context window (tokens) for sequence packing
     doc="Sequence packing: assign documents (in deterministic doc_id order) to "
     f"{_CTX}-token context windows by running-prefix-sum bucketing — the packing "
     "planner of a training-data export (docs straddling a boundary spill into the "
-    "next window; the packer's writer splits them). One global running sum: at "
-    "100 TB this runs per shard (partitionBy(shard) windows) so no single-reducer "
-    "sort — the global form here keeps the oracle exact.",
+    "next window; the packer's writer splits them). Scale-safe prefix sum: docs "
+    "shard into contiguous doc_id ranges, the running sum is a window "
+    "PARTITIONED by shard (parallel, no single-reducer sort), and each shard's "
+    "base offset is composed driver-side from the per-shard token totals (one "
+    "tiny aggregate, O(#shards) rows) and broadcast back. Result is bit-identical "
+    "to the global running sum, so the exact oracle still applies.",
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -291,10 +295,35 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(
         F.filter(F.split(F.trim(F.col("text")), " +"), lambda w: w != "")
     ).cast("long")
-    t = d.select("doc_id", n_tokens.alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = t.withColumn(
-        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # Contiguous doc_id ranges keep within-shard order == global order, so
+    # shard-local prefix sum + shard base == the global prefix sum. Width
+    # trades window parallelism against the size of the driver-side base
+    # table (at 100 TB pick it so #shards stays in the low millions).
+    shard = F.floor(F.col("doc_id") / _PACK_SHARD_DOCS).cast("long")
+    t = d.select(
+        "doc_id", n_tokens.alias("n_tokens"), shard.alias("shard_id")
+    ).localCheckpoint(eager=True)  # one scan serves the totals + the window
+    # Tiny driver aggregate: total tokens per shard -> exclusive prefix
+    # over shard order = each shard's base offset in the global stream.
+    totals = sorted(
+        (r["shard_id"], r["tot"])
+        for r in t.groupBy("shard_id").agg(F.sum("n_tokens").alias("tot")).collect()
+    )
+    bases, acc = [], 0
+    for sid, tot in totals:
+        bases.append((sid, acc))
+        acc += tot
+    bases_df = t.sparkSession.createDataFrame(
+        bases, "shard_id long, shard_base long"
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.join(F.broadcast(bases_df), "shard_id").withColumn(
+        "cum_before",
+        F.col("shard_base") + F.sum("n_tokens").over(w) - F.col("n_tokens"),
     )
     return (
         c.groupBy(F.floor(F.col("cum_before") / _CTX).cast("long").alias("pack_id"))

@@ -535,23 +535,78 @@ def full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(max(pr), 4) AS max_pct_rank
         FROM ranked GROUP BY quartile
     """,
-    doc="ntile + percent_rank window functions: customer spend quartiles with "
-    "each quartile's percent-rank span. The global window sorts |customers| "
-    "pre-aggregated rows (not orders); full ordering ties broken by key so "
-    "both engines tile identically.",
+    doc="ntile + percent_rank semantics without a global window: spend rows "
+    "range-bucket on approx-percentile boundaries of the sort key, row numbers "
+    "are computed per bucket (partitioned WindowExec — parallel), and each "
+    "bucket's base offset is composed driver-side from the tiny per-bucket "
+    "counts. Global rank = base + local row_number, from which ntile(4) and "
+    "percent_rank are closed-form scalars — bit-identical to the global-window "
+    "form the oracle runs, with no single-reducer sort of |customers| rows.",
 )
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .localCheckpoint(eager=True)  # one scan: boundaries + counts + window
     )
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
-    ranked = spend.select(
-        "o_custkey",
-        "total_spend",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
+    # Range-bucket boundaries on the first sort key (approx is fine: the
+    # boundaries only balance buckets, they never affect the result).
+    probs = [i / 64.0 for i in range(1, 64)]
+    row = spend.agg(
+        F.percentile_approx("total_spend", probs, 10_000).alias("b")
+    ).collect()[0]
+    bounds = sorted(set(row["b"] or []))
+    # bucket(x) = #boundaries above x: monotone non-increasing in x, so
+    # bucket order == (total_spend DESC) order and equal keys share a
+    # bucket — required for composable per-bucket row numbers.
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col("total_spend") < b))
+    else:
+        bucket = F.lit(0)
+    local = spend.withColumn("bucket", bucket.cast("int"))
+    wb = Window.partitionBy("bucket").orderBy(
+        F.col("total_spend").desc(), F.col("o_custkey").asc()
     )
+    local = local.withColumn("lr", F.row_number().over(wb))
+    # Tiny driver aggregate (O(#buckets) rows): exclusive prefix of bucket
+    # counts in sort order = each bucket's global-rank base.
+    counts = sorted(
+        (r["bucket"], r["n"])
+        for r in local.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    )
+    n_total = sum(n for _, n in counts)
+    if n_total == 0:
+        return local.select(
+            F.lit(0).alias("quartile"),
+            F.lit(0).cast("long").alias("n_customers"),
+            F.lit(0.0).alias("quartile_spend"),
+            F.lit(0.0).alias("min_pct_rank"),
+            F.lit(0.0).alias("max_pct_rank"),
+        ).limit(0)
+    bases, acc = [], 0
+    for b, n in counts:
+        bases.append((b, acc))
+        acc += n
+    bases_df = spark.createDataFrame(bases, "bucket int, base long")
+    ranked = local.join(F.broadcast(bases_df), "bucket").withColumn(
+        "r", F.col("base") + F.col("lr")
+    )
+    # ntile(4) closed form from the global rank: the first (N mod 4)
+    # quartiles take ceil(N/4) rows, the rest floor(N/4).
+    base_size, rem = divmod(n_total, 4)
+    threshold = rem * (base_size + 1)
+    quartile = F.when(
+        F.col("r") <= threshold, F.ceil(F.col("r") / (base_size + 1))
+    ).otherwise(rem + F.ceil((F.col("r") - threshold) / max(base_size, 1)))
+    # percent_rank with a unique total order == (rank-1)/(N-1).
+    pr = (
+        (F.col("r") - 1) / F.lit(float(n_total - 1))
+        if n_total > 1
+        else F.lit(0.0)
+    )
+    ranked = ranked.withColumn("quartile", quartile.cast("int")).withColumn("pr", pr)
     return ranked.groupBy("quartile").agg(
         F.count("*").alias("n_customers"),
         F.round(F.sum("total_spend"), 2).alias("quartile_spend"),

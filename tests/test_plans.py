@@ -134,3 +134,42 @@ def test_bigrams_no_unigram_explosion_shuffle(q):
     # the token stream itself must never cross a shuffle boundary
     f = assert_plan(q("top_bigrams_by_lang"), max_shuffles=2)
     assert f["partial_aggs"] >= 1
+
+
+def _window_partition_specs(plan: str) -> list[str]:
+    """First argument of every windowspecdefinition in the plan.
+
+    A *partitioned* window spec reads ``windowspecdefinition(part_col#1,
+    order_col#2 ASC ...)``; an unpartitioned one starts directly with the
+    order column (``windowspecdefinition(order_col#2 ASC ...)``) — the
+    single-reducer shape these tests exist to forbid.
+    """
+    import re
+
+    return re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+
+
+def test_sequence_packing_window_is_shard_partitioned(q):
+    from sierradb_spark.plans import plan_features
+
+    f = plan_features(q("sequence_packing"))
+    specs = _window_partition_specs(f["plan"])
+    assert specs, "expected a window in the packing plan"
+    for s in specs:
+        assert s.startswith("shard_id"), f"unpartitioned window spec: {s}"
+        assert " ASC" not in s and " DESC" not in s, (
+            f"window has no partition clause (single reducer): {s}"
+        )
+
+
+def test_spend_quartiles_window_is_bucket_partitioned(q):
+    from sierradb_spark.plans import plan_features
+
+    f = plan_features(q("customer_spend_quartiles"))
+    specs = _window_partition_specs(f["plan"])
+    assert specs, "expected a window in the quartiles plan"
+    for s in specs:
+        assert s.startswith("bucket"), f"unpartitioned window spec: {s}"
+        assert " ASC" not in s and " DESC" not in s, (
+            f"window has no partition clause (single reducer): {s}"
+        )
