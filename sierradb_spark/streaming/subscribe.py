@@ -3,19 +3,23 @@
 The reference's subscription task (``sierradb-cluster/src/
 subscription.rs:402-438``) is a hand-rolled state machine: read history
 from DB iterators, switch to the live broadcast bus, dedup the seam,
-re-read history on broadcast lag. Spark's file streaming source IS that
-state machine: the checkpoint tracks which files were delivered, a
-backfill (catch-up) and the live tail are the same code path, and the
-seam is exact by construction — no ``has_seen`` dedup needed
-(subscription.rs:101-293 becomes the source's offset log).
+re-read history on broadcast lag. Here the streaming source is the
+store's MANIFEST LOG (``_commits/*.json``), so a micro-batch can only
+ever reference committed event files: the watermark gate is satisfied
+by construction (exactly like the batch read paths), an orphaned file
+from a crashed writer is never delivered, and there is no in-memory
+pending buffer to lose on restart. A durable per-partition delivery
+cursor (persisted beside the checkpoint, advanced from each manifest's
+own watermark map) makes the seam exact across restarts and across
+compaction's file rewrites.
 
 Mapping (SURVEY §2.3):
 - ESUB (S1)  → StreamMatcher: filter to streams, per-stream FROM versions
 - EPSUB (S2) → PartitionMatcher: filter to partitions, FROM sequences
-- catch-up→live (S3) → file source backfill then tail, one checkpoint
-- seam dedup (S4) → source offsets (exact)
-- EACK window (S5) → maxFilesPerTrigger + checkpoint commit as the ack
-- broadcast bus (S6) → not needed; the source polls the table
+- catch-up→live (S3) → manifest-log backfill then tail, one checkpoint
+- seam dedup (S4) → source offsets + durable delivery cursor (exact)
+- EACK window (S5) → maxFilesPerTrigger (commits/trigger) + cursor as ack
+- broadcast bus (S6) → not needed; the source polls the manifest log
 
 Ordered delivery: within a micro-batch rows are sorted by
 (partition_id, partition_sequence); across micro-batches file order is
@@ -26,6 +30,9 @@ is sequence order within a stream (gapless assignment invariant).
 
 from __future__ import annotations
 
+import json
+import os
+import secrets
 from dataclasses import dataclass, field
 from typing import Callable, Iterable, Mapping, Optional
 
@@ -34,6 +41,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from sierradb_spark.eventstore.store import EventStore
+
+# What the subscription needs from each manifest: which files the commit
+# added and the confirmed watermark it advanced to.
+_MANIFEST_STREAM_SCHEMA = (
+    "commit long, base boolean, events_add array<string>, "
+    "watermarks map<string, long>"
+)
 
 
 @dataclass(frozen=True)
@@ -95,23 +109,47 @@ class Subscription:
         self.matcher = matcher
         self.max_files_per_trigger = max_files_per_trigger
 
-    def dataframe(self) -> DataFrame:
-        """The filtered streaming DataFrame (pre-delivery-ordering).
+    def manifest_stream(self) -> DataFrame:
+        """The streaming source: the manifest log, not the raw directory.
 
-        Uses the static EVENT_SCHEMA (not inference), so a subscription
-        can be created before the store's first append — matching the
-        reference, where subscribing to an empty stream is legal
-        (subscription.rs:402-438 just waits for live events).
+        Tailing ``_commits/`` means a micro-batch can only ever name
+        manifest-committed event files — an orphaned parquet file from a
+        crashed writer is simply never referenced, so the old
+        above-watermark pending buffer is gone by construction (the
+        batch read paths get the same guarantee from the same manifests).
+        A subscription created before the store's first append just
+        waits for the first manifest — subscribing to an empty stream is
+        legal, as in the reference (subscription.rs:402-438).
         """
-        from sierradb_spark.eventstore.schema import EVENT_SCHEMA
-
-        reader = self.store.spark.readStream.schema(EVENT_SCHEMA)
+        reader = self.store.spark.readStream.schema(_MANIFEST_STREAM_SCHEMA)
         if self.max_files_per_trigger:
-            # The EACK window (S5): bounds in-flight work per trigger the
-            # way `cursor - last_ack > window` bounds unacked deliveries.
+            # The EACK window (S5): bounds commits in flight per trigger
+            # the way `cursor - last_ack > window` bounds unacked
+            # deliveries (one manifest == one group commit).
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        df = reader.parquet(self.store.events_path)
-        return df.where(self.matcher.predicate())
+        return reader.json(self.store.commits_path)
+
+    # --- durable delivery cursor --------------------------------------------
+
+    @staticmethod
+    def _cursor_path(checkpoint: str) -> str:
+        return os.path.join(checkpoint, "delivered_watermarks.json")
+
+    def _load_cursor(self, checkpoint: str) -> dict[int, int]:
+        try:
+            with open(self._cursor_path(checkpoint)) as f:
+                return {int(k): int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def _save_cursor(self, checkpoint: str, cur: dict[int, int]) -> None:
+        path = self._cursor_path(checkpoint)
+        tmp = f"{path}.tmp-{secrets.token_hex(4)}"
+        with open(tmp, "w") as f:
+            json.dump({str(k): int(v) for k, v in cur.items()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
 
     def start(
         self,
@@ -124,33 +162,52 @@ class Subscription:
         (partition_id, partition_sequence) — the reference's per-
         partition ordered delivery (subscription.rs:441-460).
 
-        Deliveries are gated on the confirmed watermark, exactly like
-        the batch read paths (subscription gate subscription.rs:512-524):
-        the file source tails the events *directory*, which can briefly
-        contain files whose commit manifest has not landed yet. Rows
-        above the watermark are parked in a driver-side pending buffer
-        and delivered on the trigger after their commit completes —
-        held back, never dropped (the file source marks files processed
-        once, so dropping would lose them)."""
-
-        pending: list[Row] = []
+        Each micro-batch is a set of manifests; the batch reads exactly
+        the event files those commits added, filters to the matcher, and
+        gates on a durable per-partition delivery cursor persisted next
+        to the checkpoint. The cursor advances to the manifests' own
+        confirmed watermarks after ``deliver`` returns, which makes
+        delivery exact across restarts AND across compaction: a ``base``
+        manifest re-references already-delivered (rewritten) files, and
+        the cursor filters every re-listed row out. Redelivery is
+        possible only if the process dies between ``deliver`` returning
+        and the cursor write — the standard checkpoint-as-ack window
+        (EACK semantics, eack.rs:39-51)."""
+        from sierradb_spark.eventstore.schema import EVENT_SCHEMA
 
         def process(batch: DataFrame, batch_id: int) -> None:
-            wm = self.store._wm()
-            candidates = pending + batch.collect()
-            pending.clear()
-            ready = []
-            for r in candidates:
-                if r["partition_sequence"] <= wm.get(r["partition_id"], -1):
-                    ready.append(r)
-                else:
-                    pending.append(r)
-            ready.sort(key=lambda r: (r["partition_id"], r["partition_sequence"]))
+            manifests = batch.collect()  # O(commits per trigger) tiny rows
+            if not manifests:
+                return
+            manifests.sort(key=lambda m: m["commit"])
+            files = [f for m in manifests for f in (m["events_add"] or ())]
+            if not files:
+                return
+            cursor = self._load_cursor(checkpoint)
+            paths = [os.path.join(self.store.events_path, p) for p in files]
+            events = (
+                self.store.spark.read.schema(EVENT_SCHEMA)
+                .option("basePath", self.store.events_path)
+                .parquet(*paths)
+            )
+            # Cursor gate (JVM-side literal map): drops rows already
+            # delivered before a restart or re-listed by a base manifest.
+            gate = F.col("partition_sequence") > EventStore._wm_col(cursor)
+            ready = (
+                events.where(gate & self.matcher.predicate())
+                .orderBy("partition_id", "partition_sequence")
+                .collect()
+            )
             if ready:
                 deliver(ready)
+            # Advance to the newest manifest's confirmed watermarks —
+            # covers every row in the batch's files, matched or not.
+            for k, v in (manifests[-1]["watermarks"] or {}).items():
+                cursor[int(k)] = max(int(v), cursor.get(int(k), -1))
+            self._save_cursor(checkpoint, cursor)
 
         writer = (
-            self.dataframe()
+            self.manifest_stream()
             .writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint)
         )

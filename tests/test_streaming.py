@@ -9,6 +9,7 @@ here the streaming checkpoint makes the seam exact by construction.
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -174,3 +175,55 @@ def test_stream_ingest_end_to_end(store, spark, tmp_path):
         for r in ev.groupBy("partition_id").agg(F.max("partition_sequence").alias("hi")).collect()
     }
     assert wm == heads
+
+
+def test_orphaned_uncommitted_file_never_delivered(store, tmp_path):
+    """A parquet file in events/ whose commit manifest never landed (a
+    crashed writer's leftover) must not reach any subscriber: the
+    subscription streams the manifest log, which never references it."""
+    store.append([AppendRequest("orph", "Real0"), AppendRequest("orph", "Real1")])
+    # Forge an orphan: copy a committed file to an unreferenced name.
+    import glob as _glob
+    import shutil as _shutil
+
+    [src] = _glob.glob(store.events_path + "/partition_id=*/*.parquet")[:1]
+    _shutil.copy(src, os.path.join(os.path.dirname(src), "orphan-dead.parquet"))
+    delivered: list = []
+    sub = Subscription(store, PartitionMatcher())
+    sub.catchup(delivered.extend, str(tmp_path / "ckpt"))
+    assert len(delivered) == 2  # the two committed events, orphan unseen
+    assert {r["event_name"] for r in delivered} == {"Real0", "Real1"}
+
+
+def test_delivery_cursor_survives_restart(store, tmp_path):
+    """The delivery cursor is durable: a new Subscription object over the
+    same checkpoint resumes where the old one stopped (the old in-memory
+    pending design lost held-back rows on restart)."""
+    store.append([AppendRequest("dc", f"E{i}") for i in range(10)])
+    ckpt = str(tmp_path / "ckpt")
+    first: list = []
+    Subscription(store, PartitionMatcher()).catchup(first.extend, ckpt)
+    assert len(first) == 10
+    store.append([AppendRequest("dc", f"L{i}") for i in range(5)])
+    second: list = []
+    # fresh object, same checkpoint — simulates process restart
+    Subscription(store, PartitionMatcher()).catchup(second.extend, ckpt)
+    assert [r["event_name"] for r in second] == [f"L{i}" for i in range(5)]
+
+
+def test_subscription_across_compaction_no_redelivery(store, tmp_path):
+    """compact() publishes a base manifest re-listing every (rewritten)
+    file; the delivery cursor must filter all of it out."""
+    store.append([AppendRequest("cpt", f"E{i}") for i in range(8)])
+    ckpt = str(tmp_path / "ckpt")
+    got: list = []
+    sub = Subscription(store, PartitionMatcher())
+    sub.catchup(got.extend, ckpt)
+    assert len(got) == 8
+    store.compact()
+    post: list = []
+    sub.catchup(post.extend, ckpt)
+    assert post == []  # base manifest fully deduped
+    store.append([AppendRequest("cpt", "After")])
+    sub.catchup(post.extend, ckpt)
+    assert [r["event_name"] for r in post] == ["After"]
