@@ -19,6 +19,7 @@ from sierradb_spark.operators import (
 from sierradb_spark.functions import (
     contamination,
     dedup,
+    dedup_wide,
     multimodal,
     pipeline,
     quality,
@@ -43,6 +44,7 @@ for mod in (
     windows,
     contamination,
     udx,
+    dedup_wide,
     event_analytics,
     sketches,
     relational,
