@@ -68,6 +68,46 @@ def main() -> int:
             f"({int(n_ok / timings['ingest_20k_events'])} ev/s)",
             file=sys.stderr,
         )
+        # Sustained ingest: consecutive micro-batches into the SAME growing
+        # table — the reference's headline claim is write performance
+        # independent of database size (README.md:96-99). Flat ev/s across
+        # batches is that claim, measured: per-batch cost must stay
+        # O(batch) because heads recovery reads the heads log (not the
+        # events table) and sequences come from the manifest watermarks.
+        n_batches, per_batch = 8, 5_000
+        evps: list[float] = []
+        for b in range(n_batches):
+            reqs_b = spark.range(per_batch).select(
+                F.concat(
+                    F.lit(f"sust-{b}-"), (F.col("id") % 200).cast("string")
+                ).alias("stream_id"),
+                F.lit("SustainedEvent").alias("event_name"),
+                F.encode(F.col("id").cast("string"), "utf-8").alias("payload"),
+            )
+            tb = time.perf_counter()
+            nb = store.append_df(reqs_b).where("accepted").count()
+            dt = time.perf_counter() - tb
+            evps.append(round(nb / dt, 1))
+        half = n_batches // 2
+        # Size-degradation signal: a table-size-dependent write path shows
+        # a monotonic decline; single-batch GC/JIT noise does not move the
+        # half-means. Flat == ratio near (or above) 1.
+        trend = round(
+            (sum(evps[half:]) / half) / (sum(evps[:half]) / half), 3
+        )
+        timings["ingest_sustained_8x5k"] = round(
+            sum(per_batch / r for r in evps), 3
+        )
+        sustained = {
+            "batches_evps": evps,
+            "trend_ratio_last_half_over_first_half": trend,
+            "events_per_batch": per_batch,
+        }
+        print(
+            f"# ingest_sustained: {evps} ev/s over {n_batches} batches "
+            f"(last-half/first-half={trend})",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -80,6 +120,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sustained_ingest": sustained,
             }
         )
     )

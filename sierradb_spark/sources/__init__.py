@@ -4,6 +4,7 @@ from sierradb_spark.sources.connectors import (
     export_events,
     rate_request_stream,
     request_stream_from_files,
+    request_stream_from_socket,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "export_events",
     "request_stream_from_files",
     "rate_request_stream",
+    "request_stream_from_socket",
 ]

@@ -84,6 +84,37 @@ def request_stream_from_files(
     raise ValueError(f"unsupported stream format {fmt}")
 
 
+def request_stream_from_socket(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """Queue-shaped streaming source: JSON append requests over a TCP
+    socket, one request per line.
+
+    This is the Kafka shape exactly — an unbounded, non-replayable feed
+    whose rows arrive as opaque strings and are projected through
+    ``from_json``. Swapping for Kafka changes only the reader line::
+
+        spark.readStream.format("kafka")
+             .option("kafka.bootstrap.servers", ...)
+             .option("subscribe", topic).load()
+             .select(F.col("value").cast("string").alias("value"))
+
+    and keeps the identical from_json projection + `StreamIngest` path
+    (the container has no Kafka broker, so the socket source is the
+    testable stand-in; see tests/test_sources.py).
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value"), REQUEST_CORE_SCHEMA).alias("r")
+    ).select("r.*")
+    return _normalize(parsed)
+
+
 def rate_request_stream(
     spark: SparkSession, rows_per_second: int = 1000, n_streams: int = 100
 ) -> DataFrame:

@@ -75,3 +75,59 @@ def test_export_roundtrip(store, spark, tmp_path):
     assert back.count() == 10
     row = back.where(F.col("stream_id") == "e-0").collect()[0]
     assert bytes.fromhex(row["payload"]) == b"\x00\xffbin"
+
+
+def test_socket_queue_source_gapless(store, spark, tmp_path):
+    """Queue-shaped ingress (VERDICT r2 #9): a non-file, non-replayable
+    streaming source — JSON lines over TCP, the Kafka shape — through
+    StreamIngest, with gapless version assignment at the other end."""
+    import socket
+    import threading
+    import time as _time
+
+    from sierradb_spark.sources import request_stream_from_socket
+
+    n, n_streams = 24, 3
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            payload = "".join(
+                json.dumps(
+                    {"stream_id": f"sock-{i % n_streams}", "event_name": f"E{i}"}
+                )
+                + "\n"
+                for i in range(n)
+            )
+            conn.sendall(payload.encode())
+            stop.wait(120)  # keep the pipe open while Spark drains it
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    stream = request_stream_from_socket(spark, "127.0.0.1", port)
+    q = StreamIngest(store).start(stream, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if store.events().count() == n:
+                break
+            _time.sleep(1)
+        else:
+            raise AssertionError(f"timed out: {store.events().count()}/{n} events")
+    finally:
+        q.stop()
+        stop.set()
+        server.close()
+    # Gapless per stream, complete across streams — the ingest contract
+    # is source-independent.
+    for s in range(n_streams):
+        versions = [
+            r["stream_version"] for r in store.scan(f"sock-{s}").collect()
+        ]
+        assert versions == list(range(n // n_streams))
