@@ -300,9 +300,14 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trades window parallelism against the size of the driver-side base
     # table (at 100 TB pick it so #shards stays in the low millions).
     shard = F.floor(F.col("doc_id") / _PACK_SHARD_DOCS).cast("long")
+    # Persist the tokenized projection (3 longs/doc — tiny next to the
+    # corpus) so the corpus text is scanned/tokenized once, serving both
+    # the totals aggregate (collected here) and the caller's eventual
+    # collect of the window pass. Left cached for the session: it is
+    # eviction-safe (lineage recomputes) and small by construction.
     t = d.select(
         "doc_id", n_tokens.alias("n_tokens"), shard.alias("shard_id")
-    ).localCheckpoint(eager=True)  # one scan serves the totals + the window
+    ).persist()
     # Tiny driver aggregate: total tokens per shard -> exclusive prefix
     # over shard order = each shard's base offset in the global stream.
     totals = sorted(

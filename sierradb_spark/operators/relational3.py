@@ -545,10 +545,14 @@ def full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    # Persist the pre-aggregated spend (2 columns/customer) so orders is
+    # scanned once for its three consumers: boundaries, counts, and the
+    # caller's eventual collect of the window pass. Left cached for the
+    # session — eviction-safe and small by construction.
     spend = (
         o.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
-        .localCheckpoint(eager=True)  # one scan: boundaries + counts + window
+        .persist()
     )
     # Range-bucket boundaries on the first sort key (approx is fine: the
     # boundaries only balance buckets, they never affect the result).
