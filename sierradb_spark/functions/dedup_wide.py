@@ -70,10 +70,32 @@ _SQL_WIDE_MINS = f"""
 
 
 def _wide_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band_idx, band_digest): 16 bands x 4-hash MinHash LSH."""
+    """(doc_id, band_idx, band_digest): 16 bands x 4-hash MinHash LSH.
+
+    The shingle arrays are MATERIALIZED (localCheckpoint) before the 64
+    hash expressions consume them: with 64 consumers Catalyst's project
+    collapse inlines the shingle-construction alias into every one, and
+    each inlined array access re-runs the regex tokenization — turning
+    the signature pass into O(hashes x shingles x split) per document
+    (hundreds of seconds at sf0.1). Behind the barrier each of the 64
+    mins reads a plain in-memory array: one tokenization per document,
+    then pure md5 throughput.
+    """
     d = with_shingles(load(spark, sf_dir, "documents"), "doc_id")
     sh = F.col("shingles")
-    mins = d.where(F.col("n_toks") >= SHINGLE_K).select(
+    # repartition: the testdata corpus arrives as one parquet file (one
+    # input split), which would serialize the whole md5 pass on a single
+    # core; signatures are embarrassingly parallel, so spread first.
+    n_slices = int(
+        d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    staged = (
+        d.where(F.col("n_toks") >= SHINGLE_K)
+        .select("doc_id", "shingles")
+        .repartition(n_slices)
+        .localCheckpoint(eager=True)
+    )
+    mins = staged.select(
         "doc_id",
         F.array(*[minhash_col(sh, k) for k in range(N_HASHES_WIDE)]).alias("m"),
     )
@@ -226,8 +248,17 @@ def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.when(
         F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
-    digests = d.select("doc_id", toks.alias("t")).select(
-        "doc_id", F.transform(F.col("t"), lambda t: F.md5(t)).alias("d")
+    # Materialized for the same reason as _wide_bands: 64 bit-vote
+    # consumers would otherwise each re-split + re-md5 every token. The
+    # repartition spreads the vote pass across cores (single input file).
+    n_slices = int(
+        d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    digests = (
+        d.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.transform(F.col("t"), lambda t: F.md5(t)).alias("d"))
+        .repartition(n_slices)
+        .localCheckpoint(eager=True)
     )
     dd = F.col("d")
 
