@@ -171,6 +171,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_shingles(load(spark, sf_dir, "documents"), "doc_id")
     sh = F.col("shingles")
+    # Materialize the signatures: the bands union references this
+    # relation twice and the self-join twice more, and project collapse
+    # would otherwise inline the shingle construction into every minhash
+    # of every copy — re-running tokenization O(consumers) times per
+    # document (this query spent ~57 s at sf0.001 before the barrier).
+    # repartition: the corpus is one parquet file = one input split.
     sigs = (
         d.where(F.col("n_toks") >= SHINGLE_K)
         .select(
@@ -178,6 +184,10 @@ def near_dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(minhash_col(sh, 0), minhash_col(sh, 1)).alias("band0"),
             F.concat(minhash_col(sh, 2), minhash_col(sh, 3)).alias("band1"),
         )
+        .repartition(
+            int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+        .localCheckpoint(eager=True)
     )
     bands = sigs.select("doc_id", F.col("band0").alias("band")).unionAll(
         sigs.select("doc_id", F.col("band1").alias("band"))
@@ -238,10 +248,17 @@ def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.when(
         F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
-    # stage md5 digests once; each bit expression then only does
-    # substr+conv per digest (cheap attribute access, no re-hash)
-    digests = d.select("doc_id", toks.alias("t")).select(
-        "doc_id", F.transform(F.col("t"), lambda t: F.md5(t)).alias("d")
+    # Materialize md5 digests once; with 16 bit-vote consumers, project
+    # collapse would otherwise inline the digest construction into each,
+    # re-splitting and re-hashing every token 16x. repartition: one
+    # parquet input split would serialize the vote pass on one core.
+    digests = (
+        d.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.transform(F.col("t"), lambda t: F.md5(t)).alias("d"))
+        .repartition(
+            int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+        .localCheckpoint(eager=True)
     )
     def bit_set(x, b):  # noqa: E306
         return (
@@ -344,6 +361,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_shingles(load(spark, sf_dir, "documents"), "doc_id", "source")
+    # Materialize the shingle sets: both self-join sides and the
+    # post-join Jaccard expressions reference this relation, and project
+    # collapse would otherwise rebuild each document's shingle set per
+    # candidate PAIR instead of per document (O(pairs x tokenize) — 39 s
+    # at sf0.1 before the barrier).
     sh = (
         d.where(F.col("n_toks") >= SHINGLE_K)
         .select(
@@ -351,6 +373,10 @@ def ngram_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.array_distinct(F.col("shingles")).alias("shingle_set"),
         )
+        .repartition(
+            int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+        .localCheckpoint(eager=True)
     )
     a = sh.alias("a")
     b = sh.alias("b")
