@@ -370,3 +370,52 @@ def simhash64_hamming_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= HAMMING_RADIUS)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@REG.add(
+    "near_dup_components_lsh",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_WIDE_MINS},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION
+            SELECT doc_b, doc_a FROM cand
+        ),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        walk (id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
+        )
+        SELECT CAST(label AS BIGINT) AS component,
+               CAST(count(*) AS BIGINT) AS n_members,
+               min(id) AS keep_doc
+        FROM (SELECT id, min(label) AS label FROM walk GROUP BY id)
+        GROUP BY label
+    """,
+    doc="The scale-path dedup pipeline end-to-end: 16x4 MinHash LSH candidates "
+    "(never N^2) -> min-label connected components to fixpoint -> keep-min "
+    "survivor per component. This is the shape that runs at 100 TB — the "
+    "demo near_dup_components builds its graph from exact all-pairs cosine "
+    "(the O(N^2) baseline); here the edge list costs only the band join. "
+    "Oracle: recursive CTE over the same band-join candidate edges.",
+)
+def near_dup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.pipeline import min_label_components
+
+    cand = minhash_wide_candidates(spark, sf_dir)
+    edges = cand.union(
+        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = min_label_components(edges)
+    return labels.groupBy("label").agg(
+        F.count("*").alias("n_members"), F.min("id").alias("keep_doc")
+    ).select(
+        F.col("label").cast("long").alias("component"), "n_members", "keep_doc"
+    )

@@ -241,6 +241,123 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     )
 
 
+# --- materialized IVF index (the 100 TB layout, made real) ------------------
+
+
+def build_ivf_index(
+    embeddings: DataFrame, path: str, n_seed_dims: int = 4
+) -> None:
+    """Materialize an IVF index: vectors hive-partitioned by ``cell_id``.
+
+    Cell assignment is deterministic two-phase "k-means lite": seed cells
+    from the 2^n_seed_dims hyperplane sign buckets, compute each seed
+    cell's centroid (one partial-agg pass), then assign every vector to
+    its NEAREST centroid by cosine (one map-side pass against the
+    broadcast centroid table — no shuffle of vectors beyond the
+    partitioned write). The index directory is::
+
+        path/vectors/cell_id=N/*.parquet   (the partition column IS the cell)
+        path/centroids.parquet             (cell_id -> centroid vector)
+
+    Probing (:func:`probe_ivf`) then reads only the probed cells'
+    directories — ANN recall/cost turns into plain partition pruning,
+    which is the point of the layout at 100 TB.
+    """
+    import os
+
+    spark = embeddings.sparkSession
+    v = F.col("embedding").cast("array<double>")
+
+    def seed_bucket(col: Column) -> Column:
+        b = F.lit(0)
+        for i in range(n_seed_dims):
+            b = b + F.when(
+                F.element_at(col, i + 1) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        return b
+
+    seeded = embeddings.select("vec_id", "label", "embedding", seed_bucket(v).alias("seed"))
+    comp = (
+        seeded.select("seed", F.posexplode(v))
+        .groupBy("seed", "pos")
+        .agg(F.avg("col").alias("c"))
+    )
+    cent = comp.groupBy("seed").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    # Re-number cells densely 0..k-1 in seed order (empty seeds vanish).
+    cents = sorted(
+        ((r["seed"], r["cv"]) for r in cent.collect()), key=lambda t: t[0]
+    )
+    cent_rows = [(i, list(cv)) for i, (_, cv) in enumerate(cents)]
+    # Nearest-centroid assignment as one JVM expression over the (small)
+    # centroid literal array: argmax of cosine.
+    def cos_to(cv: list) -> Column:
+        carr = F.array(*[F.lit(float(x)) for x in cv])
+        return dot_col(v, carr) / F.nullif(
+            norm_col(v) * F.lit(sum(x * x for x in cv) ** 0.5), F.lit(0.0)
+        )
+
+    # Argmax via array_max + array_position (first match → ties break to
+    # the lowest cell id, deterministic). Building the argmax as a
+    # when-chain instead would reference the running best twice per step
+    # and double the expression tree per centroid — O(2^cells) blowup.
+    cos_arr = F.array(*[cos_to(cv) for _, cv in cent_rows])
+    cell = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+    assigned = embeddings.select(
+        "vec_id", "label", "embedding", cell.alias("cell_id")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    spark.createDataFrame(
+        cent_rows, "cell_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def probe_ivf(
+    spark: SparkSession, path: str, query_vec: list, k: int = 10, nprobe: int = 1
+) -> DataFrame:
+    """ANN top-k over a materialized IVF index (:func:`build_ivf_index`).
+
+    Routing happens driver-side against the tiny centroid table; the
+    vector scan reads ONLY the probed cells' hive partitions (partition
+    pruning — assert via PartitionFilters in the physical plan), then
+    exact-reranks with TakeOrderedAndProject. nprobe is the recall/cost
+    knob: cells scanned / total cells.
+    """
+    import math
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def cos(cv):
+        d = sum(a * b for a, b in zip(cv, query_vec))
+        n = math.sqrt(sum(a * a for a in cv)) * qn
+        return d / n if n else 0.0
+
+    probed = [
+        int(r["cell_id"])
+        for r in sorted(cents, key=lambda r: (-cos(r["centroid"]), r["cell_id"]))[
+            :nprobe
+        ]
+    ]
+    vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    cosc = dot_col(F.col("embedding").cast("array<double>"), qarr) / F.nullif(
+        norm_col(F.col("embedding").cast("array<double>")) * F.lit(qn), F.lit(0.0)
+    )
+    return (
+        vecs.where(F.col("cell_id").isin(probed))
+        .select("vec_id", "label", F.round(cosc, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 @REG.add(
     "lsh_bucket_candidates",
     oracle=f"""

@@ -1,0 +1,85 @@
+"""Materialized IVF index: partition-pruned ANN probing (the 100 TB
+layout made real — cell id as a hive partition column)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import sierradb_spark.operators  # noqa: F401 — break the functions<->operators import cycle
+from sierradb_spark.functions.similarity import build_ivf_index, probe_ivf
+from sierradb_spark.operators.base import load
+from sierradb_spark.plans import plan_features
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    build_ivf_index(load(spark, sf_dir, "embeddings"), path)
+    return path
+
+
+def _query_vec(spark, sf_dir):
+    [row] = (
+        load(spark, sf_dir, "embeddings").where(F.col("vec_id") == 0).collect()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def test_probe_scans_only_probed_partitions(spark, sf_dir, index):
+    qv = _query_vec(spark, sf_dir)
+    df = probe_ivf(spark, index, qv, k=10, nprobe=1)
+    f = plan_features(df)
+    # The cell filter must reach the scan as a PARTITION filter (pruned
+    # directories), not a post-scan predicate.
+    assert "PartitionFilters" in f["plan"] and "cell_id" in f["plan"]
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", f["plan"])
+    assert m and "cell_id" in m.group(1), f["plan"][:1500]
+    assert f["top_k"] >= 1  # exact rerank is TakeOrderedAndProject
+
+
+def test_full_probe_equals_brute_force(spark, sf_dir, index):
+    """nprobe == n_cells degrades to the exact answer: the index layout
+    loses nothing."""
+    qv = _query_vec(spark, sf_dir)
+    n_cells = spark.read.parquet(index + "/centroids").count()
+    approx = probe_ivf(spark, index, qv, k=10, nprobe=n_cells)
+    e = load(spark, sf_dir, "embeddings")
+    qarr = F.array(*[F.lit(x) for x in qv])
+    from sierradb_spark.functions.similarity import dot_col, norm_col
+
+    v = F.col("embedding").cast("array<double>")
+    qn = sum(x * x for x in qv) ** 0.5
+    cos = F.round(dot_col(v, qarr) / F.nullif(norm_col(v) * F.lit(qn), F.lit(0.0)), 4)
+    brute = (
+        e.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    assert [tuple(r) for r in approx.collect()] == [tuple(r) for r in brute.collect()]
+
+
+def test_probe1_results_come_from_one_cell(spark, sf_dir, index):
+    qv = _query_vec(spark, sf_dir)
+    got = probe_ivf(spark, index, qv, k=10, nprobe=1).collect()
+    assert len(got) == 10
+    vec_ids = [r["vec_id"] for r in got]
+    cells = (
+        spark.read.parquet(index + "/vectors")
+        .where(F.col("vec_id").isin(vec_ids))
+        .select("cell_id")
+        .distinct()
+        .collect()
+    )
+    assert len(cells) == 1  # every hit lives in the single probed cell
+
+
+def test_index_is_complete_partitioning(spark, sf_dir, index):
+    """Every vector is in exactly one cell — the index is a partition of
+    the corpus, not a lossy sample."""
+    vecs = spark.read.parquet(index + "/vectors")
+    src = load(spark, sf_dir, "embeddings")
+    assert vecs.count() == src.count()
+    assert vecs.select("vec_id").distinct().count() == src.count()

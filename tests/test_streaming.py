@@ -227,3 +227,16 @@ def test_subscription_across_compaction_no_redelivery(store, tmp_path):
     store.append([AppendRequest("cpt", "After")])
     sub.catchup(post.extend, ckpt)
     assert [r["event_name"] for r in post] == ["After"]
+
+
+@pytest.mark.parametrize("window", [10_000, 2, 1])
+def test_subscription_window_matrix(store, tmp_path, window):
+    """The reference's integration matrix (tests/subscriptions.rs:98-101)
+    runs subscribe-all under window sizes {10000, 100, 10}: delivery must
+    be complete and ordered whatever the ack window. Here the window is
+    commits-per-trigger (one manifest == one group commit)."""
+    n = _fill(store)
+    delivered: list = []
+    sub = Subscription(store, PartitionMatcher(), max_files_per_trigger=window)
+    sub.catchup(delivered.extend, str(tmp_path / f"ckpt-{window}"))
+    _assert_ordered_complete(store, delivered, n)
