@@ -83,6 +83,28 @@ class DatabaseModel:
 STREAMS = [f"stream-{i}" for i in range(8)]
 NAMES = ["Created", "Updated", "Deleted"]
 
+_REQ_COLS = [
+    "arrival", "txn_id", "stream_id", "event_name", "expected_version",
+    "event_id", "partition_key", "partition_id", "timestamp_ns",
+    "payload", "metadata", "reject_reason",
+]
+
+
+def _tokened_apply(store: EventStore, spark, reqs, token: str):
+    """Apply [(stream, name, expected)] through the streaming-batch path
+    with an idempotence token; returns the pinned enriched df + results."""
+    from sierradb_spark.streaming.ingest import enrich_requests
+
+    df = spark.createDataFrame(
+        reqs, "stream_id string, event_name string, expected_version string"
+    )
+    enriched = (
+        enrich_requests(df, store.config)
+        .select(*_REQ_COLS)
+        .localCheckpoint(eager=True)  # pin generated ids across replays
+    )
+    return enriched, store._apply_batch(enriched, fast=False, batch_token=token)
+
 
 def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> str:
     """Weighted expected-version generation (commands.rs:522-850): mostly
@@ -178,11 +200,64 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
         elif roll < 0.88:
             pid = model.partition_of(rng.choice(STREAMS))
             check_partition(pid)
-        elif roll < 0.92:  # ESVER vs model head
+        elif roll < 0.90:  # ESVER vs model head
             s = rng.choice(STREAMS)
             assert store.stream_version(s) == model.stream_versions.get(s)
-        elif roll < 0.96:  # compaction mid-sequence must not change state
+        elif roll < 0.93:  # compaction mid-sequence must not change state
             store.compact()
+        elif roll < 0.96:
+            # Tokened append + immediate replay (the crash-between-
+            # manifest-and-checkpoint scenario): the replay must be a
+            # whole-batch no-op, whatever the batch contents.
+            reqs = []
+            for _ in range(rng.randrange(1, 4)):
+                s = rng.choice(STREAMS)
+                reqs.append((s, rng.choice(NAMES), random_expected(rng, model, s)))
+            expected_results = []
+            for s, n, e in reqs:
+                ok, vers = model.append_txn([(s, n, e, b"")])
+                expected_results.append((ok, vers[0] if ok else None))
+            token = f"fuzz-{seed}-{step}"
+            enriched, res = _tokened_apply(store, spark, reqs, token)
+            got = [
+                (r["accepted"], r["stream_version"])
+                for r in res.orderBy("arrival").collect()
+            ]
+            assert got == expected_results, f"tokened append diverged step {step}"
+            replay = store._apply_batch(enriched, fast=False, batch_token=token)
+            # A batch that committed anything is skipped whole on replay;
+            # an all-rejected batch never recorded its token (no commit)
+            # and simply re-rejects. Either way zero events may append.
+            assert replay.where("accepted").count() == 0, (
+                f"replay appended events at step {step}"
+            )
+            if any(ok for ok, _ in expected_results):
+                assert replay.count() == 0, f"replay not skipped at step {step}"
+            n_appends += 1
+        elif roll < 0.98:
+            # Stale concurrent writer: a second handle holding old state
+            # must lose the manifest CAS; committed data is untouched.
+            from sierradb_spark.eventstore.store import ConcurrentWriteError
+
+            s2 = EventStore(
+                spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8)
+            )
+            stale = s2._read_state()
+            s = rng.choice(STREAMS)
+            ok, vers = model.append_txn([(s, "RaceWinner", "any", b"")])
+            assert ok
+            store.append([AppendRequest(s, "RaceWinner")])
+            if stale.commit > 0 or store._read_state().commit > stale.commit:
+                with pytest.raises(ConcurrentWriteError):
+                    s2._write_manifest(
+                        {
+                            "commit": stale.commit + 1,
+                            "base": False,
+                            "events_add": [],
+                            "heads_add": [],
+                            "watermarks": {},
+                        }
+                    )
         else:  # ReopenDatabase (commands.rs:332): fresh handle, same path
             store = EventStore(
                 spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8)
