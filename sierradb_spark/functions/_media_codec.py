@@ -70,6 +70,9 @@ def feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     stage): mean/std/entropy/distinct over the raw bytes, vectorized
     with numpy per Arrow batch — the shape a real CNN/CLIP feature
     extractor would have (blob → fixed-width numeric features)."""
+    # half-up rounding (not Python's banker's round): engine-portable,
+    # so the SQL oracle's floor(x*1e6+0.5)/1e6 computes identical values
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
     for pdf in it:
         rows = []
         for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
@@ -82,9 +85,9 @@ def feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows.append(
                 (
                     doc_id,
-                    round(float(a.mean()), 6),
-                    round(float(a.std()), 6),
-                    round(float(-(p * np.log2(p)).sum()), 6),
+                    r6(float(a.mean())),
+                    r6(float(a.std())),
+                    r6(float(-(p * np.log2(p)).sum())),
                     int((counts > 0).sum()),
                 )
             )

@@ -117,10 +117,52 @@ def multimodal_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REG.add(
     "multimodal_byte_features",
-    oracle=None,  # numpy feature extraction — not SQL-expressible
+    # The media blob is the document's utf-8 bytes, so DuckDB can
+    # re-derive every feature by exploding hex(blob) into byte values:
+    # mean/stddev_pop over small ints are exact in double on both
+    # engines, entropy/std agree to well past the 6th decimal, and both
+    # sides round half-up (floor(x*1e6+0.5)/1e6 — Python's banker's
+    # round would diverge on exact ties like k/128 means).
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, lower(hex(encode(text))) AS bh,
+                   octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, ('0x' || substr(bh, 2*i - 1, 2))::INT AS v
+            FROM m, unnest(generate_series(1, n)) t(i)
+        ),
+        stats AS (
+            SELECT doc_id,
+                   avg(v) AS mean_b,
+                   stddev_pop(v) AS std_b,
+                   CAST(count(DISTINCT v) AS INT) AS nd
+            FROM b GROUP BY doc_id
+        ),
+        ent AS (
+            SELECT doc_id, -sum(p * log2(p)) AS e
+            FROM (
+                SELECT doc_id,
+                       count(*)::DOUBLE
+                       / sum(count(*)) OVER (PARTITION BY doc_id) AS p
+                FROM b GROUP BY doc_id, v
+            )
+            GROUP BY doc_id
+        )
+        SELECT m.doc_id,
+               COALESCE(floor(stats.mean_b * 1e6 + 0.5) / 1e6, 0.0) AS mean_byte,
+               COALESCE(floor(stats.std_b * 1e6 + 0.5) / 1e6, 0.0) AS std_byte,
+               COALESCE(floor(ent.e * 1e6 + 0.5) / 1e6, 0.0) AS entropy,
+               COALESCE(stats.nd, 0) AS n_distinct_bytes
+        FROM m
+        LEFT JOIN stats USING (doc_id)
+        LEFT JOIN ent USING (doc_id)
+    """,
     doc="Feature-extraction stage: blob → numeric feature vector (mean/std/"
     "entropy/distinct bytes) via numpy per Arrow batch — the CLIP/CNN-shaped "
-    "stage. Rows-only check.",
+    "stage. The oracle re-derives every feature from the blob bytes in SQL, "
+    "so even this numpy stage is value-hash-checked.",
 )
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
