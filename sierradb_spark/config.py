@@ -35,6 +35,11 @@ class EngineConfig:
     # storage platform's job here; the factor survives so the recorded
     # confirmation_count equals the write quorum the reference would reach.
     replication_factor: int = 3
+    # Fold the heads log into one file once this many heads files have
+    # accumulated (the heads-log analogue of segment rollover, W8): every
+    # append reads the whole heads log, so without folding per-batch cost
+    # grows O(commits since compaction) and sustained ingest degrades.
+    heads_fold_threshold: int = 64
     # Shuffle partitions for local testing; at 100 TB cluster scale this
     # should be ~2-3x total executor cores (AQE coalesces the tail).
     shuffle_partitions: int = 32

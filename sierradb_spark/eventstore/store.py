@@ -303,7 +303,12 @@ class EventStore:
         tokens: set[str] = set()
         for m in manifests[start:]:
             events.extend(m.get("events_add", ()))
-            heads.extend(m.get("heads_add", ()))
+            if m.get("heads_base"):
+                # This commit folded the heads log: its heads file
+                # supersedes everything before it (heads-log rollover).
+                heads = list(m.get("heads_add", ()))
+            else:
+                heads.extend(m.get("heads_add", ()))
             # Base manifests carry the chain's token history forward
             # (bounded — see compact()); incremental ones carry their own.
             tokens.update(m.get("batch_tokens_seen", ()))
@@ -792,6 +797,30 @@ class EventStore:
             )
             .toPandas()
         )
+        # Heads-log rollover (W8 for the heads log): every append reads
+        # the whole heads log, so fold it into ONE file once enough
+        # commits accumulate — per-batch cost stays O(batch + streams/
+        # fold_interval) instead of growing with commit count, which is
+        # what keeps sustained ingest flat between compactions.
+        fold = len(state.heads_files) + 1 > self.config.heads_fold_threshold
+        if fold:
+            prior = (
+                self.spark.read.schema(HEADS_SCHEMA)
+                .parquet(
+                    *[os.path.join(self.heads_path, p) for p in state.heads_files]
+                )
+                .groupBy("partition_id", "stream_id")
+                .agg(
+                    F.max("stream_version").alias("stream_version"),
+                    F.max("partition_sequence").alias("partition_sequence"),
+                )
+                .toPandas()
+            )
+            heads_pdf = (
+                pd.concat([prior, heads_pdf], ignore_index=True)
+                .groupby(["partition_id", "stream_id"], as_index=False)
+                .max()
+            )
         heads_rel = f"heads-{state.commit + 1:012d}-{token}.parquet"
         self._write_heads_file(heads_pdf, os.path.join(self.heads_path, heads_rel))
         wm = dict(state.watermarks)
@@ -804,6 +833,7 @@ class EventStore:
             "base": False,
             "events_add": added,
             "heads_add": [heads_rel],
+            "heads_base": fold,
             "watermarks": {str(p): int(s) for p, s in wm.items()},
         }
         if batch_token is not None:

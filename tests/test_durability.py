@@ -213,3 +213,35 @@ def test_null_expected_version_treated_as_any(spark, store):
     # NULL == no precondition == 'any': both rows append, no executor crash.
     assert [r["accepted"] for r in res] == [True, True]
     assert [r["stream_version"] for r in res] == [0, 1]
+
+
+# --- heads-log rollover ------------------------------------------------------
+
+
+def test_heads_log_folds_at_threshold(spark, tmp_path):
+    """Sustained appends must not grow the per-append heads read: once
+    heads_fold_threshold files accumulate, a commit folds them into one
+    (heads-log segment rollover), and reads stay correct."""
+    st = EventStore(
+        spark,
+        str(tmp_path / "fold"),
+        EngineConfig(shuffle_partitions=8, heads_fold_threshold=4),
+    )
+    for b in range(7):
+        st.append([AppendRequest(f"hf-{i}", f"E{b}") for i in range(3)])
+    state = st._read_state()
+    # 7 commits but the log folded at the threshold — never 7 files.
+    assert len(state.heads_files) <= 4, state.heads_files
+    # Folded heads still serve every read correctly.
+    for i in range(3):
+        assert st.stream_version(f"hf-{i}") == 6
+    assert [r["stream_version"] for r in st.scan("hf-1").collect()] == list(range(7))
+    # Watermarks unaffected by folding.
+    ev_heads = {
+        r["partition_id"]: r["hi"]
+        for r in st.events()
+        .groupBy("partition_id")
+        .agg(F.max("partition_sequence").alias("hi"))
+        .collect()
+    }
+    assert st._wm() == ev_heads
