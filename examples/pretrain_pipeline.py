@@ -51,6 +51,28 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     exact = quality.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
     n2 = exact.count()
 
+    # 2b. NEAR dedup at production width: 64-hash MinHash LSH candidates
+    #     (never N^2) -> connected components -> keep the min doc_id per
+    #     component, drop the rest. The candidate pairs come from the
+    #     same registry operator the correctness gate hash-checks.
+    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+    from sierradb_spark.functions.pipeline import min_label_components
+
+    cand = minhash_wide_candidates(spark, sf_dir)
+    edges = cand.union(
+        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = min_label_components(edges)
+    near_dropped = (
+        labels.withColumn(
+            "keep", F.min("id").over(Window.partitionBy("label"))
+        )
+        .where(F.col("id") != F.col("keep"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    exact = exact.join(F.broadcast(near_dropped), "doc_id", "left_anti")
+    n2b = exact.count()
+
     # 3. Decontamination: drop docs sharing a 4-gram with the eval split
     #    (doc_id % 97 == 0 stands in; the eval side broadcasts).
     grams = F.when(
@@ -100,6 +122,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         "input": n0,
         "quality_pass": n1,
         "after_exact_dedup": n2,
+        "after_near_dedup": n2b,
         "after_decontamination": n3,
         "after_mixture_sampling": n4,
     }

@@ -240,3 +240,34 @@ def test_subscription_window_matrix(store, tmp_path, window):
     sub = Subscription(store, PartitionMatcher(), max_files_per_trigger=window)
     sub.catchup(delivered.extend, str(tmp_path / f"ckpt-{window}"))
     _assert_ordered_complete(store, delivered, n)
+
+
+def test_partition_matcher_from_sequences(store, tmp_path):
+    """EPSUB FROM semantics through the manifest-stream path: explicit
+    per-partition start sequences with DEFAULT for unlisted partitions
+    (FromSequenceSpec, request.rs:556-572)."""
+    _fill(store, n=60, n_streams=6, batches=2)
+    pids = sorted(
+        r["partition_id"]
+        for r in store.events().select("partition_id").distinct().collect()
+    )
+    assert len(pids) >= 2
+    p0, p1 = pids[0], pids[1]
+    # p0 starts at sequence 2; every other partition from DEFAULT=1.
+    got: list = []
+    sub = Subscription(
+        store,
+        PartitionMatcher(from_sequences={p0: 2}, default_from=1),
+    )
+    sub.catchup(got.extend, str(tmp_path / "ckpt"))
+    by_part: dict[int, list[int]] = {}
+    for r in got:
+        by_part.setdefault(r["partition_id"], []).append(r["partition_sequence"])
+    assert min(by_part[p0]) == 2
+    assert all(min(v) == 1 for p, v in by_part.items() if p != p0)
+    # partition-list restriction composes with FROM
+    only: list = []
+    sub2 = Subscription(store, PartitionMatcher(partitions=(p1,), from_sequences={p1: 3}))
+    sub2.catchup(only.extend, str(tmp_path / "ckpt2"))
+    assert {r["partition_id"] for r in only} == {p1}
+    assert min(r["partition_sequence"] for r in only) == 3
