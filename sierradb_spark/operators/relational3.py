@@ -288,10 +288,11 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
         WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
-    doc="TPC-H Q15: quarterly revenue view + scalar-max subquery. Spark computes the "
-    "view once and resolves the max with a rank window over the tiny aggregate "
-    "(|suppliers| rows) instead of a second scan; rounding before the max makes "
-    "float ties engine-stable.",
+    doc="TPC-H Q15: quarterly revenue view + scalar-max subquery. The rank-1 "
+    "window is literally 'rows equal to the max', so Spark resolves it with a "
+    "1-row max aggregate cross-joined as a filter — no window, no single-"
+    "reducer sort, works at any supplier cardinality. Rounding before the max "
+    "makes float ties engine-stable.",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(
@@ -302,10 +303,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "total_revenue"
         )
-    )
-    top = revenue.withColumn(
-        "rk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
-    ).where(F.col("rk") == 1)
+    ).localCheckpoint(eager=True)  # one lineitem scan serves max + filter
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("mx")
+    ).drop("mx")
     s = load(spark, sf_dir, "supplier")
     return s.join(
         F.broadcast(top), s.s_suppkey == top.supplier_no
