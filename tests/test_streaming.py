@@ -271,3 +271,18 @@ def test_partition_matcher_from_sequences(store, tmp_path):
     sub2.catchup(only.extend, str(tmp_path / "ckpt2"))
     assert {r["partition_id"] for r in only} == {p1}
     assert min(r["partition_sequence"] for r in only) == 3
+
+
+def test_fresh_subscription_after_compaction_full_catchup(store, tmp_path):
+    """A subscription created after compact() has only the base manifest
+    to read from — it must deliver the full (rewritten) history."""
+    store.append([AppendRequest("fc", f"E{i}") for i in range(9)])
+    store.compact()
+    store.append([AppendRequest("fc", "PostCompact")])
+    got: list = []
+    sub = Subscription(store, PartitionMatcher())
+    sub.catchup(got.extend, str(tmp_path / "fresh-ckpt"))
+    assert [r["event_name"] for r in got] == [f"E{i}" for i in range(9)] + [
+        "PostCompact"
+    ]
+    assert [r["stream_version"] for r in got] == list(range(10))
