@@ -25,6 +25,7 @@ from sierradb_spark.functions import (
     quality,
     similarity,
     text,
+    text2,
     udx,
 )
 
@@ -45,6 +46,7 @@ for mod in (
     contamination,
     udx,
     dedup_wide,
+    text2,
     event_analytics,
     sketches,
     relational,

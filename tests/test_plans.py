@@ -173,3 +173,19 @@ def test_spend_quartiles_window_is_bucket_partitioned(q):
         assert " ASC" not in s and " DESC" not in s, (
             f"window has no partition clause (single reducer): {s}"
         )
+
+
+def test_wide_lsh_band_join_is_equi_join(q):
+    # Candidate generation must be a hash/sort-merge EQUI join on band
+    # digests — never a cartesian/nested-loop pair enumeration.
+    assert_plan(
+        q("minhash_wide_candidates"),
+        forbid_nested_loop=True,
+    )
+
+
+def test_simhash64_band_join_is_equi_join(q):
+    assert_plan(
+        q("simhash64_hamming_candidates"),
+        forbid_nested_loop=True,
+    )
