@@ -255,12 +255,20 @@ WINNOW_MOD = 2**31 - 1
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     text = F.col("text")
-    # Stage char codes once (split+ascii is O(len)); each k-gram hash
-    # then reads 8 ints from the staged array instead of re-slicing the
-    # string per character (which is O(position) on UTF8 strings).
-    codes_df = d.select(
-        "doc_id",
-        F.transform(F.split(text, ""), lambda c: F.ascii(c)).alias("codes"),
+    # Stage char codes once (split+ascii is O(len)), MATERIALIZED:
+    # Catalyst's project collapse would otherwise inline the codes
+    # expression into every per-position slice of the k-gram transform,
+    # re-splitting the string per k-gram — O(len^2) per document. Same
+    # barrier between hashes and the window-min pass below. repartition:
+    # the corpus is a single input split.
+    n_slices = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    codes_df = (
+        d.select(
+            "doc_id",
+            F.transform(F.split(text, ""), lambda c: F.ascii(c)).alias("codes"),
+        )
+        .repartition(n_slices)
+        .localCheckpoint(eager=True)
     )
     codes = F.col("codes")
     staged = codes_df.select(
@@ -277,7 +285,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("hashes"),
-    )
+    ).localCheckpoint(eager=True)
     h = F.col("hashes")
     fps = F.array_distinct(
         F.when(F.size(h) < WINNOW_W, h).otherwise(
