@@ -73,7 +73,19 @@ def _words_col() -> F.Column:
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    ws = _words_col()
+    # Materialize the word arrays first: the gram lambda below slices
+    # the words per position, and an inline split expression would be
+    # re-evaluated per gram (O(len^2) per doc). repartition: single
+    # input split. The exploded gram table is ALSO materialized because
+    # both the bench side and the corpus side consume it — one gram
+    # pass instead of two.
+    n_slices = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    w = (
+        d.select("doc_id", "source", _words_col().alias("ws"))
+        .repartition(n_slices)
+        .localCheckpoint(eager=True)
+    )
+    ws = F.col("ws")
     grams = F.when(
         F.size(ws) >= _GRAM_N,
         F.transform(
@@ -81,7 +93,9 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(ws, i + 1, _GRAM_N)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", "source", F.explode(grams).alias("gram"))
+    g = w.select("doc_id", "source", F.explode(grams).alias("gram")).localCheckpoint(
+        eager=True
+    )
     bench = (
         g.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
     )
