@@ -141,9 +141,18 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    # Materialize the shingle arrays: four sig consumers would otherwise
+    # each re-run the inlined tokenization (see dedup_wide._wide_bands).
+    staged = (
+        d.select("doc_id", "shingles")
+        .repartition(
+            int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+        .localCheckpoint(eager=True)
+    )
     sh = F.col("shingles")
     cols = [minhash_col(sh, i).alias(f"sig{i}") for i in range(N_HASHES)]
-    return d.select("doc_id", *cols)
+    return staged.select("doc_id", *cols)
 
 
 @REG.add(
