@@ -174,7 +174,14 @@ class StreamIngest:
         trigger_interval: str | None = None,
         available_now: bool = False,
         on_batch=None,
+        compact_every: int | None = None,
     ) -> StreamingQuery:
+        """``compact_every``: run ``store.compact()`` after every N
+        committed micro-batches (the automatic segment-rollover cadence,
+        writer_thread_pool.rs:697-790). Long-running ingest otherwise
+        accumulates one file per touched partition per batch plus one
+        manifest per batch; periodic compaction bounds both, and the
+        heads log folds itself independently (heads_fold_threshold)."""
         if not requests.isStreaming:
             raise ValueError("requests must be a streaming DataFrame")
 
@@ -211,6 +218,12 @@ class StreamIngest:
                 fast=fast,
                 batch_token=f"{query_key}-{batch_id}",
             )
+            if (
+                compact_every
+                and batch_id > 0
+                and batch_id % compact_every == 0
+            ):
+                self.store.compact()
             if on_batch is not None:
                 on_batch(batch_id, result)
 

@@ -286,3 +286,40 @@ def test_fresh_subscription_after_compaction_full_catchup(store, tmp_path):
         "PostCompact"
     ]
     assert [r["stream_version"] for r in got] == list(range(10))
+
+
+def test_stream_ingest_auto_compaction(store, spark, tmp_path):
+    """compact_every: long-running ingest periodically folds files and
+    manifests without disturbing correctness or replay idempotence."""
+    src = str(tmp_path / "reqs")
+    os.makedirs(src)
+    import json as _json
+
+    for f in range(5):
+        with open(os.path.join(src, f"r{f}.jsonl"), "w") as fh:
+            for i in range(6):
+                fh.write(
+                    _json.dumps(
+                        {"stream_id": f"ac-{i % 3}", "event_name": f"B{f}E{i}"}
+                    )
+                    + "\n"
+                )
+    reqs = (
+        spark.readStream.schema("stream_id string, event_name string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = StreamIngest(store).start(
+        reqs,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+    assert store.events().count() == 30
+    for s in range(3):
+        assert [
+            r["stream_version"] for r in store.scan(f"ac-{s}").collect()
+        ] == list(range(10))
+    # Compaction actually ran: the manifest chain was folded at least once.
+    assert len(store.commits()) < 5
