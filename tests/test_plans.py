@@ -189,3 +189,12 @@ def test_simhash64_band_join_is_equi_join(q):
         q("simhash64_hamming_candidates"),
         forbid_nested_loop=True,
     )
+
+
+def test_embedding_bucketed_pairs_equi_join(q):
+    # Banded sign-LSH pair generation: candidates from an equi-join on
+    # (band_idx, bucket) — never a nested-loop over all vector pairs.
+    assert_plan(
+        q("embedding_near_dup_bucketed"),
+        forbid_nested_loop=True,
+    )
