@@ -13,6 +13,7 @@ from sierradb_spark.operators import (
     relational,
     relational2,
     relational3,
+    relational4,
     sketches,
     windows,
 )
@@ -52,6 +53,7 @@ for mod in (
     relational,
     relational2,
     relational3,
+    relational4,
 ):
     REGISTRY.merge(mod.REG)
 
