@@ -123,6 +123,13 @@ class ConcurrentWriteError(Exception):
     """
 
 
+class SnapshotExpiredError(Exception):
+    """The requested ``as_of`` snapshot's manifest chain is no longer
+    complete: compaction swept part of it past the retention window
+    (Delta's "version not reconstructable after VACUUM"). Raised
+    instead of silently returning a partial file set."""
+
+
 @dataclass(frozen=True)
 class _State:
     """Table state resolved from the manifest chain."""
@@ -134,6 +141,44 @@ class _State:
     # Ingest batch tokens already committed (streaming idempotence):
     # a replayed foreachBatch whose token is here is skipped whole.
     batch_tokens: frozenset[str] = frozenset()
+
+
+def _cap_batch_tokens(tokens, cap: int = 1024) -> list[str]:
+    """Bound the idempotence-token history carried by a base manifest,
+    keeping the NUMERICALLY newest batch ids per query key.
+
+    Tokens look like ``<query_key>-<batch_id>`` with a non-zero-padded
+    decimal batch id; a plain lexical ``sorted(tokens)[-cap:]`` would
+    (a) sort 'k-1000' before 'k-999' and (b) let one query key's tokens
+    crowd out another's entirely — either way a replay of a *recent*
+    batch whose token was evicted would double-append, silently breaking
+    exactly-once. Round-robin newest-first across keys keeps the recent
+    tail of EVERY query.
+    """
+    by_key: dict[str, list[tuple[int, str]]] = {}
+    for t in tokens:
+        key, _, suffix = t.rpartition("-")
+        try:
+            bid = int(suffix)
+        except ValueError:
+            key, bid = t, -1
+        by_key.setdefault(key, []).append((bid, t))
+    for lst in by_key.values():
+        lst.sort(reverse=True)  # newest batch first
+    kept: list[str] = []
+    depth = 0
+    while len(kept) < cap:
+        progressed = False
+        for lst in by_key.values():
+            if depth < len(lst):
+                kept.append(lst[depth][1])
+                progressed = True
+                if len(kept) >= cap:
+                    break
+        if not progressed:
+            break
+        depth += 1
+    return sorted(kept)
 
 
 def _validate_and_assign(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -282,7 +327,16 @@ class EventStore:
         except FileNotFoundError:
             names = []
         if as_of is not None:
+            listed = names
             names = [n for n in names if int(n.split(".")[0]) <= as_of]
+            if not names and listed:
+                # Commits exist, all above as_of: the snapshot predates
+                # the surviving chain (compacted away), not "empty table".
+                raise SnapshotExpiredError(
+                    f"snapshot as_of={as_of} predates the oldest surviving "
+                    "manifest; it was compacted away (increase compact()'s "
+                    "retain_seconds to keep older snapshots readable)"
+                )
         if not names:
             return _State(0, (), (), {})
         manifests = []
@@ -298,6 +352,15 @@ class EventStore:
             if manifests[i].get("base"):
                 start = i
                 break
+        # A resolvable snapshot must begin at a base manifest or at the
+        # very first commit; anything else is a retained-but-truncated
+        # suffix left inside compaction's retention window.
+        if not (manifests[start].get("base") or manifests[start]["commit"] == 1):
+            raise SnapshotExpiredError(
+                f"snapshot as_of={as_of} is not reconstructable: the manifest "
+                "chain below it was compacted away (increase compact()'s "
+                "retain_seconds to keep older snapshots readable)"
+            )
         events: list[str] = []
         heads: list[str] = []
         tokens: set[str] = set()
@@ -1105,24 +1168,46 @@ class EventStore:
                 "heads_add": [heads_rel],
                 "watermarks": {str(p): int(s) for p, s in state.watermarks.items()},
                 # Carry the chain's ingest-idempotence tokens forward
-                # (capped: replays only ever race the recent tail).
-                "batch_tokens_seen": sorted(state.batch_tokens)[-1024:],
+                # (capped: replays only ever race the recent tail, and
+                # the cap keeps the numerically newest per query key —
+                # see _cap_batch_tokens).
+                "batch_tokens_seen": _cap_batch_tokens(state.batch_tokens),
             }
         )
         # Superseded manifests FIRST: once they are gone, commits() can
         # never list a snapshot whose files the sweep below removed —
         # even if we crash between the two phases (Delta's
-        # checkpoint-after-VACUUM behavior).
+        # checkpoint-after-VACUUM behavior). Manifests inside the
+        # retention window are RETAINED (not just their data files):
+        # a concurrent Subscription tails _commits/ and reads each
+        # manifest's event files, so unlinking a listed-but-unprocessed
+        # manifest (or its parquet) would fail the subscriber's query.
         base_commit = state.commit + 1
-        for fn in os.listdir(self.commits_path):
-            if fn.endswith(".json") and int(fn.split(".")[0]) < base_commit:
-                os.unlink(os.path.join(self.commits_path, fn))
-        # Then sweep data files the base manifest does not reference —
+        cutoff = time.time() - retain_seconds
+        retained: list[dict] = []
+        for fn in sorted(os.listdir(self.commits_path)):
+            if not fn.endswith(".json") or int(fn.split(".")[0]) >= base_commit:
+                continue
+            full = os.path.join(self.commits_path, fn)
+            if os.path.getmtime(full) <= cutoff:
+                os.unlink(full)
+            else:
+                m = self._manifest_cache.get(fn)
+                if m is None:
+                    with open(full) as f:
+                        m = json.load(f)
+                retained.append(m)
+        # Then sweep data files no remaining manifest references —
         # superseded files AND crash orphans — honoring the retention
         # window for concurrent readers mid-query on the old snapshot.
-        cutoff = time.time() - retain_seconds
+        # Files named by a retained superseded manifest stay alive
+        # regardless of age; the next compaction past the window
+        # removes manifest and files together.
         keep_events = set(added)
         keep_heads = {heads_rel}
+        for m in retained:
+            keep_events.update(m.get("events_add", ()))
+            keep_heads.update(m.get("heads_add", ()))
         for root, _dirs, files in os.walk(self.events_path):
             for fn in files:
                 full = os.path.join(root, fn)

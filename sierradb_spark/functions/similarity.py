@@ -296,8 +296,18 @@ def build_ivf_index(
     # centroid literal array: argmax of cosine.
     def cos_to(cv: list) -> Column:
         carr = F.array(*[F.lit(float(x)) for x in cv])
-        return dot_col(v, carr) / F.nullif(
-            norm_col(v) * F.lit(sum(x * x for x in cv) ** 0.5), F.lit(0.0)
+        # A zero-norm vector has NULL cosine to every centroid; without
+        # the coalesce its cell_id is NULL, it lands in the
+        # __HIVE_DEFAULT_PARTITION__ directory, and probe_ivf (which
+        # filters cell_id.isin(...)) can never return it. The -2.0
+        # sentinel (< any real cosine) assigns such rows to cell 0
+        # deterministically so every vector stays probeable.
+        return F.coalesce(
+            dot_col(v, carr)
+            / F.nullif(
+                norm_col(v) * F.lit(sum(x * x for x in cv) ** 0.5), F.lit(0.0)
+            ),
+            F.lit(-2.0),
         )
 
     # Argmax via array_max + array_position (first match → ties break to

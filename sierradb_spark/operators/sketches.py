@@ -66,19 +66,20 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         approx AS (
             SELECT event_type,
-                   approx_quantile(value, 0.5) AS a50,
-                   approx_quantile(value, 0.99) AS a99
+                   approx_quantile(value, 0.5) AS a50
             FROM events GROUP BY event_type
         )
         SELECT e.event_type, e.p50, e.p99,
-               (abs(a.a50 - e.p50) <= 0.05 * (e.p99 - e.p50 + 1.0)
-                AND abs(a.a99 - e.p99) <= 0.05 * (e.p99 - e.p50 + 1.0)) AS approx_ok
+               (abs(a.a50 - e.p50) <= 0.05 * (e.p99 - e.p50 + 1.0)) AS approx_ok
         FROM exact e JOIN approx a ON e.event_type = a.event_type
     """,
     doc="Approximate percentiles (t-digest / Greenwald-Khanna class sketches): "
     "mergeable fixed-size state vs the full sort an exact percentile needs. "
     "Output = exact interpolated p50/p99 (both engines agree on those) + each "
-    "engine's own sketch-error check against a range-scaled tolerance.",
+    "engine's own sketch-error check against a range-scaled tolerance. The "
+    "check is on the MEDIAN only: a tail quantile's rank error converts to an "
+    "unbounded value error on small groups (order-stat gaps near the max), so "
+    "p99 sketch error is not a stable cross-engine assertion at small SF.",
 )
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -88,7 +89,6 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = ev.groupBy("event_type").agg(
         F.expr("approx_percentile(value, 0.5, 10000)").alias("a50"),
-        F.expr("approx_percentile(value, 0.99, 10000)").alias("a99"),
     )
     tol = 0.05 * (F.col("p99") - F.col("p50") + 1.0)
     return (
@@ -97,10 +97,7 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "p50",
             "p99",
-            (
-                (F.abs(F.col("a50") - F.col("p50")) <= tol)
-                & (F.abs(F.col("a99") - F.col("p99")) <= tol)
-            ).alias("approx_ok"),
+            (F.abs(F.col("a50") - F.col("p50")) <= tol).alias("approx_ok"),
         )
     )
 

@@ -175,13 +175,21 @@ class StreamIngest:
         available_now: bool = False,
         on_batch=None,
         compact_every: int | None = None,
+        compact_retain_seconds: float = 600.0,
     ) -> StreamingQuery:
         """``compact_every``: run ``store.compact()`` after every N
         committed micro-batches (the automatic segment-rollover cadence,
         writer_thread_pool.rs:697-790). Long-running ingest otherwise
         accumulates one file per touched partition per batch plus one
         manifest per batch; periodic compaction bounds both, and the
-        heads log folds itself independently (heads_fold_threshold)."""
+        heads log folds itself independently (heads_fold_threshold).
+
+        ``compact_retain_seconds``: retention window passed to the
+        auto-compactions. Defaults NON-zero (10 min) because concurrent
+        Subscriptions tail the manifest log: a zero window would let
+        compaction unlink a listed-but-unprocessed manifest (or its
+        parquet files) out from under the subscriber's streaming query.
+        Set it above your longest concurrent query/subscriber lag."""
         if not requests.isStreaming:
             raise ValueError("requests must be a streaming DataFrame")
 
@@ -223,7 +231,7 @@ class StreamIngest:
                 and batch_id > 0
                 and batch_id % compact_every == 0
             ):
-                self.store.compact()
+                self.store.compact(retain_seconds=compact_retain_seconds)
             if on_batch is not None:
                 on_batch(batch_id, result)
 

@@ -130,26 +130,86 @@ class Subscription:
         return reader.json(self.store.commits_path)
 
     # --- durable delivery cursor --------------------------------------------
+    #
+    # The cursor is three fields, persisted atomically beside the
+    # checkpoint:
+    #   last_commit — highest commit processed through a CONTIGUOUS
+    #                 chain (or via a base manifest, which supersedes
+    #                 everything below it);
+    #   watermarks  — delivered-through sequence per partition, advanced
+    #                 only for processed commits;
+    #   pending     — manifests the source delivered OUT OF ORDER
+    #                 (commit N+1 listed in a batch that excluded N:
+    #                 mtime tie / clock step / maxFilesPerTrigger split).
+    #                 Held — with their file lists, because the file
+    #                 source never re-lists a seen file — until the gap
+    #                 fills or a base manifest supersedes it. Without
+    #                 this, advancing straight to the newest manifest's
+    #                 watermarks would permanently suppress the gapped
+    #                 commit's events: silent data loss.
 
     @staticmethod
     def _cursor_path(checkpoint: str) -> str:
         return os.path.join(checkpoint, "delivered_watermarks.json")
 
-    def _load_cursor(self, checkpoint: str) -> dict[int, int]:
+    def _load_cursor(self, checkpoint: str) -> dict:
         try:
             with open(self._cursor_path(checkpoint)) as f:
-                return {int(k): int(v) for k, v in json.load(f).items()}
+                raw = json.load(f)
         except FileNotFoundError:
-            return {}
+            return {"last_commit": None, "watermarks": {}, "pending": {}}
+        if "watermarks" not in raw:  # legacy flat {pid: seq} cursor file
+            return {
+                "last_commit": None,
+                "watermarks": {int(k): int(v) for k, v in raw.items()},
+                "pending": {},
+            }
+        return {
+            "last_commit": raw["last_commit"],
+            "watermarks": {int(k): int(v) for k, v in raw["watermarks"].items()},
+            "pending": {int(k): v for k, v in raw["pending"].items()},
+        }
 
-    def _save_cursor(self, checkpoint: str, cur: dict[int, int]) -> None:
+    def _save_cursor(self, checkpoint: str, cur: dict) -> None:
         path = self._cursor_path(checkpoint)
         tmp = f"{path}.tmp-{secrets.token_hex(4)}"
         with open(tmp, "w") as f:
-            json.dump({str(k): int(v) for k, v in cur.items()}, f)
+            json.dump(
+                {
+                    "last_commit": cur["last_commit"],
+                    "watermarks": {
+                        str(k): int(v) for k, v in cur["watermarks"].items()
+                    },
+                    "pending": {str(k): v for k, v in cur["pending"].items()},
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, path)
+
+    @staticmethod
+    def _pop_deliverable(cursor: dict) -> list[dict]:
+        """Pop the manifests now safe to process, in commit order: the
+        contiguous extension of ``last_commit``, plus any base manifest
+        (a base supersedes — and re-lists the data of — every commit
+        below it, so a gap beneath one can never fill and must not
+        block). Gapped manifests stay pending."""
+        todo: list[dict] = []
+        pending = cursor["pending"]
+        while pending:
+            c = min(pending)
+            last = cursor["last_commit"]
+            entry = pending[c]
+            if last is not None and c <= last:
+                del pending[c]  # replay of an already-processed commit
+                continue
+            if last is None or c == last + 1 or entry["base"]:
+                todo.append(pending.pop(c))
+                cursor["last_commit"] = c
+            else:
+                break
+        return todo
 
     def start(
         self,
@@ -179,31 +239,55 @@ class Subscription:
             manifests = batch.collect()  # O(commits per trigger) tiny rows
             if not manifests:
                 return
-            manifests.sort(key=lambda m: m["commit"])
-            files = [f for m in manifests for f in (m["events_add"] or ())]
-            if not files:
-                return
             cursor = self._load_cursor(checkpoint)
-            paths = [os.path.join(self.store.events_path, p) for p in files]
-            events = (
-                self.store.spark.read.schema(EVENT_SCHEMA)
-                .option("basePath", self.store.events_path)
-                .parquet(*paths)
-            )
-            # Cursor gate (JVM-side literal map): drops rows already
-            # delivered before a restart or re-listed by a base manifest.
-            gate = F.col("partition_sequence") > EventStore._wm_col(cursor)
-            ready = (
-                events.where(gate & self.matcher.predicate())
-                .orderBy("partition_id", "partition_sequence")
-                .collect()
-            )
-            if ready:
-                deliver(ready)
-            # Advance to the newest manifest's confirmed watermarks —
-            # covers every row in the batch's files, matched or not.
-            for k, v in (manifests[-1]["watermarks"] or {}).items():
-                cursor[int(k)] = max(int(v), cursor.get(int(k), -1))
+            for m in manifests:
+                c = int(m["commit"])
+                last = cursor["last_commit"]
+                if last is not None and c <= last:
+                    continue  # already processed (replayed listing)
+                cursor["pending"][c] = {
+                    "base": bool(m["base"]),
+                    "watermarks": {
+                        str(k): int(v)
+                        for k, v in (m["watermarks"] or {}).items()
+                    },
+                    "events_add": list(m["events_add"] or ()),
+                }
+            # Process only the contiguous prefix of the commit chain;
+            # gapped manifests wait in the cursor file (with their file
+            # lists) so commit N's events are never suppressed — or
+            # delivered out of order — because N+1 got listed first.
+            todo = self._pop_deliverable(cursor)
+            files = [f for e in todo for f in e["events_add"]]
+            if files:
+                paths = [
+                    os.path.join(self.store.events_path, p) for p in files
+                ]
+                events = (
+                    self.store.spark.read.schema(EVENT_SCHEMA)
+                    .option("basePath", self.store.events_path)
+                    .parquet(*paths)
+                )
+                # Cursor gate (JVM-side literal map): drops rows already
+                # delivered before a restart or re-listed by a base
+                # manifest.
+                gate = F.col("partition_sequence") > EventStore._wm_col(
+                    cursor["watermarks"]
+                )
+                ready = (
+                    events.where(gate & self.matcher.predicate())
+                    .orderBy("partition_id", "partition_sequence")
+                    .collect()
+                )
+                if ready:
+                    deliver(ready)
+            # Advance through exactly the processed commits' confirmed
+            # watermarks — covers every row in their files, matched or
+            # not — and persist pending for gapped ones.
+            for e in todo:
+                for k, v in e["watermarks"].items():
+                    wm = cursor["watermarks"]
+                    wm[int(k)] = max(int(v), wm.get(int(k), -1))
             self._save_cursor(checkpoint, cursor)
 
         writer = (

@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from sierradb_spark.config import EngineConfig
 from sierradb_spark.eventstore import AppendRequest, EventStore
-from sierradb_spark.eventstore.store import ConcurrentWriteError
+from sierradb_spark.eventstore.store import (
+    ConcurrentWriteError,
+    SnapshotExpiredError,
+    _cap_batch_tokens,
+)
 
 
 @pytest.fixture()
@@ -159,9 +163,14 @@ def test_compact_retention_preserves_recent_files(store):
     # Old files are inside the retention window -> still on disk...
     n_after = len(glob.glob(store.events_path + "/**/*.parquet", recursive=True))
     assert n_after > n_before  # old + newly compacted
-    # ...but invisible: reads resolve the base manifest only.
+    # ...and the superseded manifests are retained too (a concurrent
+    # subscriber tailing _commits/ must be able to read a listed
+    # manifest and its files), so pre-compaction snapshots stay
+    # time-travel readable within the window.
+    assert store.commits() == [1, 2, 3, 4]
+    assert store.events(as_of=2).count() == 6
+    # Latest reads resolve the base manifest only.
     assert store.events().count() == 9
-    assert store.commits() == [4]
     # A later compact with no retention sweeps them.
     store.append([AppendRequest("ret-0", "tail")])
     store.compact()
@@ -169,6 +178,10 @@ def test_compact_retention_preserves_recent_files(store):
     state = store._read_state()
     assert len(remaining) == len(state.events_files)
     assert store.events().count() == 10
+    # After the sweep, expired snapshots raise a clear error instead of
+    # silently returning partial/empty data.
+    with pytest.raises(SnapshotExpiredError):
+        store.events(as_of=2)
 
 
 def test_compact_removes_manifests_before_commits_lists_them(store):
@@ -245,3 +258,33 @@ def test_heads_log_folds_at_threshold(spark, tmp_path):
         .collect()
     }
     assert st._wm() == ev_heads
+
+
+# --- batch-token cap (exactly-once across compaction) ------------------------
+
+
+def test_cap_batch_tokens_keeps_numerically_newest():
+    """Lexical sort would evict 'k-1000' before 'k-999'; the cap must
+    keep the numerically newest batch ids or a replay of a recent batch
+    double-appends after compaction."""
+    toks = [f"aaaa-{i}" for i in range(2000)]
+    kept = _cap_batch_tokens(toks, cap=1024)
+    assert len(kept) == 1024
+    assert "aaaa-1999" in kept and "aaaa-999" in kept
+    assert "aaaa-100" not in kept  # oldest evicted, not newest
+
+
+def test_cap_batch_tokens_fair_across_query_keys():
+    """One long-running query must not crowd a younger query's recent
+    tokens out of the cap (lexically-smaller keys sorted first before)."""
+    toks = [f"zzzz-{i}" for i in range(2000)] + [f"aaaa-{i}" for i in range(8)]
+    kept = _cap_batch_tokens(toks, cap=1024)
+    assert len(kept) == 1024
+    # every token of the small query survives, including its newest
+    assert all(f"aaaa-{i}" in kept for i in range(8))
+    assert "zzzz-1999" in kept
+
+
+def test_cap_batch_tokens_tolerates_unparseable():
+    kept = _cap_batch_tokens(["manual-token!", "k-3", "k-4"], cap=2)
+    assert "k-4" in kept and len(kept) == 2

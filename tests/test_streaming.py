@@ -314,6 +314,9 @@ def test_stream_ingest_auto_compaction(store, spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"),
         available_now=True,
         compact_every=2,
+        # zero retention so the fold is observable below; the default is
+        # non-zero to protect concurrent manifest-log subscribers
+        compact_retain_seconds=0.0,
     )
     q.awaitTermination(300)
     assert store.events().count() == 30
@@ -323,3 +326,69 @@ def test_stream_ingest_auto_compaction(store, spark, tmp_path):
         ] == list(range(10))
     # Compaction actually ran: the manifest chain was folded at least once.
     assert len(store.commits()) < 5
+
+
+# --- gap-aware delivery cursor ----------------------------------------------
+
+
+def test_pop_deliverable_defers_gapped_commits(store):
+    """Commit N+1 listed in a batch that excluded N (mtime tie /
+    maxFilesPerTrigger split) must NOT advance the cursor past N —
+    otherwise N's events are permanently suppressed when it arrives."""
+    sub = Subscription(store, PartitionMatcher())
+    cur = {"last_commit": None, "watermarks": {}, "pending": {}}
+    cur["pending"] = {
+        1: {"base": False, "watermarks": {"0": 0}, "events_add": ["a"]},
+        3: {"base": False, "watermarks": {"0": 2}, "events_add": ["c"]},
+    }
+    todo = sub._pop_deliverable(cur)
+    assert [e["events_add"] for e in todo] == [["a"]]
+    assert cur["last_commit"] == 1
+    assert 3 in cur["pending"]  # held, with its file list
+    # The gap fills: 2 arrives -> 2 AND the held 3 release, in order.
+    cur["pending"][2] = {"base": False, "watermarks": {"0": 1}, "events_add": ["b"]}
+    todo = sub._pop_deliverable(cur)
+    assert [e["events_add"] for e in todo] == [["b"], ["c"]]
+    assert cur["last_commit"] == 3
+    assert cur["pending"] == {}
+
+
+def test_pop_deliverable_base_manifest_bypasses_gap(store):
+    """A base manifest supersedes (and re-lists the data of) everything
+    below it, so a gap beneath one can never fill and must not block."""
+    sub = Subscription(store, PartitionMatcher())
+    cur = {"last_commit": 5, "watermarks": {}, "pending": {}}
+    cur["pending"] = {
+        8: {"base": True, "watermarks": {"0": 7}, "events_add": ["base"]},
+        9: {"base": False, "watermarks": {"0": 8}, "events_add": ["d"]},
+    }
+    todo = sub._pop_deliverable(cur)
+    assert [e["events_add"] for e in todo] == [["base"], ["d"]]
+    assert cur["last_commit"] == 9
+    # Replays of already-processed commits are dropped silently.
+    cur["pending"][4] = {"base": False, "watermarks": {}, "events_add": ["x"]}
+    assert sub._pop_deliverable(cur) == []
+    assert cur["pending"] == {}
+
+
+def test_cursor_file_roundtrip_and_legacy_format(store, tmp_path):
+    sub = Subscription(store, PartitionMatcher())
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    cur = {
+        "last_commit": 4,
+        "watermarks": {0: 9, 3: 11},
+        "pending": {6: {"base": False, "watermarks": {"1": 2}, "events_add": ["f"]}},
+    }
+    sub._save_cursor(ckpt, cur)
+    assert sub._load_cursor(ckpt) == cur
+    # Legacy flat {pid: seq} cursor files load as watermarks-only.
+    import json as _json
+
+    with open(sub._cursor_path(ckpt), "w") as f:
+        _json.dump({"0": 5, "2": 7}, f)
+    assert sub._load_cursor(ckpt) == {
+        "last_commit": None,
+        "watermarks": {0: 5, 2: 7},
+        "pending": {},
+    }
