@@ -284,11 +284,23 @@ _PACK_SHARD_DOCS = 500  # docs per packing shard (contiguous doc_id range)
     "next window; the packer's writer splits them). Scale-safe prefix sum: docs "
     "shard into contiguous doc_id ranges, the running sum is a window "
     "PARTITIONED by shard (parallel, no single-reducer sort), and each shard's "
-    "base offset is composed driver-side from the per-shard token totals (one "
-    "tiny aggregate, O(#shards) rows) and broadcast back. Result is bit-identical "
-    "to the global running sum, so the exact oracle still applies.",
+    "base offset is an exclusive prefix over the O(#shards) per-shard totals — "
+    "computed as a second (deliberately tiny) window and broadcast back, all in "
+    "ONE plan, no driver collect, no persist. Result is bit-identical to the "
+    "global running sum, so the exact oracle still applies.",
 )
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequence_packing(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
+    """``materialize=False`` (default) keeps everything in one plan; the
+    totals branch and the main branch then each scan+tokenize the corpus
+    (their column pruning differs, so Catalyst does not merge the two
+    subtrees into a reused exchange). Tokenizing 5k docs twice is cheaper
+    than a second Spark action at bench scale — but at 100 TB the corpus
+    scan dominates everything, so ``materialize=True`` checkpoints the
+    tokenized projection (3 longs/doc) and both branches read it:
+    exactly one pass over the text. localCheckpoint blocks free on GC
+    (no session-lifetime cache entry)."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
@@ -297,41 +309,41 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     # Contiguous doc_id ranges keep within-shard order == global order, so
     # shard-local prefix sum + shard base == the global prefix sum. Width
-    # trades window parallelism against the size of the driver-side base
-    # table (at 100 TB pick it so #shards stays in the low millions).
+    # trades window parallelism against the size of the bases side (at
+    # 100 TB pick it so #shards stays in the low millions).
     shard = F.floor(F.col("doc_id") / _PACK_SHARD_DOCS).cast("long")
-    # Persist the tokenized projection (3 longs/doc — tiny next to the
-    # corpus) so the corpus text is scanned/tokenized once, serving both
-    # the totals aggregate (collected here) and the caller's eventual
-    # collect of the window pass. Left cached for the session: it is
-    # eviction-safe (lineage recomputes) and small by construction.
     t = d.select(
         "doc_id", n_tokens.alias("n_tokens"), shard.alias("shard_id")
-    ).persist()
-    # Tiny driver aggregate: total tokens per shard -> exclusive prefix
-    # over shard order = each shard's base offset in the global stream.
-    totals = sorted(
-        (r["shard_id"], r["tot"])
-        for r in t.groupBy("shard_id").agg(F.sum("n_tokens").alias("tot")).collect()
     )
-    bases, acc = [], 0
-    for sid, tot in totals:
-        bases.append((sid, acc))
-        acc += tot
-    bases_df = t.sparkSession.createDataFrame(
-        bases, "shard_id long, shard_base long"
-    )
+    if materialize:
+        t = t.localCheckpoint(eager=False)
     w = (
         Window.partitionBy("shard_id")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    c = t.join(F.broadcast(bases_df), "shard_id").withColumn(
+    c = t.withColumn("local_cum", F.sum("n_tokens").over(w))
+    # Per-shard token totals (WindowExec preserves hash(shard_id)
+    # partitioning, so this groupBy adds no second corpus shuffle).
+    totals = c.groupBy("shard_id").agg(F.max("local_cum").alias("tot"))
+    # Exclusive prefix over the totals = each shard's base offset in the
+    # global token stream. This window is UNpartitioned on purpose: its
+    # input is the aggregated O(#shards) totals table (3 longs per 500
+    # docs), never the corpus — the single reducer sorts thousands of
+    # rows at 100 TB, not billions.
+    wt = Window.orderBy("shard_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = totals.select(
+        "shard_id",
+        F.coalesce(F.sum("tot").over(wt), F.lit(0)).alias("shard_base"),
+    )
+    cum = c.join(F.broadcast(bases), "shard_id").withColumn(
         "cum_before",
-        F.col("shard_base") + F.sum("n_tokens").over(w) - F.col("n_tokens"),
+        F.col("shard_base") + F.col("local_cum") - F.col("n_tokens"),
     )
     return (
-        c.groupBy(F.floor(F.col("cum_before") / _CTX).cast("long").alias("pack_id"))
+        cum.groupBy(F.floor(F.col("cum_before") / _CTX).cast("long").alias("pack_id"))
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),

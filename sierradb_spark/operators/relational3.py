@@ -547,14 +547,20 @@ def full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    # Persist the pre-aggregated spend (2 columns/customer) so orders is
-    # scanned once for its three consumers: boundaries, counts, and the
-    # caller's eventual collect of the window pass. Left cached for the
-    # session — eviction-safe and small by construction.
+    # Materialize the pre-aggregated spend (2 columns/customer) so orders
+    # is scanned once for its three consumers: boundaries, counts, and
+    # the caller's eventual collect of the window pass. localCheckpoint
+    # instead of persist(): the blocks are released when the DataFrame is
+    # garbage-collected (ContextCleaner), so repeated invocations in a
+    # long-lived session don't accumulate cache-manager entries the way
+    # an unmatched persist() does. (Trade-off: truncated lineage means an
+    # executor loss forfeits recompute — acceptable for a 2-column
+    # aggregate; on a production cluster prefer persist + explicit
+    # unpersist in the caller.)
     spend = (
         o.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # Range-bucket boundaries on the first sort key (approx is fine: the
     # boundaries only balance buckets, they never affect the result).

@@ -155,11 +155,22 @@ def test_sequence_packing_window_is_shard_partitioned(q):
     f = plan_features(q("sequence_packing"))
     specs = _window_partition_specs(f["plan"])
     assert specs, "expected a window in the packing plan"
+    partitioned = [
+        s for s in specs if " ASC" not in s and " DESC" not in s
+    ]
+    # The corpus prefix sum must run under a shard-partitioned window
+    # (parallel, no single-reducer sort of |corpus| rows).
+    assert partitioned, f"no partitioned window in packing plan: {specs}"
+    for s in partitioned:
+        assert s.startswith("shard_id"), f"wrong partition key: {s}"
+    # The only unpartitioned window allowed is the exclusive prefix over
+    # the aggregated O(#shards) totals — identifiable because it ORDERS
+    # by shard_id (the corpus window orders by doc_id within shards).
     for s in specs:
-        assert s.startswith("shard_id"), f"unpartitioned window spec: {s}"
-        assert " ASC" not in s and " DESC" not in s, (
-            f"window has no partition clause (single reducer): {s}"
-        )
+        if " ASC" in s or " DESC" in s:
+            assert s.startswith("shard_id"), (
+                f"unpartitioned window over non-totals input: {s}"
+            )
 
 
 def test_spend_quartiles_window_is_bucket_partitioned(q):
@@ -198,3 +209,49 @@ def test_embedding_bucketed_pairs_equi_join(q):
         q("embedding_near_dup_bucketed"),
         forbid_nested_loop=True,
     )
+
+
+def test_no_session_lifetime_cache_leak(spark, sf_dir):
+    """Repeated invocations of the queries that materialize
+    intermediates must not accumulate cache-manager entries for the
+    life of the session (an unmatched persist() pins its plan in the
+    CacheManager forever; localCheckpoint blocks are released by the
+    ContextCleaner once the DataFrame is garbage-collected)."""
+    import gc
+
+    from sierradb_spark.operators import REGISTRY
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    baseline = n_persistent()
+    for _ in range(3):
+        REGISTRY.queries["sequence_packing"].spark(spark, sf_dir).collect()
+        REGISTRY.queries["customer_spend_quartiles"].spark(spark, sf_dir).collect()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    # ContextCleaner cleanup is async: poll briefly for it to drain.
+    import time as _time
+
+    deadline = _time.time() + 30
+    while _time.time() < deadline and n_persistent() > baseline + 1:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        _time.sleep(1)
+    # Bounded, not monotonically growing: 3 invocations of each query
+    # must not have pinned 3+ entries.
+    assert n_persistent() <= baseline + 1, (
+        f"cache entries leaked: baseline={baseline}, now={n_persistent()}"
+    )
+
+
+def test_sequence_packing_materialized_variant_identical(spark, sf_dir):
+    """materialize=True (one tokenization pass via checkpoint — the
+    100 TB form) must be bit-identical to the default single-plan form."""
+    from sierradb_spark.functions.pipeline import sequence_packing
+
+    a = sorted(map(tuple, sequence_packing(spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, sequence_packing(spark, sf_dir, materialize=True).collect())
+    )
+    assert a == b and len(a) > 0
