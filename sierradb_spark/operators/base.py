@@ -88,6 +88,20 @@ class Registry:
                 raise ValueError(f"duplicate query {q.name}")
             self._queries[q.name] = q
 
+    def reorder_front(self, front: list[str]) -> None:
+        """Pin ``front`` as the first registry entries (insertion order),
+        leaving every other query in merge order behind them. Raises on
+        unknown names so the pinned list can't silently drift from the
+        actual surface."""
+        missing = [n for n in front if n not in self._queries]
+        if missing:
+            raise ValueError(f"reorder_front: unknown queries {missing}")
+        ordered = {n: self._queries[n] for n in front}
+        for n, q in self._queries.items():
+            if n not in ordered:
+                ordered[n] = q
+        self._queries = ordered
+
     @property
     def queries(self) -> dict[str, Query]:
         return dict(self._queries)
