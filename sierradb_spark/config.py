@@ -43,6 +43,12 @@ class EngineConfig:
     # Shuffle partitions for local testing; at 100 TB cluster scale this
     # should be ~2-3x total executor cores (AQE coalesces the tail).
     shuffle_partitions: int = 32
+    # Bounded retries when an append loses the manifest-commit CAS race:
+    # the loser re-reads state and re-drives validation/assignment for
+    # the SAME batch — the analogue of the reference's forward/retry
+    # loop on a write that reached the wrong coordinator
+    # (sierradb-cluster/src/write/execute.rs:19-68, tried_peers).
+    commit_retries: int = 5
 
     @property
     def write_quorum(self) -> int:

@@ -1,0 +1,89 @@
+"""Commit-point backends: compare-and-swap publication of a manifest.
+
+The single-writer guarantee of the store (SURVEY §2.1 W6 analogue —
+the reference enforces one writer per bucket by thread ownership,
+``crates/sierradb/src/writer_thread_pool.rs:56-186``) rests entirely on
+ONE primitive: *publish this manifest under commit number N+1 iff no
+one else already has*. Different storage systems offer that primitive
+differently, so it lives behind an interface:
+
+- :class:`LinkCAS` — POSIX filesystems. ``os.link`` fails with EEXIST
+  when the target name is taken, and unlike ``os.rename`` never
+  silently replaces; the payload is fully written + fsynced before the
+  link, so the published name is atomic-complete.
+- :class:`ConditionalPut` — the object-store shape: S3 conditional
+  writes (``If-None-Match: *``), GCS ``ifGenerationMatch=0``, Azure
+  ``If-None-Match``. A conditional PUT either creates the full object
+  or fails with a precondition error; there is no hard link and rename
+  is not atomic-exclusive on these stores, so LinkCAS is NOT portable
+  to them. The class here emulates the primitive on a local filesystem
+  (``O_CREAT|O_EXCL``) so the durability suite can exercise the same
+  code path the production swap would use; a real deployment implements
+  :meth:`CommitBackend.publish` with the store SDK's conditional put
+  (or swaps the whole manifest log for Delta/Iceberg commits, whose
+  transaction protocol is this same primitive).
+
+Both backends return ``False`` (not an exception) when the key is
+already taken: "lost the race" is an expected outcome the caller turns
+into :class:`~sierradb_spark.eventstore.store.ConcurrentWriteError`
+and retries from fresh state.
+"""
+
+from __future__ import annotations
+
+import os
+import secrets
+from abc import ABC, abstractmethod
+
+
+class CommitBackend(ABC):
+    """Publish-if-absent for commit manifests."""
+
+    @abstractmethod
+    def publish(self, path: str, payload: bytes) -> bool:
+        """Atomically create ``path`` with ``payload`` iff it does not
+        exist. True = this writer won the commit; False = the name was
+        already taken (another writer committed first). The payload must
+        never be observable partially written under the final name."""
+
+
+class LinkCAS(CommitBackend):
+    """POSIX: write+fsync a temp file, then ``os.link`` to the final
+    name — EEXIST is the loss signal. The default backend."""
+
+    def publish(self, path: str, payload: bytes) -> bool:
+        tmp = f"{os.path.dirname(path)}/.{os.path.basename(path)}.tmp-{secrets.token_hex(4)}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+class ConditionalPut(CommitBackend):
+    """Object-store semantics (conditional PUT, If-None-Match: *),
+    emulated locally with ``O_CREAT|O_EXCL``.
+
+    On a real object store the PUT is atomic whole-object; the local
+    emulation writes through an exclusive create, which matches the
+    create-iff-absent semantics exactly (the brief non-atomic write
+    window after a won create exists only in the emulation, not in the
+    object-store operation it stands in for)."""
+
+    def publish(self, path: str, payload: bytes) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True

@@ -291,10 +291,17 @@ class EventStore:
         spark: SparkSession,
         path: str,
         config: EngineConfig = DEFAULT_CONFIG,
+        commit_backend: "CommitBackend | None" = None,
     ) -> None:
+        from sierradb_spark.eventstore.commit_backend import LinkCAS
+
         self.spark = spark
         self.path = path
         self.config = config
+        # The CAS primitive the single-writer guarantee rests on; swap
+        # for ConditionalPut (object stores) or a Delta/Iceberg-backed
+        # implementation in production — see commit_backend.py.
+        self.commit_backend = commit_backend or LinkCAS()
         self.events_path = os.path.join(path, "events")
         self.heads_path = os.path.join(path, "heads")
         self.commits_path = os.path.join(path, "_commits")
@@ -329,9 +336,15 @@ class EventStore:
         if as_of is not None:
             listed = names
             names = [n for n in names if int(n.split(".")[0]) <= as_of]
-            if not names and listed:
-                # Commits exist, all above as_of: the snapshot predates
-                # the surviving chain (compacted away), not "empty table".
+            if (
+                not names
+                and listed
+                and int(listed[0].split(".")[0]) != 1
+            ):
+                # The chain's surviving head starts past commit 1 and
+                # as_of is below all of it: the snapshot was compacted
+                # away, not "empty table". (as_of=0 on an uncompacted
+                # chain is the legitimate empty pre-first-commit state.)
                 raise SnapshotExpiredError(
                     f"snapshot as_of={as_of} predates the oldest surviving "
                     "manifest; it was compacted away (increase compact()'s "
@@ -395,27 +408,24 @@ class EventStore:
     def _write_manifest(self, manifest: dict) -> None:
         """Publish a manifest with compare-and-swap semantics.
 
-        ``os.link`` (unlike ``os.rename``) fails with EEXIST when the
-        target name is taken, so publishing commit N+1 succeeds only if
-        no other writer got there first — the manifest chain is a CAS on
-        the commit number. Raises :class:`ConcurrentWriteError` on loss;
-        the loser's staged data files remain unreferenced and invisible.
+        Publishing commit N+1 succeeds only if no other writer got there
+        first — the manifest chain is a CAS on the commit number. The
+        primitive itself (create-iff-absent) is the pluggable
+        :class:`~sierradb_spark.eventstore.commit_backend.CommitBackend`
+        (POSIX hard-link by default; object-store conditional PUT for
+        the production swap). Raises :class:`ConcurrentWriteError` on
+        loss; the loser's staged data files remain unreferenced and
+        invisible.
         """
         name = f"{manifest['commit']:020d}.json"
-        tmp = os.path.join(self.commits_path, f".{name}.tmp-{secrets.token_hex(4)}")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, os.path.join(self.commits_path, name))  # the commit point
-        except FileExistsError:
+        payload = json.dumps(manifest).encode()
+        if not self.commit_backend.publish(  # the commit point
+            os.path.join(self.commits_path, name), payload
+        ):
             raise ConcurrentWriteError(
                 f"manifest {manifest['commit']} already published by another "
                 "writer; this store instance lost the commit race"
-            ) from None
-        finally:
-            os.unlink(tmp)
+            )
 
     # --- table views ---------------------------------------------------------
 
@@ -676,10 +686,17 @@ class EventStore:
         reference's single-assignment writer thread, where a client
         retry cannot double-append (writer_thread_pool.rs:560-645), and
         of Delta's txn-id check.
+
+        Losing the manifest CAS race does NOT fail the batch: the writer
+        re-reads state and re-drives validation/assignment for the same
+        (pinned) batch, up to ``config.commit_retries`` times — the
+        analogue of the reference's forward/retry loop when a write
+        lands on a stale coordinator (write/execute.rs:19-68). Only
+        after exhausting retries does :class:`ConcurrentWriteError`
+        escape. A lost attempt's staged files stay unreferenced
+        (invisible) and are swept by :meth:`compact`, identical to a
+        crashed writer's leftovers.
         """
-        state = self._read_state()
-        if batch_token is not None and batch_token in state.batch_tokens:
-            return self.spark.createDataFrame([], APPEND_RESULT_SCHEMA)
         batch = batch.localCheckpoint(eager=True)
         if not fast and not self.config.strict_versioning:
             # Common connector case: an expected_version column exists but
@@ -697,50 +714,73 @@ class EventStore:
                 > 0
             )
             fast = not has_precondition
-        heads = (
-            self.heads()
-            .groupBy("partition_id", "stream_id")
-            .agg(F.max("stream_version").alias("cur_stream_version"))
-        )
-        # Driver-side join-strategy pick: heads-log file sizes are known,
-        # so broadcast outright when small (saves the batch-side shuffle
-        # by (pid, stream) — the batch then shuffles exactly once, for
-        # the window/groupBy). Big heads logs (huge stream cardinality)
-        # fall back to a sort-merge join, which is the right plan there.
-        heads_bytes = 0
-        for rel in state.heads_files:
+        last_err: ConcurrentWriteError | None = None
+        for _attempt in range(max(1, self.config.commit_retries + 1)):
+            state = self._read_state()
+            if batch_token is not None and batch_token in state.batch_tokens:
+                # Committed by a previous incarnation (or by the racing
+                # writer we just lost to, replaying the same source).
+                return self.spark.createDataFrame([], APPEND_RESULT_SCHEMA)
+            heads = (
+                self.heads()
+                .groupBy("partition_id", "stream_id")
+                .agg(F.max("stream_version").alias("cur_stream_version"))
+            )
+            # Driver-side join-strategy pick: heads-log file sizes are
+            # known, so broadcast outright when small (saves the
+            # batch-side shuffle by (pid, stream) — the batch then
+            # shuffles exactly once, for the window/groupBy). Big heads
+            # logs (huge stream cardinality) fall back to a sort-merge
+            # join, which is the right plan there.
+            heads_bytes = 0
+            for rel in state.heads_files:
+                try:
+                    heads_bytes += os.path.getsize(
+                        os.path.join(self.heads_path, rel)
+                    )
+                except OSError:
+                    heads_bytes = 1 << 40
+                    break
+            if heads_bytes < 64 * 1024 * 1024:
+                heads = F.broadcast(heads)
+            enr = batch.join(heads, ["partition_id", "stream_id"], "left")
+            base_seq = (
+                self._wm_col(state.watermarks)
+                if state.watermarks
+                else F.lit(-1).cast("long")
+            )
+            if fast:
+                # Pin the assignment once: the events write, the heads
+                # aggregation, and the caller's inspection of the results
+                # all reuse the same blocks instead of re-running the
+                # join+window.
+                result = self._assign_fast(enr, base_seq).localCheckpoint(
+                    eager=True
+                )
+            else:
+                enr = enr.withColumn(
+                    "cur_partition_sequence",
+                    F.when(base_seq >= 0, base_seq).cast("long"),
+                )
+                # One group per partition: the Spark-native single-writer-
+                # per-partition discipline. Shuffle size = batch size.
+                result = (
+                    enr.groupBy("partition_id")
+                    .applyInPandas(
+                        _validate_and_assign, schema=APPEND_RESULT_SCHEMA
+                    )
+                    .localCheckpoint(eager=True)  # pin before commit + return
+                )
             try:
-                heads_bytes += os.path.getsize(os.path.join(self.heads_path, rel))
-            except OSError:
-                heads_bytes = 1 << 40
-                break
-        if heads_bytes < 64 * 1024 * 1024:
-            heads = F.broadcast(heads)
-        enr = batch.join(heads, ["partition_id", "stream_id"], "left")
-        base_seq = (
-            self._wm_col(state.watermarks)
-            if state.watermarks
-            else F.lit(-1).cast("long")
-        )
-        if fast:
-            # Pin the assignment once: the events write, the heads
-            # aggregation, and the caller's inspection of the results all
-            # reuse the same blocks instead of re-running the join+window.
-            result = self._assign_fast(enr, base_seq).localCheckpoint(eager=True)
-        else:
-            enr = enr.withColumn(
-                "cur_partition_sequence",
-                F.when(base_seq >= 0, base_seq).cast("long"),
-            )
-            # One group per partition: the Spark-native single-writer-
-            # per-partition discipline. Shuffle size = batch size.
-            result = (
-                enr.groupBy("partition_id")
-                .applyInPandas(_validate_and_assign, schema=APPEND_RESULT_SCHEMA)
-                .localCheckpoint(eager=True)  # pin before commit + return
-            )
-        self._commit(result.where(F.col("accepted")), state, batch_token)
-        return result
+                self._commit(result.where(F.col("accepted")), state, batch_token)
+                return result
+            except ConcurrentWriteError as e:
+                # Lost the CAS: another writer advanced the chain under
+                # us. Versions/sequences we assigned may now be stale —
+                # recompute everything from the new head and try again.
+                last_err = e
+                continue
+        raise last_err  # retries exhausted
 
     @staticmethod
     def _assign_fast(enr: DataFrame, base_seq) -> DataFrame:

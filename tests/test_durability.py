@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from sierradb_spark.config import EngineConfig
 from sierradb_spark.eventstore import AppendRequest, EventStore
+from sierradb_spark.eventstore.commit_backend import ConditionalPut, LinkCAS
 from sierradb_spark.eventstore.store import (
     ConcurrentWriteError,
     SnapshotExpiredError,
@@ -26,9 +27,19 @@ from sierradb_spark.eventstore.store import (
 )
 
 
-@pytest.fixture()
-def store(spark, tmp_path):
-    return EventStore(spark, str(tmp_path / "store"), EngineConfig(shuffle_partitions=8))
+# Every durability contract in this file runs against BOTH commit-point
+# backends: the POSIX hard-link CAS and the object-store conditional-put
+# emulation — the single-writer guarantee must survive the documented
+# production swap (commit_backend.py).
+@pytest.fixture(params=["link_cas", "conditional_put"])
+def store(spark, tmp_path, request):
+    backend = LinkCAS() if request.param == "link_cas" else ConditionalPut()
+    return EventStore(
+        spark,
+        str(tmp_path / "store"),
+        EngineConfig(shuffle_partitions=8),
+        commit_backend=backend,
+    )
 
 
 def _events_count(store):
@@ -288,3 +299,76 @@ def test_cap_batch_tokens_fair_across_query_keys():
 def test_cap_batch_tokens_tolerates_unparseable():
     kept = _cap_batch_tokens(["manual-token!", "k-3", "k-4"], cap=2)
     assert "k-4" in kept and len(kept) == 2
+
+
+# --- commit backends + retry-on-race ----------------------------------------
+
+
+def test_conditional_put_backend_semantics(tmp_path):
+    b = ConditionalPut()
+    p = str(tmp_path / "obj.json")
+    assert b.publish(p, b'{"a":1}') is True
+    assert b.publish(p, b'{"a":2}') is False  # precondition failed
+    with open(p, "rb") as f:
+        assert f.read() == b'{"a":1}'  # loser never overwrites
+
+
+def test_link_cas_backend_semantics(tmp_path):
+    b = LinkCAS()
+    p = str(tmp_path / "m.json")
+    assert b.publish(p, b"x") is True
+    assert b.publish(p, b"y") is False
+    with open(p, "rb") as f:
+        assert f.read() == b"x"
+
+
+def test_retry_on_commit_race_both_writers_commit(spark, tmp_path):
+    """Two writers race one commit number: the loser must re-read state,
+    re-assign versions/sequences, and land its batch on the next commit
+    — no ConcurrentWriteError escaping, no manual re-drive (the
+    reference's forward/retry loop, write/execute.rs:19-68)."""
+    path = str(tmp_path / "store")
+    cfg = EngineConfig(shuffle_partitions=8)
+    s1 = EventStore(spark, path, cfg)
+
+    class RacingBackend(LinkCAS):
+        """First publish attempt is preempted by the rival committing
+        the same commit number — deterministic race."""
+
+        def __init__(self):
+            self.raced = False
+
+        def publish(self, p, payload):
+            if not self.raced:
+                self.raced = True
+                s1.append([AppendRequest("race", "Winner")])
+            return super().publish(p, payload)
+
+    s2 = EventStore(spark, path, cfg, commit_backend=RacingBackend())
+    res = s2.append([AppendRequest("race", "LoserRetries")])
+    assert [r.accepted for r in res] == [True]
+    got = s1.scan("race").collect()
+    assert [r["event_name"] for r in got] == ["Winner", "LoserRetries"]
+    assert [r["stream_version"] for r in got] == [0, 1]
+    seqs = [r["partition_sequence"] for r in got]
+    assert seqs == [0, 1]  # gapless: the retry re-read the new head
+    assert s1.commits() == [1, 2]
+
+
+def test_retry_exhaustion_raises(spark, tmp_path):
+    """A writer that loses every attempt (pathological livelock) must
+    surface ConcurrentWriteError rather than loop forever."""
+    path = str(tmp_path / "store")
+    cfg = EngineConfig(shuffle_partitions=8, commit_retries=2)
+    s1 = EventStore(spark, path, cfg)
+
+    class AlwaysLose(LinkCAS):
+        def publish(self, p, payload):
+            s1.append([AppendRequest("live", "Rival")])
+            return super().publish(p, payload)
+
+    s2 = EventStore(spark, path, cfg, commit_backend=AlwaysLose())
+    with pytest.raises(ConcurrentWriteError):
+        s2.append([AppendRequest("live", "Starved")])
+    # The rival's commits are all intact; the loser appended nothing.
+    assert {r["event_name"] for r in s1.scan("live").collect()} == {"Rival"}
