@@ -211,28 +211,14 @@ class Subscription:
                 break
         return todo
 
-    def start(
-        self,
-        deliver: Callable[[list[Row]], None],
-        checkpoint: str,
-        available_now: bool = True,
-        trigger_interval: str | None = None,
-    ) -> StreamingQuery:
-        """Deliver matched events, ordered within each micro-batch by
-        (partition_id, partition_sequence) — the reference's per-
-        partition ordered delivery (subscription.rs:441-460).
-
-        Each micro-batch is a set of manifests; the batch reads exactly
-        the event files those commits added, filters to the matcher, and
-        gates on a durable per-partition delivery cursor persisted next
-        to the checkpoint. The cursor advances to the manifests' own
-        confirmed watermarks after ``deliver`` returns, which makes
-        delivery exact across restarts AND across compaction: a ``base``
-        manifest re-references already-delivered (rewritten) files, and
-        the cursor filters every re-listed row out. Redelivery is
-        possible only if the process dies between ``deliver`` returning
-        and the cursor write — the standard checkpoint-as-ack window
-        (EACK semantics, eack.rs:39-51)."""
+    def _make_processor(
+        self, checkpoint: str, emit: Callable[[DataFrame, int], None]
+    ) -> Callable[[DataFrame, int], None]:
+        """The shared foreachBatch body: fold the micro-batch's manifests
+        into the durable cursor, read exactly the files of the contiguous
+        commit prefix, gate + match, hand the resulting DataFrame to
+        ``emit``, then advance the cursor. ``emit`` decides where matched
+        rows go (driver callback vs executor-side sink write)."""
         from sierradb_spark.eventstore.schema import EVENT_SCHEMA
 
         def process(batch: DataFrame, batch_id: int) -> None:
@@ -274,13 +260,10 @@ class Subscription:
                 gate = F.col("partition_sequence") > EventStore._wm_col(
                     cursor["watermarks"]
                 )
-                ready = (
-                    events.where(gate & self.matcher.predicate())
-                    .orderBy("partition_id", "partition_sequence")
-                    .collect()
+                emit(
+                    events.where(gate & self.matcher.predicate()),
+                    int(cursor["last_commit"]),
                 )
-                if ready:
-                    deliver(ready)
             # Advance through exactly the processed commits' confirmed
             # watermarks — covers every row in their files, matched or
             # not — and persist pending for gapped ones.
@@ -290,6 +273,15 @@ class Subscription:
                     wm[int(k)] = max(int(v), wm.get(int(k), -1))
             self._save_cursor(checkpoint, cursor)
 
+        return process
+
+    def _start_stream(
+        self,
+        process: Callable[[DataFrame, int], None],
+        checkpoint: str,
+        available_now: bool,
+        trigger_interval: str | None,
+    ) -> StreamingQuery:
         writer = (
             self.manifest_stream()
             .writeStream.foreachBatch(process)
@@ -300,6 +292,78 @@ class Subscription:
         elif trigger_interval:
             writer = writer.trigger(processingTime=trigger_interval)
         return writer.start()
+
+    def start(
+        self,
+        deliver: Callable[[list[Row]], None],
+        checkpoint: str,
+        available_now: bool = True,
+        trigger_interval: str | None = None,
+    ) -> StreamingQuery:
+        """Deliver matched events, ordered within each micro-batch by
+        (partition_id, partition_sequence) — the reference's per-
+        partition ordered delivery (subscription.rs:441-460).
+
+        Each micro-batch is a set of manifests; the batch reads exactly
+        the event files those commits added, filters to the matcher, and
+        gates on a durable per-partition delivery cursor persisted next
+        to the checkpoint. The cursor advances to the manifests' own
+        confirmed watermarks after ``deliver`` returns, which makes
+        delivery exact across restarts AND across compaction: a ``base``
+        manifest re-references already-delivered (rewritten) files, and
+        the cursor filters every re-listed row out. Redelivery is
+        possible only if the process dies between ``deliver`` returning
+        and the cursor write — the standard checkpoint-as-ack window
+        (EACK semantics, eack.rs:39-51)."""
+
+        def emit(matched: DataFrame, _commit: int) -> None:
+            ready = matched.orderBy(
+                "partition_id", "partition_sequence"
+            ).collect()
+            if ready:
+                deliver(ready)
+
+        process = self._make_processor(checkpoint, emit)
+        return self._start_stream(
+            process, checkpoint, available_now, trigger_interval
+        )
+
+    def start_to_sink(
+        self,
+        sink_path: str,
+        checkpoint: str,
+        available_now: bool = True,
+        trigger_interval: str | None = None,
+    ) -> StreamingQuery:
+        """Executor-side delivery: append matched events to a parquet
+        sink directory instead of collecting them to a driver callback.
+
+        This is the many-subscriber fan-out form: the driver never holds
+        event rows, so delivery bandwidth scales with executors, and any
+        number of downstream consumers read the sink table. Ordered
+        content is reconstructed by sorting on (partition_id,
+        partition_sequence): those keys are unique and monotone per
+        partition (gapless assignment), so the global sort equals the
+        callback form's concatenated per-batch delivery order. The
+        ``delivery_commit`` column records which commit delivered each
+        row (per-batch sink-side audit / resume point).
+
+        The reference's analogue is one push socket per subscriber
+        (subscription.rs:441-460); a shared sink table is the Spark-first
+        shape for the same fan-out."""
+
+        def emit(matched: DataFrame, commit: int) -> None:
+            (
+                matched.withColumn("delivery_commit", F.lit(commit))
+                .sortWithinPartitions("partition_id", "partition_sequence")
+                .write.mode("append")
+                .parquet(sink_path)
+            )
+
+        process = self._make_processor(checkpoint, emit)
+        return self._start_stream(
+            process, checkpoint, available_now, trigger_interval
+        )
 
     def catchup(
         self,
@@ -314,6 +378,19 @@ class Subscription:
         previous call (the seam is the checkpoint, so no duplicates and
         no gaps — S4's guarantee)."""
         q = self.start(deliver, checkpoint, available_now=True)
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    def catchup_to_sink(
+        self, sink_path: str, checkpoint: str, timeout_s: float = 300.0
+    ) -> None:
+        """Synchronous form of :meth:`start_to_sink`: one availableNow
+        pass appending everything since the previous call with the same
+        checkpoint to the sink table."""
+        q = self.start_to_sink(sink_path, checkpoint, available_now=True)
         try:
             q.awaitTermination(timeout_s)
         finally:

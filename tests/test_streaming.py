@@ -242,6 +242,59 @@ def test_subscription_window_matrix(store, tmp_path, window):
     _assert_ordered_complete(store, delivered, n)
 
 
+@pytest.mark.parametrize("window", [10_000, 1])
+def test_subscription_sink_matrix_matches_callback(store, spark, tmp_path, window):
+    """Executor-side sink delivery (start_to_sink) produces IDENTICAL
+    ordered content to the driver-callback form, across ack-window
+    sizes. The sink is the many-subscriber fan-out shape: matched rows
+    are appended to a parquet table by executors; global order is
+    reconstructed by (partition_id, partition_sequence)."""
+    n = _fill(store)
+    # callback form = the expectation
+    delivered: list = []
+    sub = Subscription(store, PartitionMatcher(), max_files_per_trigger=window)
+    sub.catchup(delivered.extend, str(tmp_path / f"cb-{window}"))
+    _assert_ordered_complete(store, delivered, n)
+
+    sink = str(tmp_path / f"sink-{window}")
+    sub2 = Subscription(store, PartitionMatcher(), max_files_per_trigger=window)
+    sub2.catchup_to_sink(sink, str(tmp_path / f"sk-{window}"))
+    got = (
+        spark.read.parquet(sink)
+        .orderBy("partition_id", "partition_sequence")
+        .collect()
+    )
+    _assert_ordered_complete(store, got, n)
+    key = lambda r: (r["partition_id"], r["partition_sequence"], r["event_name"])
+    assert [key(r) for r in got] == sorted(key(r) for r in delivered)
+    # delivery_commit is the audit column: every row tagged, none negative
+    assert all(r["delivery_commit"] >= 0 for r in got)
+
+    # live tail through the same sink checkpoint: only the new events land
+    store.append([AppendRequest("sink-late", "Late", payload=b"z")])
+    sub2.catchup_to_sink(sink, str(tmp_path / f"sk-{window}"))
+    after = spark.read.parquet(sink)
+    assert after.count() == n + 1
+    assert after.where(F.col("event_name") == "Late").count() == 1
+
+
+def test_subscription_sink_matcher_filters(store, spark, tmp_path):
+    """The sink variant honors matchers: only matched streams land in
+    the sink table."""
+    _fill(store, n=60, n_streams=6, batches=2)
+    sink = str(tmp_path / "sink")
+    sub = Subscription(store, StreamMatcher(("stream-0", "stream-1")))
+    sub.catchup_to_sink(sink, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(sink)
+    assert set(
+        r["stream_id"] for r in got.select("stream_id").distinct().collect()
+    ) <= {"stream-0", "stream-1"}
+    expect = store.events().where(
+        F.col("stream_id").isin("stream-0", "stream-1")
+    ).count()
+    assert got.count() == expect
+
+
 def test_partition_matcher_from_sequences(store, tmp_path):
     """EPSUB FROM semantics through the manifest-stream path: explicit
     per-partition start sequences with DEFAULT for unlisted partitions
