@@ -37,6 +37,100 @@ RESIZED_SCHEMA = (
 FRAMES_SCHEMA = "doc_id long, frame_no int, frame_offset long, frame_sha8 string"
 
 
+REAL_DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, sha8 string, width int, height int, "
+    "channels int, codec string"
+)
+
+try:  # capability gate: PIL is optional; header parsing is the fallback
+    from PIL import Image as _PILImage  # type: ignore
+except Exception:  # pragma: no cover - container ships no PIL
+    _PILImage = None
+
+
+def _parse_image_header(b: bytes) -> tuple[int, int, int] | None:
+    """Stdlib-only image header parse: (width, height, channels) for
+    PNG / GIF / BMP / JPEG, else None. This is a REAL decode of real
+    image bytes (the dimensions come from the file, not a hash) — the
+    no-dependency fallback when PIL isn't importable."""
+    import struct
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        color_type = b[25]
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return (int(w), int(h), ch)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return (int(w), int(h), 3)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return (int(w), abs(int(h)), 3)
+    if b[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOF segment
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return (int(w), int(h), int(b[i + 9]) if i + 9 < len(b) else 3)
+            i += 2 + seglen
+    return None
+
+
+def real_decode(blob: bytes) -> tuple[int, int, int, str] | None:
+    """Decode an actual image: PIL when importable (full decode), else
+    the stdlib header parser. Returns (w, h, channels, codec_name) or
+    None when the bytes aren't a recognized image format."""
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(blob)) as im:
+                return (im.width, im.height, len(im.getbands()), "pil")
+        except Exception:
+            return None
+    parsed = _parse_image_header(blob)
+    if parsed is not None:
+        return (*parsed, "header")
+    return None
+
+
+def decode_media_batches_real(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Capability-gated decode: real codec for recognizable image bytes,
+    deterministic stub otherwise. The ``codec`` column records which
+    path produced each row ('pil' / 'header' / 'stub'), so a mixed
+    corpus is auditable."""
+    for pdf in it:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            b = bytes(blob)
+            dec = real_decode(b)
+            if dec is None:
+                w, h, c = fake_decode(b)
+                codec = "stub"
+            else:
+                w, h, c, codec = dec
+            rows.append(
+                (doc_id, len(b), hashlib.sha256(b).hexdigest()[:8], w, h, c, codec)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_bytes", "sha8", "width", "height", "channels",
+                "codec",
+            ],
+        )
+
+
 def fake_decode(blob: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for an image decoder.
 

@@ -25,8 +25,10 @@ from sierradb_spark.functions._media_codec import (
     DECODED_SCHEMA,
     FEATURES_SCHEMA,
     FRAMES_SCHEMA,
+    REAL_DECODED_SCHEMA,
     RESIZED_SCHEMA,
     decode_media_batches,
+    decode_media_batches_real,
     feature_batches,
     frame_sample_batches,
     resize_batches,
@@ -89,6 +91,18 @@ def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
     return media.select("doc_id", "media").mapInPandas(
         decode_media_batches, schema=DECODED_SCHEMA
+    )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Capability-gated decode API over any (doc_id, media) DataFrame:
+    real codec (PIL when importable, stdlib header parser otherwise) for
+    recognizable image bytes, deterministic stub for everything else.
+    The ``codec`` column says which path produced each row. The registry
+    query keeps the stub so its oracle stays hash-exact; this is the
+    production entry point a real corpus would use."""
+    return df.select("doc_id", "media").mapInPandas(
+        decode_media_batches_real, schema=REAL_DECODED_SCHEMA
     )
 
 
