@@ -464,14 +464,15 @@ class EventStore:
             .parquet(*paths)
         )
 
-    def heads(self) -> DataFrame:
+    def heads(self, as_of: Optional[int] = None) -> DataFrame:
         """The stream-heads log: latest (stream_version,
         partition_sequence) per stream as of each commit; read with
         latest-wins (max) per stream. Replaces the reference's live
         stream indexes (writer_thread_pool.rs:43-54) so the write path
         never scans the events table. Compacted by :meth:`compact`.
+        ``as_of``: resolve at that commit (time travel).
         """
-        state = self._read_state()
+        state = self._read_state(as_of)
         if not state.heads_files:
             return self.spark.createDataFrame([], HEADS_SCHEMA)
         paths = [os.path.join(self.heads_path, p) for p in state.heads_files]
@@ -968,7 +969,7 @@ class EventStore:
 
     # --- read path -----------------------------------------------------------
 
-    def get(self, event_id: str) -> DataFrame:
+    def get(self, event_id: str, as_of: Optional[int] = None) -> DataFrame:
         """EGET: committed events of the transaction containing event_id.
 
         Partition pruned from the hash embedded in the UUID
@@ -976,12 +977,17 @@ class EventStore:
         partition directory is scanned, and parquet column stats skip
         row groups within it. Events are manifest-committed, hence
         already watermark-visible (§commit protocol above).
+
+        ``as_of``: resolve against the snapshot at that commit — same
+        time-travel contract as :meth:`events` (valid back to the last
+        compaction; raises :class:`SnapshotExpiredError` beyond the
+        ``compact(retain_seconds)`` retention window).
         """
         phash = ids.uuid_to_partition_hash(event_id)
         pid = ids.partition_id_for_hash(phash, self.config.num_partitions)
-        if self._watermark_of(pid) is None:
+        if self._read_state(as_of).watermarks.get(int(pid)) is None:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
-        part = self.events().where(F.col("partition_id") == pid)
+        part = self.events(as_of).where(F.col("partition_id") == pid)
         target = part.where(F.col("event_id") == event_id).select("transaction_id")
         # EGET returns the whole transaction's events (database.rs:127-207).
         out = (
@@ -1006,6 +1012,7 @@ class EventStore:
         count: int | None = None,
         direction: Literal["forward", "reverse"] = "forward",
         partition_key: str | None = None,
+        as_of: Optional[int] = None,
     ) -> DataFrame:
         """ESCAN: version-range scan of one stream (request/escan.rs:105-162).
 
@@ -1014,15 +1021,18 @@ class EventStore:
         with an optional COUNT limit (read.rs:663-697). The watermark
         clamp (read.rs:671-674) is implicit: only manifest-committed
         files are readable.
+
+        ``as_of``: scan the snapshot at that commit (time travel, valid
+        back to the last compaction — see :meth:`events`).
         """
         pkey = partition_key or str(ids.partition_key_for_stream(stream_id))
         pid = ids.partition_id_for_hash(
             ids.uuid_to_partition_hash(pkey), self.config.num_partitions
         )
-        if self._watermark_of(pid) is None:
+        if self._read_state(as_of).watermarks.get(int(pid)) is None:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         df = (
-            self.events()
+            self.events(as_of)
             .where(F.col("partition_id") == pid)
             .where(F.col("stream_id") == stream_id)
             .where(self._range_filter("stream_version", start, end))
@@ -1044,12 +1054,15 @@ class EventStore:
         end: RangeValue = "+",
         count: int | None = None,
         direction: Literal["forward", "reverse"] = "forward",
+        as_of: Optional[int] = None,
     ) -> DataFrame:
-        """EPSCAN: sequence-range scan of one partition (request/epscan.rs:90-136)."""
-        if self._watermark_of(partition_id) is None:
+        """EPSCAN: sequence-range scan of one partition
+        (request/epscan.rs:90-136). ``as_of`` scans the snapshot at that
+        commit (time travel — see :meth:`events`)."""
+        if self._read_state(as_of).watermarks.get(int(partition_id)) is None:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         df = (
-            self.events()
+            self.events(as_of)
             .where(F.col("partition_id") == partition_id)
             .where(self._range_filter("partition_sequence", start, end))
         )
@@ -1264,7 +1277,10 @@ class EventStore:
                 os.unlink(full)
 
     def stream_version(
-        self, stream_id: str, partition_key: str | None = None
+        self,
+        stream_id: str,
+        partition_key: str | None = None,
+        as_of: Optional[int] = None,
     ) -> Optional[int]:
         """ESVER: latest version of a stream, None = empty
         (``ESVER stream [PARTITION_KEY u]``, request/esver.rs): streams
@@ -1281,10 +1297,10 @@ class EventStore:
         pid = ids.partition_id_for_hash(
             ids.uuid_to_partition_hash(pkey), self.config.num_partitions
         )
-        if self._watermark_of(pid) is None:
+        if self._read_state(as_of).watermarks.get(int(pid)) is None:
             return None
         row = (
-            self.heads()
+            self.heads(as_of)
             .where(F.col("partition_id") == pid)
             .where(F.col("stream_id") == stream_id)
             .agg(F.max("stream_version").alias("v"))
@@ -1292,7 +1308,10 @@ class EventStore:
         )
         return row["v"]
 
-    def partition_sequence(self, partition_id: int) -> Optional[int]:
+    def partition_sequence(
+        self, partition_id: int, as_of: Optional[int] = None
+    ) -> Optional[int]:
         """EPSEQ: latest confirmed sequence of a partition
-        (request/epseq.rs) — the manifest watermark, driver-side."""
-        return self._watermark_of(partition_id)
+        (request/epseq.rs) — the manifest watermark, driver-side.
+        ``as_of``: the watermark at that commit (time travel)."""
+        return self._read_state(as_of).watermarks.get(int(partition_id))

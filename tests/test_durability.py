@@ -195,6 +195,46 @@ def test_compact_retention_preserves_recent_files(store):
         store.events(as_of=2)
 
 
+def test_time_travel_scan_get_forms(store):
+    """The read surface (scan/pscan/get/stream_version/
+    partition_sequence) accepts as_of and resolves the same snapshot
+    events(as_of) does — readable back through compaction's retention
+    window, SnapshotExpiredError beyond it."""
+    store.append([AppendRequest("tt", f"E{i}") for i in range(3)])  # commit 1
+    store.append([AppendRequest("tt", f"L{i}") for i in range(2)])  # commit 2
+    eid = store.scan("tt").collect()[0]["event_id"]
+
+    # as_of=1: only the first batch exists
+    assert [r["event_name"] for r in store.scan("tt", as_of=1).collect()] == [
+        "E0", "E1", "E2"
+    ]
+    assert store.stream_version("tt", as_of=1) == 2
+    assert store.stream_version("tt") == 4
+    pid = store.scan("tt").collect()[0]["partition_id"]
+    assert store.partition_sequence(pid, as_of=1) == 2
+    assert store.pscan(pid, as_of=1).count() == 3
+    assert store.get(eid, as_of=1).count() == 1
+
+    # snapshots survive compaction within retention...
+    store.compact(retain_seconds=3600)
+    assert store.scan("tt", as_of=1).count() == 3
+    assert store.get(eid, as_of=1).count() == 1
+    # ...and raise clearly once the sweep takes the chain below them
+    store.append([AppendRequest("tt", "post")])
+    store.compact()
+    for op in (
+        lambda: store.scan("tt", as_of=1),
+        lambda: store.pscan(pid, as_of=1),
+        lambda: store.get(eid, as_of=1),
+        lambda: store.stream_version("tt", as_of=1),
+        lambda: store.partition_sequence(pid, as_of=1),
+    ):
+        with pytest.raises(SnapshotExpiredError):
+            op()
+    # latest reads are unaffected
+    assert store.stream_version("tt") == 5
+
+
 def test_compact_removes_manifests_before_commits_lists_them(store):
     """After compact, commits() lists exactly the base snapshot — no
     superseded manifest may survive pointing at swept files."""
