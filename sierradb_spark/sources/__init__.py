@@ -2,8 +2,10 @@ from sierradb_spark.sources.connectors import (
     events_from_csv,
     events_from_json,
     export_events,
+    kafka_available,
     rate_request_stream,
     request_stream_from_files,
+    request_stream_from_kafka,
     request_stream_from_socket,
 )
 
@@ -11,7 +13,9 @@ __all__ = [
     "events_from_json",
     "events_from_csv",
     "export_events",
+    "kafka_available",
     "request_stream_from_files",
+    "request_stream_from_kafka",
     "rate_request_stream",
     "request_stream_from_socket",
 ]

@@ -115,6 +115,63 @@ def request_stream_from_socket(
     return _normalize(parsed)
 
 
+def kafka_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector is on the session's
+    classpath (it ships separately from core Spark)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def request_stream_from_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """The real queue source: JSON append requests from a Kafka topic.
+
+    Identical downstream contract to the socket/file sources — the same
+    from_json projection and ``StreamIngest`` path; Kafka offsets become
+    the replayable source of truth, which is what makes the manifest's
+    idempotence tokens exactly-once end to end (offset range → batch
+    token → CAS-committed manifest).
+
+    ``max_offsets_per_trigger`` is the ingest-side backpressure knob
+    (rows per micro-batch == group-commit size), the queue analogue of
+    ``maxFilesPerTrigger`` on the landing-directory source.
+
+    Raises a capability error when the spark-sql-kafka connector jar is
+    absent (it is not part of core Spark); everything else about the
+    pipeline is connector-agnostic.
+    """
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on the classpath; launch with "
+            "spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            "<spark-version> (or use request_stream_from_socket/"
+            "request_stream_from_files, which share the same contract)"
+        )
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    raw = reader.load().select(F.col("value").cast("string").alias("value"))
+    parsed = raw.select(
+        F.from_json(F.col("value"), REQUEST_CORE_SCHEMA).alias("r")
+    ).select("r.*")
+    return _normalize(parsed)
+
+
 def rate_request_stream(
     spark: SparkSession, rows_per_second: int = 1000, n_streams: int = 100
 ) -> DataFrame:

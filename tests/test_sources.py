@@ -131,3 +131,20 @@ def test_socket_queue_source_gapless(store, spark, tmp_path):
             r["stream_version"] for r in store.scan(f"sock-{s}").collect()
         ]
         assert versions == list(range(n // n_streams))
+
+
+def test_kafka_source_capability_gate(spark):
+    """request_stream_from_kafka builds the real Kafka reader when the
+    connector jar ships, and otherwise raises a clear capability error
+    naming the jar to add — either way the contract (same projection,
+    same StreamIngest path) is pinned here."""
+    from sierradb_spark.sources import kafka_available, request_stream_from_kafka
+    from sierradb_spark.sources.connectors import REQUEST_CORE_SCHEMA
+
+    if kafka_available(spark):
+        df = request_stream_from_kafka(spark, "localhost:9092", "events")
+        assert set(REQUEST_CORE_SCHEMA.fieldNames()) <= set(df.columns)
+        assert df.isStreaming
+    else:
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            request_stream_from_kafka(spark, "localhost:9092", "events")
