@@ -19,6 +19,7 @@ from sierradb_spark.operators import (
 )
 from sierradb_spark.functions import (
     contamination,
+    scrub,
     dedup,
     dedup_wide,
     multimodal,
@@ -50,6 +51,7 @@ for mod in (
     relational2,
     relational3,
     relational4,
+    scrub,
 ):
     REGISTRY.merge(mod.REG)
 

@@ -255,3 +255,30 @@ def test_sequence_packing_materialized_variant_identical(spark, sf_dir):
         map(tuple, sequence_packing(spark, sf_dir, materialize=True).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_chunk_dedup_survivor_window_digest_only(q):
+    """The C4-style keep-first pass must (a) never plan a nested-loop
+    pair enumeration, and (b) shuffle the keep-first window on digests
+    only — the WindowExec's child exchange must not carry chunk text."""
+    f = assert_plan(
+        q("chunk_dedup_survivors"),
+        forbid_nested_loop=True,
+    )
+    plan = f["plan"]
+    # The window runs over the digest-projected child: the plan contains
+    # a Window partitioned by digest, and its input projection holds
+    # exactly (digest, doc_id, chunk_id) — no `chunk` column.
+    import re
+
+    wins = re.findall(r"Window \[[^\]]*row_number\(\)[^\]]*\]", plan)
+    assert wins, f"no row_number window in plan:\n{plan[:2000]}"
+    assert all("chunk#" not in w.replace("chunk_id#", "") for w in wins), (
+        f"keep-first window carries chunk text: {wins}"
+    )
+
+
+def test_pii_queries_single_scan_no_shuffle_of_text(q):
+    # The redaction pass is scan -> project: zero joins, zero windows.
+    f = assert_plan(q("pii_redacted_corpus"), max_shuffles=0)
+    assert f["broadcast_hash_joins"] == 0
