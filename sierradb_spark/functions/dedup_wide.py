@@ -590,3 +590,109 @@ def embedding_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall"),
     )
+
+
+# --- SemDeDup: semantic dedup inside embedding cells -------------------------
+
+SEMDEDUP_TAU = 0.3  # synthetic embeddings are near-orthogonal; 0.3 is the
+# "near-duplicate" knee of their cosine distribution. Real corpora use ~0.95.
+
+
+def _semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SemDeDup verdict (the shape of arXiv:2303.09540):
+    within each cell (label = the k-means cell stand-in, as in the IVF
+    operators), a vector is DROPPED when any smaller-id vector in the
+    same cell is closer than tau — the one-pass greedy keep-first rule.
+    Pairs come from a self-equi-join on the cell key, so the quadratic
+    term is bounded by cell size, never corpus size: that bound IS the
+    SemDeDup trick, and at 100 TB the cell id is a partition column so
+    each cell dedups in isolation."""
+    from sierradb_spark.functions.similarity import cosine_col
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_col(F.col("a.v"), F.col("b.v"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(
+        dropped.withColumn("dropped", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "label",
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("kept"),
+    )
+
+
+def _sql_semdedup_kept() -> str:
+    from sierradb_spark.functions.similarity import _sql_cos
+
+    return f"""
+        e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        drops AS (
+            SELECT DISTINCT b.vec_id
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_sql_cos('a.v', 'b.v')} >= {SEMDEDUP_TAU}
+        ),
+        kept AS (
+            SELECT e.vec_id, e.label, (drops.vec_id IS NULL) AS kept
+            FROM e LEFT JOIN drops ON e.vec_id = drops.vec_id
+        )
+    """
+
+
+@REG.add(
+    "semdedup_survivors",
+    oracle=f"""
+        WITH {_sql_semdedup_kept()}
+        SELECT vec_id, CAST(label AS INT) AS label, kept FROM kept
+    """,
+    doc="SemDeDup (semantic dedup over embedding cells, arXiv:2303.09540's "
+    "shape): drop a vector when a smaller-id vector in the SAME cell is "
+    "within cosine tau — greedy keep-first, deterministic. The pair join is "
+    "an equi-join on the cell key (quadratic only within cells, the SemDeDup "
+    "bound); at scale the cell id is a partition column.",
+)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semdedup_kept(spark, sf_dir)
+
+
+@REG.add(
+    "semdedup_cell_stats",
+    oracle=f"""
+        WITH {_sql_semdedup_kept()}
+        SELECT CAST(label AS INT) AS label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_dropped,
+               floor(avg(CASE WHEN kept THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5)
+                   / 1e6 AS retention
+        FROM kept GROUP BY label
+    """,
+    doc="SemDeDup audit: per-cell vector counts, drops, and retention — the "
+    "measurement that calibrates tau before committing to a dedup pass.",
+)
+def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _semdedup_kept(spark, sf_dir)
+    return k.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        (
+            F.floor(
+                F.avg(F.when(F.col("kept"), 1.0).otherwise(0.0)) * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("retention"),
+    )

@@ -506,3 +506,49 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("kept_chars"),
         )
     )
+
+
+MIXTURE_ALPHA = 0.5  # temperature exponent: 1.0 = proportional, 0 = uniform
+
+
+@REG.add(
+    "temperature_mixture_weights",
+    oracle=f"""
+        WITH s AS (
+            SELECT source, lang, count(*) AS n FROM documents
+            GROUP BY source, lang
+        ),
+        t AS (SELECT sum(n)::DOUBLE AS total, sum(pow(n, {MIXTURE_ALPHA}))
+                     AS z FROM s)
+        SELECT source, lang, CAST(n AS BIGINT) AS n_docs,
+               floor(n / total * 1e6 + 0.5) / 1e6 AS raw_share,
+               floor(pow(n, {MIXTURE_ALPHA}) / z * 1e6 + 0.5) / 1e6
+                   AS temp_weight,
+               CAST(floor(pow(n, {MIXTURE_ALPHA}) / z * 10000 + 0.5)
+                    AS BIGINT) AS docs_per_10k
+        FROM s, t
+    """,
+    doc="Temperature-resampled mixture plan (the multilingual-pretraining "
+    "reweighting of arXiv:1901.07291 sec 3.1): per-(source, lang) sampling "
+    "weights proportional to share^alpha, flattening head domains and "
+    "boosting the tail. One scan, two tiny broadcast aggregates; the weights "
+    "drive the deterministic samplers downstream.",
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    t = s.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.sum(F.pow("n", MIXTURE_ALPHA)).alias("z"),
+    )
+    w = F.pow("n", MIXTURE_ALPHA) / F.col("z")
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        (F.floor(F.col("n") / F.col("total") * 1e6 + 0.5) / 1e6).alias(
+            "raw_share"
+        ),
+        (F.floor(w * 1e6 + 0.5) / 1e6).alias("temp_weight"),
+        F.floor(w * 10000 + 0.5).cast("bigint").alias("docs_per_10k"),
+    )
