@@ -151,6 +151,21 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
         ]
         assert got == want, f"partition {pid} diverged (seed {seed})"
 
+    # Time-travel oracle: model state frozen at store commit numbers.
+    # as_of reads must reproduce the frozen state exactly; compaction
+    # (retain 0) expires every pre-base snapshot, which must raise.
+    import copy
+
+    from sierradb_spark.eventstore.store import SnapshotExpiredError
+
+    snapshots: dict[int, DatabaseModel] = {}
+
+    def maybe_snapshot() -> None:
+        if rng.random() < 0.5:
+            c = store._read_state().commit
+            if c > 0:
+                snapshots[c] = copy.deepcopy(model)
+
     n_appends = 0
     for step in range(30):
         roll = rng.random()
@@ -176,6 +191,7 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
             got = [(r.accepted, r.stream_version) for r in res]
             assert got == expected_results, f"append diverged at step {step} (seed {seed})"
             n_appends += 1
+            maybe_snapshot()
         elif roll < 0.7:  # multi-event atomic txn on one stream's partition
             s = rng.choice(STREAMS)
             pkey = str(ids.partition_key_for_stream(s))
@@ -197,14 +213,40 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
                 assert [r.stream_version for r in res] == vers
         elif roll < 0.82:  # read checks
             check_stream(rng.choice(STREAMS))
-        elif roll < 0.88:
+        elif roll < 0.86:
             pid = model.partition_of(rng.choice(STREAMS))
             check_partition(pid)
+        elif roll < 0.88:  # time-travel read vs frozen model snapshot
+            if snapshots:
+                c = rng.choice(sorted(snapshots))
+                frozen = snapshots[c]
+                s = rng.choice(STREAMS)
+                got = [
+                    (r["stream_id"], r["stream_version"], r["event_name"])
+                    for r in store.scan(s, as_of=c).collect()
+                ]
+                want = [
+                    (e.stream_id, e.stream_version, e.event_name)
+                    for e in frozen.read_stream(s)
+                ]
+                assert got == want, f"as_of={c} stream {s} diverged (seed {seed})"
+                assert (
+                    store.stream_version(s, as_of=c)
+                    == frozen.stream_versions.get(s)
+                ), f"as_of={c} ESVER diverged (seed {seed})"
         elif roll < 0.90:  # ESVER vs model head
             s = rng.choice(STREAMS)
             assert store.stream_version(s) == model.stream_versions.get(s)
         elif roll < 0.93:  # compaction mid-sequence must not change state
+            base_before = store._read_state().commit
             store.compact()
+            # retain 0 sweeps the pre-base chain: every saved snapshot
+            # below the new base must now raise, not return partial data
+            for c in list(snapshots):
+                if c <= base_before and base_before > 0:
+                    with pytest.raises(SnapshotExpiredError):
+                        store.events(as_of=c)
+                del snapshots[c]
         elif roll < 0.96:
             # Tokened append + immediate replay (the crash-between-
             # manifest-and-checkpoint scenario): the replay must be a
