@@ -233,14 +233,16 @@ def test_no_session_lifetime_cache_leak(spark, sf_dir):
     # ContextCleaner cleanup is async: poll briefly for it to drain.
     import time as _time
 
-    deadline = _time.time() + 30
-    while _time.time() < deadline and n_persistent() > baseline + 1:
+    deadline = _time.time() + 90
+    while _time.time() < deadline and n_persistent() > baseline + 2:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         _time.sleep(1)
-    # Bounded, not monotonically growing: 3 invocations of each query
-    # must not have pinned 3+ entries.
-    assert n_persistent() <= baseline + 1, (
+    # Bounded, not monotonically growing: a genuine unmatched persist()
+    # grows by >= 6 here (3 iterations x 2 queries); the +2 headroom
+    # absorbs in-flight async ContextCleaner entries when the suite has
+    # queued a long cleanup backlog (observed in full-suite runs).
+    assert n_persistent() <= baseline + 2, (
         f"cache entries leaked: baseline={baseline}, now={n_persistent()}"
     )
 
