@@ -43,6 +43,33 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     )
     n1 = quality.count()
 
+    # 1b. PII redaction (RefinedWeb-style): same portable regex stages as
+    #     the registry's pii_redacted_corpus operator. Rewrites text in
+    #     place — no rows drop, so it sits outside the funnel counts.
+    from sierradb_spark.functions.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"),
+            IPV4_RE, "[IP]",
+        ),
+        PHONE_RE, "[PHONE]",
+    )
+    quality = quality.withColumn("text", redacted)
+
+    # 1c. Gopher repetition filter: drop docs where >30% of their 8-word
+    #     chunks repeat within the doc (pure array algebra, no shuffle).
+    from sierradb_spark.functions.scrub import _SPARK_CHUNKS
+
+    chunks = F.expr(_SPARK_CHUNKS)
+    rep = quality.withColumn("_chunks", chunks).withColumn(
+        "_rep",
+        (F.size("_chunks") - F.size(F.array_distinct("_chunks")))
+        / F.greatest(F.size("_chunks"), F.lit(1)),
+    )
+    quality = rep.where(F.col("_rep") <= 0.3).drop("_chunks", "_rep")
+    n1c = quality.count()
+
     # 2. Exact dedup on normalized text hash (keep lowest doc_id).
     norm = F.md5(F.lower(F.trim(F.col("text"))))
     from pyspark.sql import Window
@@ -121,6 +148,7 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     return {
         "input": n0,
         "quality_pass": n1,
+        "after_repetition_filter": n1c,
         "after_exact_dedup": n2,
         "after_near_dedup": n2b,
         "after_decontamination": n3,
