@@ -3,6 +3,7 @@ from sierradb_spark.streaming.subscribe import (
     PartitionMatcher,
     StreamMatcher,
     Subscription,
+    read_subscription_sink,
 )
 from sierradb_spark.streaming.windowed import dedup_stream, windowed_event_counts
 
@@ -11,6 +12,7 @@ __all__ = [
     "StreamMatcher",
     "PartitionMatcher",
     "Subscription",
+    "read_subscription_sink",
     "dedup_stream",
     "windowed_event_counts",
 ]

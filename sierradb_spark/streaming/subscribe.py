@@ -96,6 +96,22 @@ class PartitionMatcher:
         return cond & gate
 
 
+def read_subscription_sink(
+    spark, sink_path: str, after_commit: int | None = None
+) -> DataFrame:
+    """Ordered consumer view of a :meth:`Subscription.start_to_sink`
+    table. ``after_commit`` resumes past already-consumed deliveries via
+    the ``delivery_commit`` audit column — a downstream consumer records
+    the max commit it processed and passes it back, the sink-side
+    analogue of the delivery cursor. Ordering by (partition_id,
+    partition_sequence) reconstructs the callback form's delivery order
+    (keys are unique and monotone per partition)."""
+    df = spark.read.parquet(sink_path)
+    if after_commit is not None:
+        df = df.where(F.col("delivery_commit") > int(after_commit))
+    return df.orderBy("partition_id", "partition_sequence")
+
+
 class Subscription:
     """A running subscription over an EventStore table."""
 

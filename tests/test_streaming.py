@@ -271,11 +271,18 @@ def test_subscription_sink_matrix_matches_callback(store, spark, tmp_path, windo
     assert all(r["delivery_commit"] >= 0 for r in got)
 
     # live tail through the same sink checkpoint: only the new events land
+    consumed_through = max(r["delivery_commit"] for r in got)
     store.append([AppendRequest("sink-late", "Late", payload=b"z")])
     sub2.catchup_to_sink(sink, str(tmp_path / f"sk-{window}"))
     after = spark.read.parquet(sink)
     assert after.count() == n + 1
     assert after.where(F.col("event_name") == "Late").count() == 1
+    # sink-side resume: a consumer that processed through commit C reads
+    # exactly the deliveries after C
+    from sierradb_spark.streaming import read_subscription_sink
+
+    fresh = read_subscription_sink(spark, sink, after_commit=consumed_through)
+    assert [r["event_name"] for r in fresh.collect()] == ["Late"]
 
 
 def test_subscription_sink_matcher_filters(store, spark, tmp_path):
