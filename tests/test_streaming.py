@@ -452,3 +452,37 @@ def test_cursor_file_roundtrip_and_legacy_format(store, tmp_path):
         "watermarks": {0: 5, 2: 7},
         "pending": {},
     }
+
+
+def test_live_tail_processing_time_trigger(store, tmp_path):
+    """True live tailing (S3's 'live' half): a continuously-triggered
+    subscription picks up appends that land while it runs — no
+    re-invocation of catchup. Complete + ordered across the whole run."""
+    import time as _time
+
+    _fill(store, n=30, batches=1)
+    delivered: list = []
+    sub = Subscription(store, PartitionMatcher())
+    q = sub.start(
+        delivered.extend,
+        str(tmp_path / "ckpt"),
+        available_now=False,
+        trigger_interval="500 milliseconds",
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(delivered) < 30:
+            _time.sleep(0.5)
+        assert len(delivered) == 30
+        # live appends while the query is running
+        store.append([AppendRequest("live-a", f"L{i}") for i in range(5)])
+        store.append([AppendRequest("live-b", "Last")])
+        deadline = _time.time() + 60
+        while _time.time() < deadline and len(delivered) < 36:
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    _assert_ordered_complete(store, delivered, 36)
+    assert [r["event_name"] for r in delivered if r["stream_id"] == "live-a"] == [
+        f"L{i}" for i in range(5)
+    ]
