@@ -68,9 +68,9 @@ _FRONT_50 = [
     "eget_point_lookup", "escan_stream_range", "escan_reverse_limit",
     "epscan_partition_range", "esver_stream_heads", "epseq_partition_heads",
     "watermark_gated_scan",
-    # text analysis (6)
+    # text analysis + PII (6)
     "text_token_stats", "text_quality_by_lang", "lang_id_heuristic",
-    "bpe_token_stats", "winnow_fingerprints", "doc_fingerprint",
+    "bpe_token_stats", "winnow_fingerprints", "pii_redacted_corpus",
     # exact dedup (2)
     "dedup_exact_stats", "dedup_exact_keep_first",
     # production-width sketch dedup (6)
@@ -85,12 +85,12 @@ _FRONT_50 = [
     "multimodal_decode_metadata", "multimodal_metadata_only",
     "multimodal_byte_features", "multimodal_resize_plan",
     "multimodal_frame_sample",
-    # curation pipeline + quality (17)
+    # curation pipeline + quality + chunk/semantic dedup (17)
     "deterministic_doc_sample", "train_shard_assignment",
     "text_normalize_stats", "near_dup_components", "sequence_packing",
-    "top_bigrams_by_lang", "epoch_shuffle_order", "dedup_keep_best_quality",
+    "chunk_dedup_survivors", "doc_repetition_gopher", "dedup_keep_best_quality",
     "quality_filter_funnel", "word_entropy_by_lang", "repetition_ratio_stats",
-    "stratified_sample_by_lang", "token_bucket_histogram", "ann_recall_probe1",
+    "stratified_sample_by_lang", "token_bucket_histogram", "semdedup_survivors",
     "dedup_survivor_corpus", "running_total_per_stream",
     "top3_orders_per_customer",
 ]
