@@ -445,6 +445,41 @@ class EventStore:
         except FileNotFoundError:
             return []
 
+    def stats(self) -> dict:
+        """Table observability snapshot — driver-side file/manifest
+        arithmetic, zero Spark jobs (the INFO-command analogue: the
+        reference reports per-database segment/partition counters over
+        RESP3; here the manifest chain already carries them).
+
+        Keys: ``commit`` (head commit number), ``commits_resolvable``
+        (time-travel window size), ``events_files`` / ``events_bytes``,
+        ``heads_files``, ``partitions_touched`` (hive dirs referenced),
+        ``confirmed_sequences`` (per-partition watermark map), and
+        ``total_events`` (sum of watermarks + per-partition counts —
+        exact because sequences are gapless from 0).
+        """
+        state = self._read_state()
+        ev_bytes = 0
+        parts: set[str] = set()
+        for rel in state.events_files:
+            parts.add(rel.split(os.sep)[0])
+            try:
+                ev_bytes += os.path.getsize(os.path.join(self.events_path, rel))
+            except OSError:
+                pass
+        wm = state.watermarks
+        return {
+            "commit": state.commit,
+            "commits_resolvable": len(self.commits()),
+            "events_files": len(state.events_files),
+            "events_bytes": ev_bytes,
+            "heads_files": len(state.heads_files),
+            "partitions_touched": len(parts),
+            "confirmed_sequences": dict(sorted(wm.items())),
+            # gapless assignment: partition p holds exactly wm[p]+1 events
+            "total_events": sum(s + 1 for s in wm.values()),
+        }
+
     def events(self, as_of: Optional[int] = None) -> DataFrame:
         """The committed events DataFrame.
 

@@ -53,3 +53,28 @@ def test_pscan_batches_pagination(store):
     pages = list(store.pscan_batches(pid, 3, 12, batch_size=4, direction="reverse"))
     flat = [r["partition_sequence"] for p in pages for r in p]
     assert flat == list(range(12, 2, -1))
+
+
+def test_stats_snapshot(spark, tmp_path):
+    """stats() is exact (gapless sequences make counts arithmetic) and
+    costs zero Spark jobs; compaction shrinks files, never counts."""
+    from sierradb_spark.config import EngineConfig
+    from sierradb_spark.eventstore import AppendRequest, EventStore
+
+    store = EventStore(
+        spark, str(tmp_path / "st"), EngineConfig(shuffle_partitions=8)
+    )
+    assert store.stats()["total_events"] == 0
+    store.append([AppendRequest(f"s-{i % 5}", "E") for i in range(20)])
+    store.append([AppendRequest("s-0", "E2")])
+    s = store.stats()
+    assert s["total_events"] == 21 == store.events().count()
+    assert s["commit"] == 2 and s["commits_resolvable"] == 2
+    assert s["events_files"] > 0 and s["events_bytes"] > 0
+    assert s["partitions_touched"] == len(s["confirmed_sequences"])
+    files_before = s["events_files"]
+    store.compact()
+    s2 = store.stats()
+    assert s2["total_events"] == 21
+    assert s2["events_files"] <= files_before
+    assert s2["commits_resolvable"] == 1  # base manifest only
