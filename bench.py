@@ -127,12 +127,16 @@ def main() -> int:
                 tc = time.perf_counter()
                 store.compact()
                 compact_secs.append(round(time.perf_counter() - tc, 3))
-        half = n_batches // 2
         # Size-degradation signal: a table-size-dependent write path shows
         # a monotonic decline; single-batch GC/JIT noise does not move the
-        # half-means. Flat == ratio near (or above) 1.
-        trend = round(
-            (sum(evps[half:]) / half) / (sum(evps[:half]) / half), 3
+        # half-means. Flat == ratio near (or above) 1. Mean over the
+        # actual slice sizes (odd batch counts split unevenly); a single
+        # batch has no trend to report.
+        half = len(evps) // 2
+        trend = (
+            round(statistics.mean(evps[half:]) / statistics.mean(evps[:half]), 3)
+            if half >= 1
+            else 1.0
         )
         # Reported in its own JSON section, NOT in the headline timings:
         # the headline value is compared round-over-round on a stable

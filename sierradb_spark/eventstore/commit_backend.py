@@ -67,23 +67,36 @@ class LinkCAS(CommitBackend):
 
 
 class ConditionalPut(CommitBackend):
-    """Object-store semantics (conditional PUT, If-None-Match: *),
-    emulated locally with ``O_CREAT|O_EXCL``.
+    """Object-store semantics (conditional PUT, If-None-Match: *).
 
-    On a real object store the PUT is atomic whole-object; the local
-    emulation writes through an exclusive create, which matches the
-    create-iff-absent semantics exactly (the brief non-atomic write
-    window after a won create exists only in the emulation, not in the
-    object-store operation it stands in for)."""
+    A real conditional PUT is atomic *whole-object*: the object appears
+    fully written or not at all, and the precondition failure is the
+    loss signal. The local emulation must honor both halves of that
+    contract — an ``O_CREAT|O_EXCL`` + write sequence would not (a crash
+    between create and write leaves a partial object under the final
+    name, which no real object store can produce, and which would brick
+    every subsequent ``_read_state``). So the emulation stages the full
+    payload first and claims the name with an exclusive link, the only
+    local primitive with both properties. A production deployment
+    replaces this class with the store SDK's conditional put (S3
+    ``If-None-Match: *``, GCS ``ifGenerationMatch=0``, Azure
+    ``If-None-Match``) — or swaps the whole manifest log for
+    Delta/Iceberg commits, whose transaction protocol is this same
+    primitive."""
 
     def publish(self, path: str, payload: bytes) -> bool:
+        tmp = (
+            f"{os.path.dirname(path)}/"
+            f".{os.path.basename(path)}.put-{secrets.token_hex(4)}"
+        )
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            os.link(tmp, path)  # atomic create-iff-absent, full payload
+            return True
         except FileExistsError:
             return False
-        try:
-            os.write(fd, payload)
-            os.fsync(fd)
         finally:
-            os.close(fd)
-        return True
+            os.unlink(tmp)

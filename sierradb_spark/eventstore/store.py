@@ -335,6 +335,12 @@ class EventStore:
             names = []
         if as_of is not None:
             listed = names
+            head = int(listed[-1].split(".")[0]) if listed else 0
+            if as_of > head:
+                raise ValueError(
+                    f"as_of={as_of} exceeds the head commit {head}; "
+                    "time travel only resolves committed snapshots"
+                )
             names = [n for n in names if int(n.split(".")[0]) <= as_of]
             if (
                 not names
@@ -432,18 +438,39 @@ class EventStore:
     def commits(self) -> list[int]:
         """Commit numbers currently resolvable (time-travel targets).
 
-        The full history since the last :meth:`compact` — each is a
-        consistent snapshot: events + heads + watermarks as of that
-        commit, usable via ``events(as_of=...)``.
+        Each listed commit is a consistent snapshot — events + heads +
+        watermarks — usable via ``events(as_of=...)``. A retention sweep
+        whose age cutoff straddles the superseded chain can retain
+        manifests whose prefix is gone (commit 3 survives, commit 1
+        didn't); those are NOT resolvable (``_read_state`` would raise
+        SnapshotExpiredError) and are excluded here, so this listing and
+        ``stats()['commits_resolvable']`` never overreport the window.
         """
         try:
-            return sorted(
-                int(n.split(".")[0])
-                for n in os.listdir(self.commits_path)
-                if n.endswith(".json")
+            names = sorted(
+                n for n in os.listdir(self.commits_path) if n.endswith(".json")
             )
         except FileNotFoundError:
             return []
+        nums = [int(n.split(".")[0]) for n in names]
+        if not nums:
+            return []
+        # Resolvable iff the chain up to c starts at commit 1 or contains
+        # a base at/below c (same rule _read_state enforces).
+        min_ok: Optional[int] = 1 if nums[0] == 1 else None
+        if min_ok is None:
+            for n in names:
+                m = self._manifest_cache.get(n)
+                if m is None:
+                    with open(os.path.join(self.commits_path, n)) as f:
+                        m = json.load(f)
+                    self._manifest_cache[n] = m
+                if m.get("base"):
+                    min_ok = m["commit"]
+                    break
+        if min_ok is None:
+            return []
+        return [c for c in nums if c >= min_ok]
 
     def stats(self) -> dict:
         """Table observability snapshot — driver-side file/manifest
@@ -528,9 +555,6 @@ class EventStore:
             [(int(p), int(s)) for p, s in sorted(wm.items())],
             "partition_id int, confirmed_sequence long",
         )
-
-    def _watermark_of(self, partition_id: int) -> Optional[int]:
-        return self._wm().get(int(partition_id))
 
     def visible_events(self) -> DataFrame:
         """Events gated by the confirmation watermark (read.rs:460-496).
@@ -733,6 +757,16 @@ class EventStore:
         (invisible) and are swept by :meth:`compact`, identical to a
         crashed writer's leftovers.
         """
+        if batch_token is not None:
+            # Replay fast path: if this micro-batch's token is already in
+            # the manifest chain (crash landed between manifest-rename
+            # and checkpoint-commit), skip BEFORE materializing anything
+            # — a replayed 100k-row batch must cost a manifest read, not
+            # a full pipeline run. The in-loop re-check below still
+            # guards the race where a concurrent writer replaying the
+            # same source commits the token between here and our CAS.
+            if batch_token in self._read_state().batch_tokens:
+                return self.spark.createDataFrame([], APPEND_RESULT_SCHEMA)
         batch = batch.localCheckpoint(eager=True)
         if not fast and not self.config.strict_versioning:
             # Common connector case: an expected_version column exists but

@@ -163,7 +163,9 @@ def request_stream_from_kafka(
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
     )
-    if max_offsets_per_trigger:
+    if max_offsets_per_trigger is not None:
+        if max_offsets_per_trigger <= 0:
+            raise ValueError("max_offsets_per_trigger must be positive")
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
     raw = reader.load().select(F.col("value").cast("string").alias("value"))
     parsed = raw.select(

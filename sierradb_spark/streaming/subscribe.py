@@ -105,11 +105,19 @@ def read_subscription_sink(
     the max commit it processed and passes it back, the sink-side
     analogue of the delivery cursor. Ordering by (partition_id,
     partition_sequence) reconstructs the callback form's delivery order
-    (keys are unique and monotone per partition)."""
+    (keys are unique and monotone per partition).
+
+    Sink writes are at-least-once (a crash between the parquet append
+    and the cursor save replays the batch, appending the same rows
+    again); (partition_id, partition_sequence) is unique per event, so
+    the reader dedupes on it — exactly-once reads over an
+    at-least-once sink, the standard Kafka-consumer contract."""
     df = spark.read.parquet(sink_path)
     if after_commit is not None:
         df = df.where(F.col("delivery_commit") > int(after_commit))
-    return df.orderBy("partition_id", "partition_sequence")
+    return df.dropDuplicates(["partition_id", "partition_sequence"]).orderBy(
+        "partition_id", "partition_sequence"
+    )
 
 
 class Subscription:
@@ -210,7 +218,14 @@ class Subscription:
         contiguous extension of ``last_commit``, plus any base manifest
         (a base supersedes — and re-lists the data of — every commit
         below it, so a gap beneath one can never fill and must not
-        block). Gapped manifests stay pending."""
+        block). Gapped manifests stay pending.
+
+        When the contiguous walk blocks on a gap, jump to the HIGHEST
+        pending base past it (not just a base at the minimum): a
+        retention sweep can unlink a gapped manifest while retaining
+        non-base commits between the gap and the base, and those
+        retained commits' data is re-listed by the base anyway —
+        waiting on them would stall delivery forever."""
         todo: list[dict] = []
         pending = cursor["pending"]
         while pending:
@@ -223,8 +238,17 @@ class Subscription:
             if last is None or c == last + 1 or entry["base"]:
                 todo.append(pending.pop(c))
                 cursor["last_commit"] = c
-            else:
+                continue
+            # Gap at c: unblock through the newest base above it, if any
+            # (it supersedes c and everything between).
+            bases = [k for k, e in pending.items() if e["base"]]
+            if not bases:
                 break
+            b = max(bases)
+            for k in [k for k in pending if k < b]:
+                del pending[k]  # superseded by the base's full re-list
+            todo.append(pending.pop(b))
+            cursor["last_commit"] = b
         return todo
 
     def _make_processor(

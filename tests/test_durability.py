@@ -412,3 +412,42 @@ def test_retry_exhaustion_raises(spark, tmp_path):
         s2.append([AppendRequest("live", "Starved")])
     # The rival's commits are all intact; the loser appended nothing.
     assert {r["event_name"] for r in s1.scan("live").collect()} == {"Rival"}
+
+
+def test_as_of_beyond_head_raises(store):
+    store.append([AppendRequest("h", "E")])
+    with pytest.raises(ValueError, match="exceeds the head commit"):
+        store.events(as_of=99)
+
+
+def test_commits_excludes_unresolvable_truncated_prefix(store):
+    """A retention sweep that unlinks commit 1 but retains 2..N leaves
+    2..N-1 unreconstructable (no base at/below them); commits() must not
+    list them as time-travel targets."""
+    for b in range(3):
+        store.append([AppendRequest("tr", f"E{b}")])
+    store.compact(retain_seconds=3600)  # manifests now 1,2,3 + base 4
+    assert store.commits() == [1, 2, 3, 4]
+    os.unlink(os.path.join(store.commits_path, f"{1:020d}.json"))
+    store._manifest_cache.clear()
+    assert store.commits() == [4]  # 2,3 unresolvable without commit 1
+    assert store.stats()["commits_resolvable"] == 1
+    with pytest.raises(SnapshotExpiredError):
+        store.events(as_of=2)
+    assert store.events(as_of=4).count() == 3
+
+
+def test_conditional_put_atomic_full_payload(tmp_path):
+    """The ConditionalPut emulation must honor whole-object atomicity:
+    the final name only ever holds the complete payload, the loser
+    leaves no residue, and no temp files leak."""
+    from sierradb_spark.eventstore.commit_backend import ConditionalPut
+
+    be = ConditionalPut()
+    target = str(tmp_path / "00000001.json")
+    assert be.publish(target, b'{"commit": 1}')
+    assert open(target, "rb").read() == b'{"commit": 1}'
+    assert not be.publish(target, b'{"commit": 999}')
+    assert open(target, "rb").read() == b'{"commit": 1}'  # untouched
+    leftovers = [n for n in os.listdir(tmp_path) if n != "00000001.json"]
+    assert leftovers == []
