@@ -284,7 +284,21 @@ class Subscription:
             # lists) so commit N's events are never suppressed — or
             # delivered out of order — because N+1 got listed first.
             todo = self._pop_deliverable(cursor)
-            files = [f for e in todo for f in e["events_add"]]
+            # Fold the file lists the same way _read_state folds the
+            # chain: a base manifest RESETS the list (it re-lists, in
+            # rewritten files, all data of every commit below it — its
+            # own predecessors included). Concatenating instead would
+            # read the same rows twice when one micro-batch carries two
+            # bases (compact() twice between triggers) or an incremental
+            # plus the base that superseded it, and the cursor gate —
+            # evaluated once per batch — cannot filter within-batch
+            # duplicates.
+            files: list[str] = []
+            for e in todo:
+                if e["base"]:
+                    files = list(e["events_add"])
+                else:
+                    files.extend(e["events_add"])
             if files:
                 paths = [
                     os.path.join(self.store.events_path, p) for p in files

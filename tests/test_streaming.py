@@ -531,3 +531,45 @@ def test_sink_reader_dedupes_replayed_append(store, spark, tmp_path):
     assert raw.count() > 20  # duplicates really exist on disk
     got = read_subscription_sink(spark, sink).collect()
     _assert_ordered_complete(store, got, 20)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_chaos_writers_compaction_subscription(spark, tmp_path, seed):
+    """Seeded chaos: two writer instances, periodic compaction (with and
+    without retention), and a tailing subscription interleaved at
+    random. Whatever the interleaving, the subscriber must end up with
+    every event exactly once, ordered per partition — the combined
+    guarantee of the manifest log, the delivery cursor, and the
+    base-manifest jump."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    path = str(tmp_path / "store")
+    s1 = EventStore(spark, path, EngineConfig(shuffle_partitions=8))
+    s2 = EventStore(spark, path, EngineConfig(shuffle_partitions=8))
+    sub = Subscription(s1, PartitionMatcher())
+    ckpt = str(tmp_path / "ckpt")
+    delivered: list = []
+    appended = 0
+    for step in range(18):
+        roll = rng.random()
+        if roll < 0.5:  # append through a random instance
+            w = rng.choice([s1, s2])
+            n = rng.randrange(1, 6)
+            w.append(
+                [
+                    AppendRequest(f"chaos-{rng.randrange(6)}", f"S{step}E{i}")
+                    for i in range(n)
+                ]
+            )
+            appended += n
+        elif roll < 0.7:  # compact, sometimes with retention
+            rng.choice([s1, s2]).compact(
+                retain_seconds=rng.choice([0.0, 3600.0])
+            )
+        else:  # tail
+            sub.catchup(delivered.extend, ckpt)
+    sub.catchup(delivered.extend, ckpt)  # final drain
+    keys = [(r["partition_id"], r["partition_sequence"]) for r in delivered]
+    assert len(keys) == len(set(keys)), f"duplicates (seed {seed})"
+    _assert_ordered_complete(s1, delivered, appended)
