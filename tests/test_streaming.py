@@ -573,3 +573,40 @@ def test_chaos_writers_compaction_subscription(spark, tmp_path, seed):
     keys = [(r["partition_id"], r["partition_sequence"]) for r in delivered]
     assert len(keys) == len(set(keys)), f"duplicates (seed {seed})"
     _assert_ordered_complete(s1, delivered, appended)
+
+
+def test_chaos_sink_delivery(spark, tmp_path):
+    """Same chaos interleaving, sink delivery form: whatever the
+    compaction/append interleaving, read_subscription_sink returns every
+    event exactly once (at-least-once sink + key dedupe)."""
+    import random as _random
+
+    from sierradb_spark.streaming import read_subscription_sink
+
+    rng = _random.Random(23)
+    path = str(tmp_path / "store")
+    s1 = EventStore(spark, path, EngineConfig(shuffle_partitions=8))
+    s2 = EventStore(spark, path, EngineConfig(shuffle_partitions=8))
+    sub = Subscription(s1, PartitionMatcher())
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    appended = 0
+    for step in range(14):
+        roll = rng.random()
+        if roll < 0.5:
+            n = rng.randrange(1, 6)
+            rng.choice([s1, s2]).append(
+                [
+                    AppendRequest(f"sc-{rng.randrange(6)}", f"S{step}E{i}")
+                    for i in range(n)
+                ]
+            )
+            appended += n
+        elif roll < 0.7:
+            rng.choice([s1, s2]).compact(
+                retain_seconds=rng.choice([0.0, 3600.0])
+            )
+        else:
+            sub.catchup_to_sink(sink, ckpt)
+    sub.catchup_to_sink(sink, ckpt)
+    got = read_subscription_sink(spark, sink).collect()
+    _assert_ordered_complete(s1, got, appended)
