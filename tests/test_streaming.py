@@ -567,6 +567,10 @@ def test_chaos_writers_compaction_subscription(spark, tmp_path, seed):
             rng.choice([s1, s2]).compact(
                 retain_seconds=rng.choice([0.0, 3600.0])
             )
+        elif roll < 0.8:  # subscriber/store restart: fresh objects, same
+            # checkpoint + cursor — delivery must resume exactly
+            s1 = EventStore(spark, path, EngineConfig(shuffle_partitions=8))
+            sub = Subscription(s1, PartitionMatcher())
         else:  # tail
             sub.catchup(delivered.extend, ckpt)
     sub.catchup(delivered.extend, ckpt)  # final drain
