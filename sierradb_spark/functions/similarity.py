@@ -460,3 +460,40 @@ def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, nprobe=2)
+
+
+@REG.add(
+    "hybrid_filtered_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id, e.label,
+               round({_sql_cos('e.embedding', 'q.qv')}, 4) AS cosine
+        FROM embeddings e, q
+        WHERE e.label % 3 = 1 AND e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    doc="Hybrid structured+vector query (AnalyticDB-V's query-fusion shape, "
+    "VLDB 2020): top-k cosine restricted by a structured predicate. The "
+    "structured filter is pushed to the scan FIRST, then exact cosine ranks "
+    "only survivors — right when the predicate is selective (here ~1/3). "
+    "When the predicate passes most rows, route through the IVF probe "
+    "instead and apply the filter inside probed cells; selectivity picks "
+    "the plan, exactly the fusion planner's decision. Plan-asserted: "
+    "predicate reaches PushedFilters, top-k is TakeOrderedAndProject.",
+)
+def hybrid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    cos = F.round(cosine_col(_dvec("embedding"), F.col("qv")), 4).alias("cosine")
+    return (
+        e.where((F.col("label") % 3 == 1) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

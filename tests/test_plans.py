@@ -284,3 +284,15 @@ def test_pii_queries_single_scan_no_shuffle_of_text(q):
     # The redaction pass is scan -> project: zero joins, zero windows.
     f = assert_plan(q("pii_redacted_corpus"), max_shuffles=0)
     assert f["broadcast_hash_joins"] == 0
+
+
+def test_hybrid_filtered_topk_pushes_and_takeordered(q):
+    # AnalyticDB-V shape: structured predicate reaches the scan, top-k
+    # plans as TakeOrderedAndProject (never a full sort). The only
+    # nested-loop allowed is the broadcast of the 1-row query vector.
+    f = assert_plan(
+        q("hybrid_filtered_topk"),
+        require_pushed_filter="vec_id",
+        require_top_k=True,
+    )
+    assert f["nested_loop_joins"] <= 1
