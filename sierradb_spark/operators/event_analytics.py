@@ -220,3 +220,122 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("event_id").alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+TS_WIN = 8  # sliding-window length for the pattern search
+
+
+@REG.add(
+    "tseries_pattern_search",
+    oracle=f"""
+        WITH w AS (
+            SELECT user_id, event_id,
+                   list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN CURRENT ROW
+                                     AND {TS_WIN - 1} FOLLOWING) AS win
+            FROM events
+        ),
+        f AS (SELECT * FROM w WHERE len(win) = {TS_WIN}),
+        st AS (
+            SELECT user_id, event_id, win,
+                   list_sum(win) / {TS_WIN}.0 AS m
+            FROM f
+        ),
+        z AS (
+            SELECT user_id, event_id,
+                   list_transform(win, v -> (v - m) / s) AS zwin
+            FROM (
+                SELECT user_id, event_id, win, m,
+                       sqrt(list_sum(list_transform(win,
+                            v -> (v - m) * (v - m))) / {TS_WIN}.0) AS s
+                FROM st
+            )
+            WHERE s > 0
+        ),
+        q AS (
+            SELECT zwin AS qz, user_id AS qu, event_id AS qe
+            FROM z ORDER BY user_id, event_id LIMIT 1
+        )
+        SELECT z.user_id, z.event_id,
+               round(list_sum(list_transform(range(1, {TS_WIN + 1}),
+                     i -> (z.zwin[i] - q.qz[i]) * (z.zwin[i] - q.qz[i]))), 4)
+                   AS dist
+        FROM z, q
+        WHERE NOT (z.user_id = q.qu AND z.event_id = q.qe)
+        ORDER BY dist ASC, z.user_id ASC, z.event_id ASC
+        LIMIT 10
+    """,
+    doc="Z-normalized sliding-window pattern search over per-user event-value "
+    "series (the distributed time-series subsequence similarity shape, EDBT "
+    "2019): per-user windows of 8 values under a user-partitioned ordered "
+    "frame, z-normalized in place (array algebra, no extra shuffle), ranked "
+    "by squared distance to a broadcast query window, top-10 as "
+    "TakeOrderedAndProject. At 100 TB the window build shuffles each user's "
+    "series once; normalization and distance are whole-stage codegen.",
+)
+def tseries_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wspec = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, TS_WIN - 1)
+    )
+    f = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.collect_list("value").over(wspec).alias("win"),
+        )
+        .where(F.size("win") == TS_WIN)
+    )
+    st = f.withColumn(
+        "m",
+        F.aggregate("win", F.lit(0.0), lambda a, v: a + v) / float(TS_WIN),
+    )
+    z = (
+        st.withColumn(
+            "s",
+            F.sqrt(
+                F.aggregate(
+                    "win",
+                    F.lit(0.0),
+                    lambda a, v: a + (v - F.col("m")) * (v - F.col("m")),
+                )
+                / float(TS_WIN)
+            ),
+        )
+        .where(F.col("s") > 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.transform(
+                "win", lambda v: (v - F.col("m")) / F.col("s")
+            ).alias("zwin"),
+        )
+    )
+    q = (
+        z.orderBy("user_id", "event_id")
+        .limit(1)
+        .select(
+            F.col("zwin").alias("qz"),
+            F.col("user_id").alias("qu"),
+            F.col("event_id").alias("qe"),
+        )
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("zwin"), F.col("qz"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+        4,
+    ).alias("dist")
+    return (
+        z.crossJoin(F.broadcast(q))
+        .where(~((F.col("user_id") == F.col("qu")) & (F.col("event_id") == F.col("qe"))))
+        .select("user_id", "event_id", dist)
+        .orderBy(F.col("dist").asc(), F.col("user_id").asc(), F.col("event_id").asc())
+        .limit(10)
+    )

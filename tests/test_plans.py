@@ -296,3 +296,16 @@ def test_hybrid_filtered_topk_pushes_and_takeordered(q):
         require_top_k=True,
     )
     assert f["nested_loop_joins"] <= 1
+
+
+def test_tseries_windows_user_partitioned_topk(q):
+    # The sliding-window build must run under a user-partitioned window
+    # (never a single reducer over the whole event table); top-10 is
+    # TakeOrderedAndProject. The 1-row query window broadcasts.
+    from sierradb_spark.plans import plan_features
+
+    f = plan_features(q("tseries_pattern_search"))
+    specs = _window_partition_specs(f["plan"])
+    assert specs and all(s.startswith("user_id") for s in specs), specs
+    assert f["top_k"] >= 1
+    assert f["cartesian_products"] == 0
