@@ -119,3 +119,84 @@ def type_token_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("n_types").cast("double") / F.col("n_tokens")), 4
         ).alias("avg_ttr"),
     )
+
+
+# Tiny polarity lexicon over the synthetic corpus vocabulary — the
+# demo stand-in for AFINN/VADER (the real lexicon swaps in as the same
+# broadcast table).
+SENTIMENT_LEXICON = [
+    ("fast", 2.0), ("big", 1.0), ("small", -1.0), ("slow", -2.0),
+    ("merge", 1.0), ("dup", -1.0), ("error", -2.0), ("value", 1.0),
+]
+
+_SQL_LEXICON = " UNION ALL ".join(
+    f"SELECT '{w}' AS word, CAST({p} AS DOUBLE) AS polarity"
+    for w, p in SENTIMENT_LEXICON
+)
+
+
+@REG.add(
+    "lexicon_sentiment_scores",
+    oracle=f"""
+        WITH lex AS ({_SQL_LEXICON}),
+        w AS (
+            SELECT doc_id, lang, unnest({_SQL_WORDS}) AS word
+            FROM documents
+        ),
+        s AS (
+            SELECT w.doc_id, w.lang,
+                   count(lex.word) AS n_hits,
+                   coalesce(sum(lex.polarity), 0.0) AS total
+            FROM w LEFT JOIN lex ON w.word = lex.word
+            GROUP BY w.doc_id, w.lang
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN total > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_positive,
+               CAST(sum(CASE WHEN total < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_negative,
+               floor(avg(CASE WHEN n_hits > 0 THEN total / n_hits
+                         ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS avg_polarity
+        FROM s GROUP BY lang
+    """,
+    doc="Lexicon-based sentiment scoring (the large-scale Spark sentiment "
+    "shape, EDBT 2016 in PAPERS.md): exploded words join a BROADCAST "
+    "polarity lexicon (AFINN/VADER-sized tables always broadcast), one "
+    "per-doc aggregate, one per-language rollup. The corpus never "
+    "shuffles; only (doc, polarity) partial aggregates do.",
+)
+def lexicon_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        SENTIMENT_LEXICON, "word string, polarity double"
+    )
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    w = d.select("doc_id", "lang", F.explode(toks).alias("word"))
+    s = (
+        w.join(F.broadcast(lex), "word", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("polarity").alias("n_hits"),
+            F.coalesce(F.sum("polarity"), F.lit(0.0)).alias("total"),
+        )
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("total") > 0).cast("bigint")).alias("n_positive"),
+        F.sum((F.col("total") < 0).cast("bigint")).alias("n_negative"),
+        (
+            F.floor(
+                F.avg(
+                    F.when(
+                        F.col("n_hits") > 0, F.col("total") / F.col("n_hits")
+                    ).otherwise(0.0)
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("avg_polarity"),
+    )
