@@ -24,11 +24,14 @@ def main() -> int:
         print(__doc__)
         return 2
     path = sys.argv[1]
-    limit = (
-        int(sys.argv[sys.argv.index("--limit") + 1])
-        if "--limit" in sys.argv
-        else 50
-    )
+    limit = 50
+    if "--limit" in sys.argv:
+        i = sys.argv.index("--limit")
+        try:
+            limit = int(sys.argv[i + 1])
+        except (IndexError, ValueError):
+            print("usage: dump_store.py <store_path> [--limit N]")
+            return 2
     spark = get_spark(app_name="dump-store", shuffle_partitions=8)
     store = EventStore(spark, path)
 

@@ -16,9 +16,10 @@ differently, so it lives behind an interface:
   ``If-None-Match``. A conditional PUT either creates the full object
   or fails with a precondition error; there is no hard link and rename
   is not atomic-exclusive on these stores, so LinkCAS is NOT portable
-  to them. The class here emulates the primitive on a local filesystem
-  (``O_CREAT|O_EXCL``) so the durability suite can exercise the same
-  code path the production swap would use; a real deployment implements
+  to them. The local emulation stages the full payload and claims the
+  name with an exclusive link (whole-object atomicity — see the class
+  docstring) so the durability suite can exercise the same code path
+  the production swap would use; a real deployment implements
   :meth:`CommitBackend.publish` with the store SDK's conditional put
   (or swaps the whole manifest log for Delta/Iceberg commits, whose
   transaction protocol is this same primitive).
@@ -47,23 +48,34 @@ class CommitBackend(ABC):
         never be observable partially written under the final name."""
 
 
+def _stage_and_link(path: str, payload: bytes, suffix: str) -> bool:
+    """The one crash-critical publish sequence both backends share:
+    write+fsync the full payload to a hidden temp name, then claim the
+    final name with an exclusive link (EEXIST = lost the race), then
+    drop the temp. The final name only ever holds the complete payload."""
+    tmp = (
+        f"{os.path.dirname(path)}/."
+        f"{os.path.basename(path)}.{suffix}-{secrets.token_hex(4)}"
+    )
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 class LinkCAS(CommitBackend):
     """POSIX: write+fsync a temp file, then ``os.link`` to the final
     name — EEXIST is the loss signal. The default backend."""
 
     def publish(self, path: str, payload: bytes) -> bool:
-        tmp = f"{os.path.dirname(path)}/.{os.path.basename(path)}.tmp-{secrets.token_hex(4)}"
-        with open(tmp, "wb") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        return _stage_and_link(path, payload, "tmp")
 
 
 class ConditionalPut(CommitBackend):
@@ -85,18 +97,4 @@ class ConditionalPut(CommitBackend):
     primitive."""
 
     def publish(self, path: str, payload: bytes) -> bool:
-        tmp = (
-            f"{os.path.dirname(path)}/"
-            f".{os.path.basename(path)}.put-{secrets.token_hex(4)}"
-        )
-        with open(tmp, "wb") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, path)  # atomic create-iff-absent, full payload
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        return _stage_and_link(path, payload, "put")

@@ -358,26 +358,27 @@ class EventStore:
                 )
         if not names:
             return _State(0, (), (), {})
-        manifests = []
-        for n in names:
-            m = self._manifest_cache.get(n)  # immutable once renamed in
-            if m is None:
-                with open(os.path.join(self.commits_path, n)) as f:
-                    m = json.load(f)
-                self._manifest_cache[n] = m
-            manifests.append(m)
+        manifests = [self._load_manifest(n) for n in names]
         start = 0
         for i in range(len(manifests) - 1, -1, -1):
             if manifests[i].get("base"):
                 start = i
                 break
         # A resolvable snapshot must begin at a base manifest or at the
-        # very first commit; anything else is a retained-but-truncated
-        # suffix left inside compaction's retention window.
-        if not (manifests[start].get("base") or manifests[start]["commit"] == 1):
+        # very first commit, AND run gapless from there: a retention
+        # sweep with skewed manifest mtimes can unlink an interior
+        # commit while retaining its neighbors, and folding across that
+        # hole would silently drop the missing commit's files — wrong
+        # data, which must be an error instead.
+        chain = [m["commit"] for m in manifests[start:]]
+        contiguous = chain == list(range(chain[0], chain[0] + len(chain)))
+        if not (
+            (manifests[start].get("base") or manifests[start]["commit"] == 1)
+            and contiguous
+        ):
             raise SnapshotExpiredError(
                 f"snapshot as_of={as_of} is not reconstructable: the manifest "
-                "chain below it was compacted away (increase compact()'s "
+                "chain is truncated or gapped below it (increase compact()'s "
                 "retain_seconds to keep older snapshots readable)"
             )
         events: list[str] = []
@@ -404,6 +405,16 @@ class EventStore:
             wm,
             frozenset(tokens),
         )
+
+    def _load_manifest(self, name: str) -> dict:
+        """Read-through cache for manifest JSONs (immutable once their
+        rename lands, so cache entries never invalidate)."""
+        m = self._manifest_cache.get(name)
+        if m is None:
+            with open(os.path.join(self.commits_path, name)) as f:
+                m = json.load(f)
+            self._manifest_cache[name] = m
+        return m
 
     def _wm(self) -> dict[int, int]:
         """Per-partition confirmed watermarks — driver-side dict, zero
@@ -455,22 +466,28 @@ class EventStore:
         nums = [int(n.split(".")[0]) for n in names]
         if not nums:
             return []
-        # Resolvable iff the chain up to c starts at commit 1 or contains
-        # a base at/below c (same rule _read_state enforces).
+        # Resolvable iff the chain up to c starts at commit 1 or at a
+        # base at/below c AND runs gapless from that start — the same
+        # rule _read_state enforces (an interior gap means the fold
+        # would silently drop a commit's files).
         min_ok: Optional[int] = 1 if nums[0] == 1 else None
         if min_ok is None:
             for n in names:
-                m = self._manifest_cache.get(n)
-                if m is None:
-                    with open(os.path.join(self.commits_path, n)) as f:
-                        m = json.load(f)
-                    self._manifest_cache[n] = m
-                if m.get("base"):
-                    min_ok = m["commit"]
+                if self._load_manifest(n).get("base"):
+                    min_ok = int(n.split(".")[0])
                     break
         if min_ok is None:
             return []
-        return [c for c in nums if c >= min_ok]
+        out: list[int] = []
+        expected = min_ok
+        for c in nums:
+            if c < min_ok:
+                continue
+            if c != expected:
+                break  # gap: everything above it is unreconstructable
+            out.append(c)
+            expected = c + 1
+        return out
 
     def stats(self) -> dict:
         """Table observability snapshot — driver-side file/manifest
@@ -1314,11 +1331,19 @@ class EventStore:
             if os.path.getmtime(full) <= cutoff:
                 os.unlink(full)
             else:
-                m = self._manifest_cache.get(fn)
-                if m is None:
-                    with open(full) as f:
-                        m = json.load(f)
-                retained.append(m)
+                retained.append(self._load_manifest(fn))
+        # Stale publish temp files (.NNN.json.tmp-x / .put-x) from a
+        # writer that crashed between staging and link are invisible to
+        # every reader (the listing filters on .json) but would
+        # accumulate forever; sweep them past the retention window.
+        for fn in os.listdir(self.commits_path):
+            if fn.startswith("."):
+                full = os.path.join(self.commits_path, fn)
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        os.unlink(full)
+                except OSError:
+                    pass
         # Then sweep data files no remaining manifest references —
         # superseded files AND crash orphans — honoring the retention
         # window for concurrent readers mid-query on the old snapshot.

@@ -28,6 +28,14 @@ _SQL_WORDS = (
 )
 
 
+def _toks():
+    """Whitespace tokenization, empty-safe — the Spark twin of
+    ``_SQL_WORDS`` (change BOTH together or oracles diverge)."""
+    return F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+
+
 @REG.add(
     "unigram_surprisal_scores",
     oracle=f"""
@@ -57,9 +65,7 @@ _SQL_WORDS = (
 )
 def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = F.when(
-        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = _toks()
     w = d.select("doc_id", "lang", F.explode(toks).alias("word"))
     v = w.groupBy("word").agg(F.count("*").alias("c"))
     tot = v.agg(
@@ -104,9 +110,7 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def type_token_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = F.when(
-        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = _toks()
     w = d.select("doc_id", "source", F.explode(toks).alias("word"))
     per_doc = w.groupBy("doc_id", "source").agg(
         F.count("*").alias("n_tokens"),
@@ -171,9 +175,7 @@ def lexicon_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = spark.createDataFrame(
         SENTIMENT_LEXICON, "word string, polarity double"
     )
-    toks = F.when(
-        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    toks = _toks()
     w = d.select("doc_id", "lang", F.explode(toks).alias("word"))
     s = (
         w.join(F.broadcast(lex), "word", "left")

@@ -451,3 +451,34 @@ def test_conditional_put_atomic_full_payload(tmp_path):
     assert open(target, "rb").read() == b'{"commit": 1}'  # untouched
     leftovers = [n for n in os.listdir(tmp_path) if n != "00000001.json"]
     assert leftovers == []
+
+
+def test_interior_manifest_gap_raises_not_wrong_data(store):
+    """A retention sweep with skewed manifest mtimes can unlink an
+    INTERIOR commit while retaining its neighbors; folding across the
+    hole would silently drop that commit's files. Reads must raise
+    instead, and commits() must stop listing past the gap."""
+    for b in range(4):
+        store.append([AppendRequest("gap", f"E{b}")])
+    os.unlink(os.path.join(store.commits_path, f"{2:020d}.json"))
+    store._manifest_cache.clear()
+    assert store.commits() == [1]  # 3, 4 unreconstructable past the gap
+    with pytest.raises(SnapshotExpiredError):
+        store.events()  # latest read folds across the hole -> must raise
+    with pytest.raises(SnapshotExpiredError):
+        store.events(as_of=3)
+    assert store.events(as_of=1).count() == 1  # below the gap still fine
+
+
+def test_compact_sweeps_stale_publish_temp_files(store):
+    """A writer crash between staging and link leaks a hidden temp file
+    in _commits/; compact() must sweep it (it is invisible to readers
+    but would otherwise accumulate forever)."""
+    store.append([AppendRequest("tmpsweep", "E")])
+    stale = os.path.join(store.commits_path, ".00000009.json.put-dead")
+    with open(stale, "wb") as f:
+        f.write(b"partial")
+    os.utime(stale, (1, 1))  # ancient: outside any retention window
+    store.compact()
+    assert not os.path.exists(stale)
+    assert store.events().count() == 1
