@@ -5,7 +5,11 @@ from sierradb_spark.streaming.subscribe import (
     Subscription,
     read_subscription_sink,
 )
-from sierradb_spark.streaming.windowed import dedup_stream, windowed_event_counts
+from sierradb_spark.streaming.windowed import (
+    dedup_stream,
+    session_window_counts,
+    windowed_event_counts,
+)
 
 __all__ = [
     "StreamIngest",
@@ -14,5 +18,6 @@ __all__ = [
     "Subscription",
     "read_subscription_sink",
     "dedup_stream",
+    "session_window_counts",
     "windowed_event_counts",
 ]

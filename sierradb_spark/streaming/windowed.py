@@ -80,3 +80,39 @@ def dedup_stream(
     return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    time_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Session-window event-time aggregation: a session is a run of
+    events per key with no silence longer than ``gap``; the window
+    closes — and its state evicts — once the watermark passes the last
+    event plus the gap. Dynamic windows (unlike tumbling/sliding, the
+    bounds come from the data), which is exactly why they need the
+    watermark: without it, an idle key's open session pins state
+    forever. The batch analogue is the ``sessionize_streams`` registry
+    query; this is its streaming twin.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(
+            F.session_window(F.col(time_col), gap).alias("win"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

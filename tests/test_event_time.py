@@ -114,3 +114,40 @@ def test_dedup_within_watermark(spark, tmp_path):
     )
     ids = sorted(r["event_id"] for r in out)
     assert ids == ["e1", "e2", "e3"]
+
+
+def test_session_window_gap_and_finalization(spark, tmp_path):
+    """Session windows: events within the gap merge into one session;
+    a silence longer than the gap starts a new one; a session is
+    emitted once the watermark passes its end+gap."""
+    from sierradb_spark.streaming.windowed import session_window_counts
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+
+    def agg(stream):
+        return session_window_counts(stream, gap="5 minutes", watermark="5 minutes")
+
+    # Session A: 10:00, 10:03, 10:06 (gaps < 5m -> one session ending
+    # 10:11). Session B: 10:20 (new session after 14m silence). An
+    # event at 10:30 pushes the watermark to 10:25, past session A's
+    # end AND session B's would-be end (10:25): both finalize.
+    _write_batch(
+        spark,
+        src,
+        [
+            (_t(0), "click", 1.0, "e1"),
+            (_t(3), "click", 2.0, "e2"),
+            (_t(6), "click", 4.0, "e3"),
+            (_t(20), "click", 8.0, "e4"),
+            (_t(30), "view", 16.0, "e5"),
+        ],
+    )
+    _run_pass(spark, src, ckpt, agg, out)
+    got = {
+        (r["session_start"], r["session_end"], r["event_type"], r["n_events"])
+        for r in out
+    }
+    assert (_t(0), _t(11), "click", 3) in got  # merged 3-event session
+    assert (_t(20), _t(25), "click", 1) in got  # separate session after gap
