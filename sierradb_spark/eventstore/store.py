@@ -533,7 +533,12 @@ class EventStore:
         ``basePath``. ``as_of`` reads the snapshot at that commit
         (time travel; valid back to the last compaction).
         """
-        state = self._read_state(as_of)
+        return self._events_for_state(self._read_state(as_of))
+
+    def _events_for_state(self, state: _State) -> DataFrame:
+        """Events DataFrame for an already-resolved state (single
+        manifest-chain resolution per read API call — scan/get/pscan
+        reuse the state they checked watermarks against)."""
         if not state.events_files:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         paths = [os.path.join(self.events_path, p) for p in state.events_files]
@@ -1071,9 +1076,10 @@ class EventStore:
         """
         phash = ids.uuid_to_partition_hash(event_id)
         pid = ids.partition_id_for_hash(phash, self.config.num_partitions)
-        if self._read_state(as_of).watermarks.get(int(pid)) is None:
+        state = self._read_state(as_of)
+        if state.watermarks.get(int(pid)) is None:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
-        part = self.events(as_of).where(F.col("partition_id") == pid)
+        part = self._events_for_state(state).where(F.col("partition_id") == pid)
         target = part.where(F.col("event_id") == event_id).select("transaction_id")
         # EGET returns the whole transaction's events (database.rs:127-207).
         out = (
@@ -1115,10 +1121,11 @@ class EventStore:
         pid = ids.partition_id_for_hash(
             ids.uuid_to_partition_hash(pkey), self.config.num_partitions
         )
-        if self._read_state(as_of).watermarks.get(int(pid)) is None:
+        state = self._read_state(as_of)
+        if state.watermarks.get(int(pid)) is None:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         df = (
-            self.events(as_of)
+            self._events_for_state(state)
             .where(F.col("partition_id") == pid)
             .where(F.col("stream_id") == stream_id)
             .where(self._range_filter("stream_version", start, end))
@@ -1145,10 +1152,11 @@ class EventStore:
         """EPSCAN: sequence-range scan of one partition
         (request/epscan.rs:90-136). ``as_of`` scans the snapshot at that
         commit (time travel — see :meth:`events`)."""
-        if self._read_state(as_of).watermarks.get(int(partition_id)) is None:
+        state = self._read_state(as_of)
+        if state.watermarks.get(int(partition_id)) is None:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         df = (
-            self.events(as_of)
+            self._events_for_state(state)
             .where(F.col("partition_id") == partition_id)
             .where(self._range_filter("partition_sequence", start, end))
         )
