@@ -309,3 +309,11 @@ def test_tseries_windows_user_partitioned_topk(q):
     assert specs and all(s.startswith("user_id") for s in specs), specs
     assert f["top_k"] >= 1
     assert f["cartesian_products"] == 0
+
+
+def test_sessionize_single_exchange(q):
+    # The session aggregate's (user_id, session_no) clustering is
+    # satisfied by the window's hash(user_id) exchange — one shuffle
+    # total. A second exchange here would re-shuffle the whole event
+    # table at 100 TB for nothing.
+    assert_plan(q("sessionize_streams"), max_shuffles=1)
