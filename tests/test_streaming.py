@@ -543,10 +543,21 @@ def test_chaos_writers_compaction_subscription(spark, tmp_path, seed):
     base-manifest jump."""
     import random as _random
 
+    from sierradb_spark.eventstore.commit_backend import ConditionalPut
+
     rng = _random.Random(seed)
     path = str(tmp_path / "store")
     s1 = EventStore(spark, path, EngineConfig(shuffle_partitions=8))
-    s2 = EventStore(spark, path, EngineConfig(shuffle_partitions=8))
+    # s2 publishes through the object-store backend against the same
+    # chain — the mid-migration scenario; mutual exclusion must hold
+    # across backends because both implement create-iff-absent on the
+    # same commit names.
+    s2 = EventStore(
+        spark,
+        path,
+        EngineConfig(shuffle_partitions=8),
+        commit_backend=ConditionalPut(),
+    )
     sub = Subscription(s1, PartitionMatcher())
     ckpt = str(tmp_path / "ckpt")
     delivered: list = []
