@@ -339,3 +339,59 @@ def tseries_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist").asc(), F.col("user_id").asc(), F.col("event_id").asc())
         .limit(10)
     )
+
+
+@REG.add(
+    "value_outlier_stats",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   median(value) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, med.med,
+                   abs(e.value - med.med) AS adev
+            FROM events e JOIN med USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, median(adev) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(any_value(dev.med), 4) AS median_value,
+               round(any_value(mad.mad), 4) AS mad,
+               CAST(sum(CASE WHEN mad.mad > 0
+                        AND abs(dev.value - dev.med) / (1.4826 * mad.mad) > 3
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type
+    """,
+    doc="Robust outlier detection per event type: median + MAD (the "
+    "robust z-score every data-quality funnel uses where mean/std would "
+    "be dragged by the outliers themselves). Two exact-median aggregates "
+    "(Spark percentile), deviations joined back via a BROADCAST of the "
+    "O(|types|) median table — the fact table scans twice, shuffles never.",
+)
+def value_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    outlier = (F.col("mad") > 0) & (
+        F.col("adev") / (1.4826 * F.col("mad")) > 3
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.first("med"), 4).alias("median_value"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.sum(outlier.cast("bigint")).alias("n_outliers"),
+    )
