@@ -395,3 +395,46 @@ def value_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("mad"), 4).alias("mad"),
         F.sum(outlier.cast("bigint")).alias("n_outliers"),
     )
+
+
+@REG.add(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT event_type, next_type, count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        )
+        SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+               round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type), 4)
+                   AS p
+        FROM pairs
+    """,
+    doc="First-order event-type transition matrix over per-user sequences "
+    "(the Markov-chain view of behavioral event streams): lead() under a "
+    "user-partitioned ordered window, pair counts, row-normalized "
+    "probabilities. The normalizing window runs over the O(|types|^2) "
+    "aggregate, never the event table.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    norm = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(norm), 4).alias("p"),
+    )
