@@ -48,11 +48,27 @@ class CommitBackend(ABC):
         never be observable partially written under the final name."""
 
 
+def fsync_dir(path: str) -> None:
+    """fsync a directory so a just-linked/renamed entry survives power
+    loss (POSIX: the entry itself is durable only after the containing
+    directory is synced)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _stage_and_link(path: str, payload: bytes, suffix: str) -> bool:
     """The one crash-critical publish sequence both backends share:
     write+fsync the full payload to a hidden temp name, then claim the
-    final name with an exclusive link (EEXIST = lost the race), then
-    drop the temp. The final name only ever holds the complete payload."""
+    final name with an exclusive link (EEXIST = lost the race), fsync
+    the directory (the entry is not power-loss durable until then),
+    then drop the temp. The final name only ever holds the complete
+    payload, and a publish that returned True survives power loss."""
     tmp = (
         f"{os.path.dirname(path)}/."
         f"{os.path.basename(path)}.{suffix}-{secrets.token_hex(4)}"
@@ -63,6 +79,7 @@ def _stage_and_link(path: str, payload: bytes, suffix: str) -> bool:
         os.fsync(f.fileno())
     try:
         os.link(tmp, path)
+        fsync_dir(os.path.dirname(path))
         return True
     except FileExistsError:
         return False

@@ -70,6 +70,7 @@ from pyspark.sql import functions as F
 from sierradb_spark import ids
 from sierradb_spark import versions as V
 from sierradb_spark.config import DEFAULT_CONFIG, EngineConfig
+from sierradb_spark.eventstore.commit_backend import fsync_dir
 from sierradb_spark.eventstore.schema import (
     APPEND_REQUEST_SCHEMA,
     APPEND_RESULT_SCHEMA,
@@ -341,6 +342,16 @@ class EventStore:
                     f"as_of={as_of} exceeds the head commit {head}; "
                     "time travel only resolves committed snapshots"
                 )
+            if as_of >= 1 and f"{as_of:020d}.json" not in listed:
+                # The commit existed once (it is below the head) but its
+                # manifest is gone: snapshot swept. Resolving the floor
+                # instead would silently hand back a DIFFERENT commit's
+                # state.
+                raise SnapshotExpiredError(
+                    f"snapshot as_of={as_of} has no surviving manifest; it "
+                    "was compacted away (increase compact()'s retain_seconds "
+                    "to keep older snapshots readable)"
+                )
             names = [n for n in names if int(n.split(".")[0]) <= as_of]
             if (
                 not names
@@ -478,15 +489,24 @@ class EventStore:
                     break
         if min_ok is None:
             return []
+        # Walk the chain: a gap ends a resolvable run, but a BASE above
+        # the gap starts a new one (the base needs nothing below it) —
+        # exactly how _read_state resolves. Commits between a gap and
+        # the next base are the unreconstructable ones.
         out: list[int] = []
-        expected = min_ok
-        for c in nums:
+        expected: Optional[int] = min_ok
+        for n in names:
+            c = int(n.split(".")[0])
             if c < min_ok:
                 continue
-            if c != expected:
-                break  # gap: everything above it is unreconstructable
-            out.append(c)
-            expected = c + 1
+            if expected is not None and c == expected:
+                out.append(c)
+                expected = c + 1
+            elif self._load_manifest(n).get("base"):
+                out.append(c)  # restart at the base
+                expected = c + 1
+            else:
+                expected = None  # gapped, wait for the next base
         return out
 
     def stats(self) -> dict:
@@ -556,7 +576,9 @@ class EventStore:
         never scans the events table. Compacted by :meth:`compact`.
         ``as_of``: resolve at that commit (time travel).
         """
-        state = self._read_state(as_of)
+        return self._heads_for_state(self._read_state(as_of))
+
+    def _heads_for_state(self, state: _State) -> DataFrame:
         if not state.heads_files:
             return self.spark.createDataFrame([], HEADS_SCHEMA)
         paths = [os.path.join(self.heads_path, p) for p in state.heads_files]
@@ -814,7 +836,10 @@ class EventStore:
                 # writer we just lost to, replaying the same source).
                 return self.spark.createDataFrame([], APPEND_RESULT_SCHEMA)
             heads = (
-                self.heads()
+                # Same resolved state as the watermarks below: heads and
+                # watermark base always reflect ONE commit (and one
+                # chain resolution per attempt, not three).
+                self._heads_for_state(state)
                 .groupBy("partition_id", "stream_id")
                 .agg(F.max("stream_version").alias("cur_stream_version"))
             )
@@ -963,22 +988,36 @@ class EventStore:
         # Move staged files into the live layout. Readers don't follow
         # directory listings (manifest-driven), so placement order is
         # irrelevant for correctness; renames are same-fs and O(#files).
+        # Each file is fsynced before the manifest publishes (Spark's
+        # executor writes don't fsync), and each touched directory after
+        # its renames: a manifest that survives power loss must never
+        # reference data blocks that didn't.
         added: list[str] = []
+        touched_dirs: set[str] = set()
         i = 0
         for root, _dirs, files in os.walk(staging):
             part = os.path.basename(root)
             if not part.startswith("partition_id="):
                 continue
-            os.makedirs(os.path.join(self.events_path, part), exist_ok=True)
+            dst_dir = os.path.join(self.events_path, part)
+            os.makedirs(dst_dir, exist_ok=True)
             for fn in sorted(files):
                 if not fn.endswith(".parquet"):
                     continue
                 rel = os.path.join(part, f"{token}-{i:04d}.parquet")
-                os.rename(
-                    os.path.join(root, fn), os.path.join(self.events_path, rel)
-                )
+                dst = os.path.join(self.events_path, rel)
+                src_f = os.path.join(root, fn)
+                fd = os.open(src_f, os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+                os.rename(src_f, dst)
+                touched_dirs.add(dst_dir)
                 added.append(rel)
                 i += 1
+        for d in touched_dirs:
+            fsync_dir(d)
         shutil.rmtree(staging, ignore_errors=True)
         if not added:
             return  # nothing accepted; no commit
@@ -1056,7 +1095,13 @@ class EventStore:
         )
         tmp = path + f".tmp-{secrets.token_hex(4)}"
         pq.write_table(table, tmp)
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         os.rename(tmp, path)
+        fsync_dir(os.path.dirname(path))
 
     # --- read path -----------------------------------------------------------
 
@@ -1399,10 +1444,11 @@ class EventStore:
         pid = ids.partition_id_for_hash(
             ids.uuid_to_partition_hash(pkey), self.config.num_partitions
         )
-        if self._read_state(as_of).watermarks.get(int(pid)) is None:
+        state = self._read_state(as_of)
+        if state.watermarks.get(int(pid)) is None:
             return None
         row = (
-            self.heads(as_of)
+            self._heads_for_state(state)
             .where(F.col("partition_id") == pid)
             .where(F.col("stream_id") == stream_id)
             .agg(F.max("stream_version").alias("v"))

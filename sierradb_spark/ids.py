@@ -83,8 +83,12 @@ def new_event_id(partition_hash: int) -> _uuid.UUID:
 
 
 def validate_event_id(event_id: _uuid.UUID | str, partition_hash: int) -> bool:
-    """Event IDs must embed the routing hash. id.rs:71-73, database.rs:880."""
-    return uuid_to_partition_hash(event_id) == partition_hash
+    """Event IDs must embed the routing hash. id.rs:71-73, database.rs:880.
+    A string that is not a UUID at all is invalid, not a crash."""
+    try:
+        return uuid_to_partition_hash(event_id) == partition_hash
+    except (ValueError, AttributeError, TypeError):
+        return False
 
 
 def partition_id_for_hash(partition_hash: int, num_partitions: int) -> int:

@@ -133,8 +133,12 @@ def enrich_requests(
             F.lit("strict versioning rejects 'any'/'exists'"),
         )  # eappend.rs:180-188
     if user_event_id:
+        # NULL-safe: a malformed event_id (too short to carry the hash
+        # bits) makes uuid_hash_col NULL, and `NULL != phash` is NULL —
+        # a plain when() would fall through and ACCEPT the bad id. The
+        # null-safe inequality rejects malformed and mismatched alike.
         reason = reason.when(
-            ids.uuid_hash_col("event_id") != phash,
+            ~ids.uuid_hash_col("event_id").eqNullSafe(phash),
             F.lit("event_id does not embed partition hash"),  # database.rs:880
         )
     df = df.withColumn("reject_reason", reason.otherwise(F.lit(None)))

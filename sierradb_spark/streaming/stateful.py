@@ -72,40 +72,78 @@ def stream_heads_view(events_stream: DataFrame) -> DataFrame:
 
 
 class StreamHeadsMaintainer:
-    """Run the heads view over a store's event table; results land in a
-    parquet-backed snapshot readable between runs (the O(1) ESVER path)."""
+    """Run the heads view over a store's COMMITTED events; results land
+    in a parquet-backed snapshot readable between runs (the O(1) ESVER
+    path).
+
+    The stateful query must never see uncommitted data: the raw
+    ``events/`` directory contains a crashed/CAS-losing writer's orphan
+    files (invisible to every manifest-driven reader) and compaction's
+    rewritten ``compact-*`` files (which re-contain all history — a file
+    stream would double-count every event). So the feed is a
+    manifest-driven subscription SINK: ``catchup_to_sink`` appends
+    exactly the committed events, exactly once per commit, to a
+    dedicated directory the stateful query tails. Orphans never land
+    there and compaction never rewrites it.
+    """
 
     def __init__(self, store: EventStore, out_path: str) -> None:
         self.store = store
         self.out_path = out_path
+        self.feed_path = out_path + "_feed"
 
     def run_once(self, checkpoint: str, timeout_s: float = 300.0) -> None:
-        """One availableNow pass: fold all new events into heads state and
-        overwrite the snapshot with the latest emissions. State (and thus
-        correctness of the fold) survives restarts via the checkpoint."""
+        """One availableNow pass: advance the committed-events feed, fold
+        the new events into heads state, and merge the emissions into the
+        snapshot. State survives restarts via the checkpoint."""
+        import os
+        import secrets
+
+        from pyspark.sql import types as T
+
         from sierradb_spark.eventstore.schema import EVENT_SCHEMA
+        from sierradb_spark.streaming.subscribe import (
+            PartitionMatcher,
+            Subscription,
+        )
 
         spark = self.store.spark
-        src = spark.readStream.schema(EVENT_SCHEMA).parquet(self.store.events_path)
+        # 1. Manifest-driven feed: only committed events, exactly once.
+        Subscription(self.store, PartitionMatcher()).catchup_to_sink(
+            self.feed_path, checkpoint + "_feed"
+        )
+        if not os.path.isdir(self.feed_path):
+            return  # empty store: nothing to fold yet
+        feed_schema = T.StructType(
+            EVENT_SCHEMA.fields
+            + [T.StructField("delivery_commit", T.LongType(), True)]
+        )
+        src = spark.readStream.schema(feed_schema).parquet(self.feed_path)
         heads = stream_heads_view(src)
 
         def sink(batch: DataFrame, _bid: int) -> None:
             # Merge updated keys into the snapshot (update output mode
             # emits only streams touched this batch).
-            import os
-
             updated = batch.cache()
-            if os.path.exists(self.out_path):
-                old = spark.read.parquet(self.out_path)
-                merged = old.join(
-                    updated.select("stream_id"), "stream_id", "left_anti"
-                ).unionByName(updated)
-            else:
-                merged = updated
-            tmp = self.out_path + ".tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            snap = spark.read.parquet(tmp)
-            snap.write.mode("overwrite").parquet(self.out_path)
+            try:
+                if os.path.exists(self.out_path):
+                    old = spark.read.parquet(self.out_path)
+                    merged = old.join(
+                        updated.select("stream_id"), "stream_id", "left_anti"
+                    ).unionByName(updated)
+                else:
+                    merged = updated
+                tmp = f"{self.out_path}.tmp-{secrets.token_hex(4)}"
+                try:
+                    merged.write.mode("overwrite").parquet(tmp)
+                    snap = spark.read.parquet(tmp)
+                    snap.write.mode("overwrite").parquet(self.out_path)
+                finally:
+                    import shutil
+
+                    shutil.rmtree(tmp, ignore_errors=True)
+            finally:
+                updated.unpersist()
 
         q: StreamingQuery = (
             heads.writeStream.foreachBatch(sink)

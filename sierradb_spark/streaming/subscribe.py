@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from sierradb_spark.eventstore.commit_backend import fsync_dir
 from sierradb_spark.eventstore.store import EventStore
 
 # What the subscription needs from each manifest: which files the commit
@@ -111,7 +112,21 @@ def read_subscription_sink(
     and the cursor save replays the batch, appending the same rows
     again); (partition_id, partition_sequence) is unique per event, so
     the reader dedupes on it — exactly-once reads over an
-    at-least-once sink, the standard Kafka-consumer contract."""
+    at-least-once sink, the standard Kafka-consumer contract.
+
+    A sink whose subscription has not yet matched anything has no
+    directory at all (the producer side legally starts on an empty
+    store); that reads as an empty result, not an error."""
+    if not os.path.isdir(sink_path):
+        from pyspark.sql import types as T
+
+        from sierradb_spark.eventstore.schema import EVENT_SCHEMA
+
+        schema = T.StructType(
+            EVENT_SCHEMA.fields
+            + [T.StructField("delivery_commit", T.LongType(), True)]
+        )
+        return spark.createDataFrame([], schema)
     df = spark.read.parquet(sink_path)
     if after_commit is not None:
         df = df.where(F.col("delivery_commit") > int(after_commit))
@@ -211,6 +226,7 @@ class Subscription:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, path)
+        fsync_dir(os.path.dirname(path))
 
     @staticmethod
     def _pop_deliverable(cursor: dict) -> list[dict]:
@@ -235,7 +251,16 @@ class Subscription:
             if last is not None and c <= last:
                 del pending[c]  # replay of an already-processed commit
                 continue
-            if last is None or c == last + 1 or entry["base"]:
+            # Cold start (last_commit=None) must begin at a chain START:
+            # commit 1 or a base. Accepting an arbitrary first commit
+            # would advance the cursor to its CUMULATIVE watermark map,
+            # permanently gating out earlier commits whose data only a
+            # later base re-lists (manifest 1 swept, incrementals 2,3
+            # retained, base 4 pending in a later trigger) — silent
+            # loss. Blocking instead is safe: the chain resolves, so a
+            # base (or commit 1) is guaranteed to be listed eventually.
+            fresh_ok = last is None and (c == 1 or entry["base"])
+            if fresh_ok or (last is not None and c == last + 1) or entry["base"]:
                 todo.append(pending.pop(c))
                 cursor["last_commit"] = c
                 continue

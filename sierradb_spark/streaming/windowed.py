@@ -31,9 +31,12 @@ def windowed_event_counts(
     watermark: str = "10 minutes",
     time_col: str = "ts",
     key_col: str = "event_type",
+    value_col: Optional[str] = "value",
 ) -> DataFrame:
     """Tumbling (or sliding, if ``slide`` given) event-time aggregation
-    with a late-data watermark.
+    with a late-data watermark. ``value_col=None`` (or a frame without
+    the column) aggregates counts only — the store's own EVENT_SCHEMA
+    stream has no numeric value column.
 
     In append output mode a window is emitted exactly once — when the
     watermark passes its end — and events arriving later than
@@ -46,20 +49,20 @@ def windowed_event_counts(
         if slide
         else F.window(F.col(time_col), window)
     )
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None and value_col in events.columns:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+    out_cols = [
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        key_col,
+        "n_events",
+    ] + (["total_value"] if len(aggs) > 1 else [])
     return (
         events.withWatermark(time_col, watermark)
         .groupBy(w.alias("win"), F.col(key_col))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
-            key_col,
-            "n_events",
-            "total_value",
-        )
+        .agg(*aggs)
+        .select(*out_cols)
     )
 
 
@@ -88,6 +91,7 @@ def session_window_counts(
     watermark: str = "10 minutes",
     time_col: str = "ts",
     key_col: str = "event_type",
+    value_col: Optional[str] = "value",
 ) -> DataFrame:
     """Session-window event-time aggregation: a session is a run of
     events per key with no silence longer than ``gap``; the window
@@ -104,15 +108,23 @@ def session_window_counts(
             F.session_window(F.col(time_col), gap).alias("win"),
             F.col(key_col),
         )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
+        .agg(*(
+            [F.count("*").alias("n_events")]
+            + (
+                [F.round(F.sum(value_col), 2).alias("total_value")]
+                if value_col is not None and value_col in events.columns
+                else []
+            )
+        ))
         .select(
             F.col("win.start").alias("session_start"),
             F.col("win.end").alias("session_end"),
             key_col,
             "n_events",
-            "total_value",
+            *(
+                ["total_value"]
+                if value_col is not None and value_col in events.columns
+                else []
+            ),
         )
     )

@@ -482,3 +482,40 @@ def test_compact_sweeps_stale_publish_temp_files(store):
     store.compact()
     assert not os.path.exists(stale)
     assert store.events().count() == 1
+
+
+def test_malformed_user_event_id_rejected(spark, store):
+    """A user-supplied event_id too short to embed the partition hash
+    must be REJECTED (database.rs:880), not silently accepted via
+    NULL-propagating comparison (DF path) or a UUID-parse crash
+    (Python path)."""
+    # Python API: request-level validation error, clear message
+    with pytest.raises(ValueError, match="does not embed partition hash"):
+        store.append([AppendRequest("mal", "E", event_id="abc")])
+    assert store.events().count() == 0
+    # DataFrame/streaming path: row-wise rejection, batch continues
+    reqs = spark.createDataFrame(
+        [("mal", "E", "abc"), ("ok", "E", None)],
+        "stream_id string, event_name string, event_id string",
+    )
+    res = store.append_df(reqs).collect()
+    by_stream = {r["stream_id"]: r for r in res}
+    assert not by_stream["mal"]["accepted"]
+    assert "partition hash" in by_stream["mal"]["error"]
+    assert by_stream["ok"]["accepted"]
+    assert store.events().count() == 1
+
+
+def test_commits_restarts_at_base_above_gap(store):
+    """[1, 2, gap, base] chains: the run below the gap and the base
+    above it are both resolvable; only the gapped middle is not."""
+    for b in range(3):
+        store.append([AppendRequest("rg", f"E{b}")])
+    store.compact(retain_seconds=3600)  # 1,2,3 + base 4
+    os.unlink(os.path.join(store.commits_path, f"{3:020d}.json"))
+    store._manifest_cache.clear()
+    assert store.commits() == [1, 2, 4]
+    assert store.events(as_of=2).count() == 2
+    assert store.events(as_of=4).count() == 3
+    with pytest.raises(SnapshotExpiredError):
+        store.events(as_of=3)

@@ -45,3 +45,37 @@ def test_stream_heads_maintained_incrementally(store, tmp_path):
         for r in m.heads().collect()
     }
     assert got == _expected_heads(store)
+
+
+def test_heads_view_ignores_orphans_and_compaction_rewrites(store, tmp_path):
+    """The stateful fold must see only COMMITTED events, each exactly
+    once: an orphaned uncommitted parquet file in events/ must not fold
+    into heads state, and compaction's rewritten files (re-containing
+    all history) must not double n_events."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    store.append([AppendRequest(f"o-{i % 3}", "E") for i in range(12)])
+    # Forge a crashed writer's orphan: an unreferenced copy of a
+    # committed file, full of events the manifest never committed.
+    [src] = _glob.glob(store.events_path + "/partition_id=*/*.parquet")[:1]
+    _shutil.copy(src, _os.path.join(_os.path.dirname(src), "orphan-x.parquet"))
+
+    m = StreamHeadsMaintainer(store, str(tmp_path / "heads"))
+    ckpt = str(tmp_path / "ckpt")
+    m.run_once(ckpt)
+    assert {
+        r["stream_id"]: (r["head_version"], r["n_events"])
+        for r in m.heads().collect()
+    } == _expected_heads(store)
+
+    # Compaction rewrites every event into new files; a raw-directory
+    # stream would re-fold all history. The committed feed must not.
+    store.compact()
+    store.append([AppendRequest("o-0", "post")])
+    m.run_once(ckpt)
+    assert {
+        r["stream_id"]: (r["head_version"], r["n_events"])
+        for r in m.heads().collect()
+    } == _expected_heads(store)

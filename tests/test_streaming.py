@@ -625,3 +625,38 @@ def test_chaos_sink_delivery(spark, tmp_path):
     sub.catchup_to_sink(sink, ckpt)
     got = read_subscription_sink(spark, sink).collect()
     _assert_ordered_complete(s1, got, appended)
+
+
+def test_pop_deliverable_cold_start_waits_for_chain_start():
+    """A FRESH cursor must begin at commit 1 or a base, never an
+    arbitrary first commit: accepting incremental 2 would advance the
+    cursor to commit 2's cumulative watermarks and permanently gate out
+    commit 1's rows when the base that re-lists them arrives later."""
+    cursor = {
+        "last_commit": None,
+        "watermarks": {},
+        "pending": {2: {"base": False, "watermarks": {}, "events_add": ["x2"]}},
+    }
+    assert Subscription._pop_deliverable(cursor) == []  # wait
+    assert cursor["pending"]  # still pending, nothing lost
+    # the base arrives: everything unblocks through it
+    cursor["pending"][3] = {"base": False, "watermarks": {}, "events_add": ["x3"]}
+    cursor["pending"][4] = {"base": True, "watermarks": {}, "events_add": ["base4"]}
+    todo = Subscription._pop_deliverable(cursor)
+    assert [e["events_add"] for e in todo] == [["base4"]]
+    assert cursor["last_commit"] == 4
+    # fresh cursor starting at commit 1 proceeds immediately
+    c2 = {
+        "last_commit": None,
+        "watermarks": {},
+        "pending": {1: {"base": False, "watermarks": {}, "events_add": ["x1"]}},
+    }
+    assert [e["events_add"] for e in Subscription._pop_deliverable(c2)] == [["x1"]]
+
+
+def test_read_subscription_sink_missing_dir_is_empty(spark, tmp_path):
+    from sierradb_spark.streaming import read_subscription_sink
+
+    df = read_subscription_sink(spark, str(tmp_path / "never-written"))
+    assert df.count() == 0
+    assert "delivery_commit" in df.columns
