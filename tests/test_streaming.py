@@ -660,3 +660,40 @@ def test_read_subscription_sink_missing_dir_is_empty(spark, tmp_path):
     df = read_subscription_sink(spark, str(tmp_path / "never-written"))
     assert df.count() == 0
     assert "delivery_commit" in df.columns
+
+
+def test_sink_crash_between_append_and_cursor_save_dedupes(store, spark, tmp_path):
+    """The documented at-least-once window: a crash AFTER the sink
+    parquet append but BEFORE the cursor save replays the batch on
+    restart, appending the same rows twice — read_subscription_sink
+    must still return each event exactly once."""
+    from sierradb_spark.streaming import read_subscription_sink
+
+    _fill(store, n=20, batches=1)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sub = Subscription(store, PartitionMatcher())
+    orig = sub._save_cursor
+    calls = {"n": 0}
+
+    def crashing_save(checkpoint, cur):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before cursor save")
+        orig(checkpoint, cur)
+
+    sub._save_cursor = crashing_save
+    with pytest.raises(Exception):
+        sub.catchup_to_sink(sink, ckpt)  # dies after the parquet append
+    # new incarnation, same checkpoint: batch replays, rows re-append
+    sub2 = Subscription(store, PartitionMatcher())
+    # the streaming checkpoint recorded the offsets of the failed batch,
+    # so wipe it the way a restarted availableNow pass would re-list
+    import shutil as _shutil
+
+    _shutil.rmtree(ckpt, ignore_errors=False)
+    sub2.catchup_to_sink(sink, ckpt)
+    raw = spark.read.parquet(sink)
+    assert raw.count() > 20  # duplicates really landed on disk
+    got = read_subscription_sink(spark, sink).collect()
+    _assert_ordered_complete(store, got, 20)
