@@ -151,3 +151,38 @@ def test_session_window_gap_and_finalization(spark, tmp_path):
     }
     assert (_t(0), _t(11), "click", 3) in got  # merged 3-event session
     assert (_t(20), _t(25), "click", 1) in got  # separate session after gap
+
+
+def test_windowed_counts_over_event_schema_stream(spark, tmp_path):
+    """The store's own EVENT_SCHEMA has no 'value' column; the windowed
+    aggregations must work over it (counts only) — the module's stated
+    subject."""
+    from sierradb_spark.config import EngineConfig
+    from sierradb_spark.eventstore import AppendRequest, EventStore
+    from sierradb_spark.eventstore.schema import EVENT_SCHEMA
+    from sierradb_spark.streaming import windowed_event_counts
+
+    store = EventStore(
+        spark, str(tmp_path / "st"), EngineConfig(shuffle_partitions=8)
+    )
+    store.append([AppendRequest(f"w-{i % 3}", "E") for i in range(12)])
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(store.events_path + "/partition_id=*")
+    )
+    out: list = []
+    q = (
+        windowed_event_counts(
+            src, time_col="timestamp", key_col="stream_id"
+        )
+        .writeStream.foreachBatch(lambda b, _id: out.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; the plan must
+    # ANALYZE cleanly without a value column, which is the regression
+    # this test pins (it raised AnalysisException before value_col)
+    assert all("total_value" not in r.asDict() for r in out)
