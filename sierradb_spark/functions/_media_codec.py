@@ -72,9 +72,16 @@ def _parse_image_header(b: bytes) -> tuple[int, int, int] | None:
             if b[i] != 0xFF:
                 i += 1
                 continue
+            # 0xFF fill bytes may pad between segments (ISO/IEC 10918-1
+            # B.1.1.2): skip them, or the next marker byte would be
+            # misread as a segment length.
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
             marker = b[i + 1]
+            if marker == 0xD9:  # EOI: no SOF found
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i += 2  # standalone markers carry no length
                 continue
             seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):

@@ -312,23 +312,13 @@ def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scorer applied per bucket.",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.similarity import dot_col
+    from sierradb_spark.functions.similarity import dot_col, norm_col
 
     e = load(spark, sf_dir, "embeddings")
     n = e.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding").cast("array<double>"),
-                    F.col("embedding").cast("array<double>"),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("nrm"),
+        norm_col(F.col("embedding").cast("array<double>")).alias("nrm"),
     )
     a, b = n.alias("a"), n.alias("b")
     cos = dot_col(F.col("a.v"), F.col("b.v")) / F.nullif(

@@ -190,8 +190,15 @@ def minhash_wide_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_wide_candidates(spark, sf_dir)
     d = with_shingles(load(spark, sf_dir, "documents"), "doc_id")
-    sets = d.where(F.col("n_toks") >= SHINGLE_K).select(
-        "doc_id", F.array_distinct("shingles").alias("ss")
+    sets = (
+        d.where(F.col("n_toks") >= SHINGLE_K)
+        .select("doc_id", F.array_distinct("shingles").alias("ss"))
+        # Barrier: without it Catalyst inlines the shingle construction
+        # into the per-pair jaccard predicate and re-tokenizes each doc
+        # once per candidate pair (the O(pairs x tokenize) pathology the
+        # sibling pipelines all guard against, dedup.py:371-377).
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
     )
     a, b = sets.alias("a"), sets.alias("b")
     inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
@@ -447,6 +454,8 @@ _SQL_SIGN_N = """
 def _sign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, nrm, bks): vectors + 8 per-band 4-bit sign buckets,
     staged once for both join sides."""
+    from sierradb_spark.functions.similarity import norm_col
+
     e = load(spark, sf_dir, "embeddings")
 
     def bucket_of(t: int):
@@ -458,17 +467,7 @@ def _sign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding").cast("array<double>"),
-                    F.col("embedding").cast("array<double>"),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("nrm"),
+        norm_col(F.col("embedding").cast("array<double>")).alias("nrm"),
         F.array(*[bucket_of(t) for t in range(SIGN_BANDS)]).alias("bks"),
     ).localCheckpoint(eager=True)
 
@@ -502,7 +501,7 @@ def _sign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on colliding candidates; embedding_bucketed_recall audits the width.",
 )
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.similarity import dot_col
+    from sierradb_spark.functions.similarity import dot_col, norm_col
 
     n = _sign_banded(spark, sf_dir)
     bands = n.select(
@@ -560,7 +559,7 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(more bands / multi-probe raise it).",
 )
 def embedding_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.similarity import dot_col
+    from sierradb_spark.functions.similarity import dot_col, norm_col
 
     n = _sign_banded(spark, sf_dir)
     a, b = n.alias("a"), n.alias("b")

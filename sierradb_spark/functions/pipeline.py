@@ -216,23 +216,13 @@ def min_label_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
 def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric near-duplicate edge list (cosine >= 0.4 pairs), eagerly
     checkpointed so iterative consumers don't rebuild the O(n^2) join."""
-    from sierradb_spark.functions.similarity import dot_col
+    from sierradb_spark.functions.similarity import dot_col, norm_col
 
     emb = load(spark, sf_dir, "embeddings")
     n = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding").cast("array<double>"),
-                    F.col("embedding").cast("array<double>"),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("nrm"),
+        norm_col(F.col("embedding").cast("array<double>")).alias("nrm"),
     )
     a, b = n.alias("a"), n.alias("b")
     cos = dot_col(F.col("a.v"), F.col("b.v")) / F.nullif(

@@ -293,8 +293,8 @@ def token_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Recall@10 of IVF nprobe=1 against the brute-force exact top-10 — the "
     "evaluation loop that decides nprobe/cell-count for an ANN index before "
     "trusting it at scale. Both candidate sets are tiny (10 rows) so the overlap "
-    "join is driver-trivial; the cost is the two scans, which share one pass in "
-    "the Spark plan via a cached scored projection.",
+    "join is driver-trivial; the cost is the two independent scoring scans "
+    "(brute force + IVF), the price of an honest recall measurement.",
 )
 def ann_recall_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sierradb_spark.functions.similarity import (

@@ -273,7 +273,9 @@ TS_WIN = 8  # sliding-window length for the pattern search
     "TakeOrderedAndProject. At 100 TB the window build shuffles each user's "
     "series once; normalization and distance are whole-stage codegen.",
 )
-def tseries_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tseries_pattern_search(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     wspec = (
         Window.partitionBy("user_id")
@@ -313,6 +315,13 @@ def tseries_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zwin"),
         )
     )
+    if materialize:
+        # Barrier: the query-row branch (orderBy.limit(1)) and the main
+        # distance branch both consume this table; without it the
+        # per-user window + normalization runs twice per invocation.
+        # (materialize=False keeps the single-plan form inspectable for
+        # the plan-shape tests.)
+        z = z.localCheckpoint(eager=False)
     q = (
         z.orderBy("user_id", "event_id")
         .limit(1)

@@ -25,8 +25,13 @@ REG = Registry()
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                       AS sum_qty,
                round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE)                                                 AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                              * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE)                                                 AS sum_charge,
                round(avg(l_quantity), 4)                                       AS avg_qty,
                round(avg(l_extendedprice), 4)                                  AS avg_price,
                round(avg(l_discount), 4)                                       AS avg_disc,
@@ -41,15 +46,23 @@ REG = Registry()
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Exact decimal money arithmetic (the q9 idiom): decimal sums are
+    # order-independent, so partial-agg interleaving can never flip a
+    # half-cent round boundary between engines.
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    charge = disc_price * (
+        F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)")
+    )
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -62,7 +75,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue_orders",
     oracle="""
         SELECT o.o_orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS revenue,
                o.o_orderdate, o.o_orderpriority
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -94,8 +109,13 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(4,2)")
+                       - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -107,7 +127,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     oracle="""
         SELECT n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS revenue
         FROM lineitem l
         JOIN orders o    ON l.l_orderkey = o.o_orderkey
         JOIN customer c  ON o.o_custkey = c.c_custkey
@@ -146,8 +168,13 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(4,2)")
+                       - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 

@@ -33,11 +33,13 @@ REG = Registry()
 @REG.add(
     "q7_volume_shipping",
     oracle="""
-        SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l.l_shipdate) AS l_year,
-                   l.l_extendedprice * (1 - l.l_discount) AS volume
+                   CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume
             FROM supplier s
             JOIN lineitem l ON s.s_suppkey = l.l_suppkey
             JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -85,8 +87,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(4,2)")
+                       - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -95,11 +102,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
         SELECT o_year,
-               round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                     / sum(volume), 4) AS mkt_share
+               round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
         FROM (
             SELECT year(o.o_orderdate) AS o_year,
-                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
                    n2.n_name AS nation
             FROM part p
             JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -137,7 +146,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -150,8 +161,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_5", F.col("volume"))
+                    .otherwise(F.lit(0).cast("decimal(12,2)"))
+                ).cast("double")
+                / F.sum("volume").cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -278,7 +292,9 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                        AS DOUBLE) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -300,7 +316,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(4,2)")
+                   - F.col("l_discount").cast("decimal(4,2)"))
+            ),
+            2,
+        ).cast("double").alias(
             "total_revenue"
         )
     ).localCheckpoint(eager=True)  # one lineitem scan serves max + filter
@@ -317,7 +340,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "q17_small_quantity_revenue",
     oracle="""
-        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#1'
@@ -340,7 +363,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(part_avg), li.l_partkey == F.col("pk"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 

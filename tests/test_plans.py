@@ -302,13 +302,25 @@ def test_tseries_windows_user_partitioned_topk(q):
     # The sliding-window build must run under a user-partitioned window
     # (never a single reducer over the whole event table); top-10 is
     # TakeOrderedAndProject. The 1-row query window broadcasts.
+    from sierradb_spark.operators.event_analytics import (
+        tseries_pattern_search,
+    )
     from sierradb_spark.plans import plan_features
 
+    # materialize=False keeps the single plan inspectable (the default
+    # localCheckpoint barrier hides the window stage from explain)
     f = plan_features(q("tseries_pattern_search"))
-    specs = _window_partition_specs(f["plan"])
-    assert specs and all(s.startswith("user_id") for s in specs), specs
     assert f["top_k"] >= 1
     assert f["cartesian_products"] == 0
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    from sierradb_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    raw = plan_features(tseries_pattern_search(spark, sf_dir, materialize=False))
+    specs = _window_partition_specs(raw["plan"])
+    assert specs and all(s.startswith("user_id") for s in specs), specs
 
 
 def test_sessionize_single_exchange(q):
