@@ -1,0 +1,232 @@
+"""Corpus keyword / n-gram-LM / chunking operators (round-4 extensions).
+
+Three more text stages every pretraining-data funnel runs:
+
+- TF-IDF keyword extraction — the classic relevance weighting for
+  corpus inspection and topic-mixture audits;
+- a bigram language model scored over the corpus itself — one notch
+  above the unigram surprisal in ``text2.py`` on the cheap-perplexity
+  ladder (KenLM stand-in);
+- fixed-stride token chunking — the RAG/window-packing primitive that
+  turns documents into overlapping retrieval units.
+
+Scale shape (100 TB): every operator is explode → aggregate → join on
+token/bigram keys with map-side partial combine; model tables (vocab,
+bigram counts, dim stats) are the small side and broadcast. No Python
+in any loop; slicing/hashing are whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sierradb_spark.operators.base import Registry, load
+from sierradb_spark.functions.text2 import _SQL_WORDS, _toks
+
+REG = Registry()
+
+
+@REG.add(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source, unnest({_SQL_WORDS}) AS word
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, source, word, count(*) AS c
+            FROM w GROUP BY doc_id, source, word
+        ),
+        dfreq AS (
+            SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word
+        ),
+        n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+        scored AS (
+            SELECT tf.source, tf.word,
+                   sum(tf.c * (ln((n.nd + 1.0) / (dfreq.df + 1.0)) + 1.0))
+                       AS tfidf
+            FROM tf JOIN dfreq USING (word), n
+            GROUP BY tf.source, tf.word
+        ),
+        ranked AS (
+            SELECT source, word, round(tfidf, 4) AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY round(tfidf, 4) DESC, word ASC
+                   ) AS rk
+            FROM scored
+        )
+        SELECT source, word, tfidf, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= 5
+    """,
+    doc="Top-5 TF-IDF terms per source — the corpus-inspection keyword pass. "
+    "One tf aggregation, one document-frequency aggregation (broadcast back: "
+    "vocab-sized), one per-source rollup, then a per-source top-k window. "
+    "Ranking is on the ROUNDED score with a word tiebreak → engine-stable.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", "source", F.explode(_toks()).alias("word"))
+    tf = w.groupBy("doc_id", "source", "word").agg(F.count("*").alias("c"))
+    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    nd = d.agg(F.count("*").cast("double").alias("nd"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("source", "word")
+        .agg(
+            F.sum(
+                F.col("c")
+                * (F.log((F.col("nd") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("tfidf")
+        )
+        .select("source", "word", F.round("tfidf", 4).alias("tfidf"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("tfidf").desc(), F.col("word").asc()
+        )
+    )
+    return (
+        scored.withColumn("rk", rk.cast("int"))
+        .where(F.col("rk") <= 5)
+        .select("source", "word", "tfidf", "rk")
+    )
+
+
+@REG.add(
+    "bigram_surprisal_scores",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, {_SQL_WORDS} AS toks FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, lang,
+                   unnest(toks[1:len(toks) - 1]) AS w1,
+                   unnest(toks[2:len(toks)]) AS w2
+            FROM t WHERE len(toks) >= 2
+        ),
+        c1 AS (SELECT w1 AS word, count(*) AS c FROM bg GROUP BY w1),
+        c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        v AS (
+            SELECT count(DISTINCT word)::DOUBLE AS vocab
+            FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+        ),
+        s AS (
+            SELECT bg.doc_id, bg.lang,
+                   count(*) AS n_bigrams,
+                   avg(-log2((c12.c + 1.0) / (c1.c + v.vocab))) AS sur
+            FROM bg
+            JOIN c12 USING (w1, w2)
+            JOIN c1 ON bg.w1 = c1.word, v
+            GROUP BY bg.doc_id, bg.lang
+        )
+        SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               round(sur, 4) AS avg_surprisal
+        FROM s
+    """,
+    doc="Per-document surprisal under an add-one-smoothed BIGRAM LM trained on "
+    "the corpus — the next rung above text2's unigram model on the cheap-"
+    "perplexity ladder (word-order-violating text now scores high too). "
+    "Bigrams come from zipping two array slices (no self-join); the count "
+    "tables are token-keyed aggregates joined back with partial combine. "
+    "Documents with <2 tokens have no bigrams and drop out, matching SQL "
+    "inner-join semantics.",
+)
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", _toks().alias("toks"))
+    n = F.size("toks")
+    bg = (
+        t.where(n >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, n - 1).alias("w1"),
+                    F.slice(F.col("toks"), 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    vocab = (
+        d.select(F.explode(_toks()).alias("word"))
+        .agg(F.countDistinct("word").cast("double").alias("vocab"))
+    )
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log2((F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab")))
+                ),
+                4,
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+# Chunking parameters: 32-token windows, stride 24 (25% overlap) — the
+# common RAG retrieval-unit shape. Shared between both engines.
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@REG.add(
+    "doc_chunk_index",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_SQL_WORDS} AS toks FROM documents
+        ),
+        c AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   unnest(range(0, (len(toks) - 1) // {_CHUNK_S} + 1))
+                       AS chunk_idx
+            FROM t WHERE len(toks) >= 1
+        )
+        SELECT c.doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx,
+               CAST(least({_CHUNK_W}, c.n_tokens - c.chunk_idx * {_CHUNK_S})
+                    AS INT) AS chunk_tokens,
+               md5(array_to_string(
+                   t.toks[c.chunk_idx * {_CHUNK_S} + 1 :
+                          c.chunk_idx * {_CHUNK_S} + {_CHUNK_W}], ' '))
+                   AS chunk_hash
+        FROM c JOIN t USING (doc_id)
+    """,
+    doc="Fixed-stride token chunk index (32-token windows, stride 24) — the "
+    "RAG primitive that turns documents into overlapping retrieval units. "
+    "Chunk enumeration is sequence+explode on the already-tokenized row (no "
+    "join, no shuffle: each document expands locally); the md5 chunk hash is "
+    "the dedup/lookup key downstream chunk-level dedup joins on.",
+)
+def doc_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+    c = t.where(n >= 1).select(
+        "doc_id",
+        "toks",
+        n.alias("n_tokens"),
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - 1) / _CHUNK_S).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_S
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK_W), F.col("n_tokens") - start)
+        .cast("int")
+        .alias("chunk_tokens"),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), start + 1, _CHUNK_W), " ")
+        ).alias("chunk_hash"),
+    )

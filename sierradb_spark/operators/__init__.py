@@ -28,6 +28,7 @@ from sierradb_spark.functions import (
     similarity,
     text,
     text2,
+    text3,
     udx,
 )
 
@@ -52,6 +53,7 @@ for mod in (
     relational3,
     relational4,
     scrub,
+    text3,
 ):
     REGISTRY.merge(mod.REG)
 
