@@ -1,0 +1,133 @@
+"""Iterative graph analytics over the near-duplicate graph.
+
+Connected components (functions/pipeline.py) answers "which documents
+are the same"; PageRank over the same LSH candidate graph answers
+"which documents are the TEMPLATES" — high-degree hubs whose boilerplate
+radiates through the corpus (the canonical target for aggressive
+dedup / downweighting in a pretraining mix).
+
+Scale shape (100 TB): edges come from the production-width MinHash band
+join (collision-scaled, never N^2); each PageRank iteration is one
+join + one aggregate with the rank vector on the small side. A fixed
+iteration count keeps the plan static and the oracle expressible as
+unrolled SQL; at a billion nodes you'd checkpoint per iteration
+(lineage barrier), which the implementation already does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sierradb_spark.operators.base import Registry, load  # noqa: F401
+from sierradb_spark.functions.dedup_wide import _SQL_WIDE_MINS
+
+REG = Registry()
+
+_ITERS = 8
+_DAMP = 0.85
+
+
+def _sql_pagerank() -> str:
+    """Unrolled fixed-iteration PageRank oracle (recursive CTEs with
+    aggregation in the recursive term are non-portable; 8 chained CTEs
+    are boring and exact)."""
+    ctes = [
+        f"""
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM cand
+        ),
+        deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        n AS (SELECT count(*)::DOUBLE AS nn FROM deg),
+        pr0 AS (SELECT u AS node, 1.0 / nn AS r FROM deg, n)
+        """
+    ]
+    for i in range(_ITERS):
+        ctes.append(
+            f"""
+        pr{i + 1} AS (
+            SELECT e.v AS node,
+                   (1.0 - {_DAMP}) / (SELECT nn FROM n)
+                   + {_DAMP} * sum(p.r / dg.d) AS r
+            FROM pr{i} p
+            JOIN edges e ON p.node = e.u
+            JOIN deg dg ON dg.u = p.node
+            GROUP BY e.v
+        )
+        """
+        )
+    return (
+        "WITH "
+        + _SQL_WIDE_MINS
+        + ","
+        + ",".join(ctes)
+        + f"""
+        SELECT p.node AS doc_id, CAST(dg.d AS BIGINT) AS degree,
+               round(p.r, 6) AS pagerank
+        FROM pr{_ITERS} p JOIN deg dg ON dg.u = p.node
+        """
+    )
+
+
+@REG.add(
+    "pagerank_near_dup",
+    oracle=_sql_pagerank(),
+    doc=f"PageRank ({_ITERS} iterations, damping {_DAMP}) over the undirected "
+    "near-duplicate candidate graph from the production-width MinHash LSH "
+    "band join — surfaces template/boilerplate hub documents for targeted "
+    "downweighting. Every node in the edge list has degree >= 1, so there is "
+    "no dangling mass; total rank is conserved. The rank vector is broadcast "
+    "per iteration (O(near-dup nodes), tiny next to the corpus); the edge "
+    "list is pinned once behind a checkpoint barrier.",
+)
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+
+    cand = minhash_wide_candidates(spark, sf_dir)
+    edges = (
+        cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint(eager=True)  # pin: read 8 + 2 times below
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    # Pre-divide each edge by its source degree once; iterations then
+    # only multiply-and-sum.
+    ew = (
+        edges.join(deg, "u")
+        .select("u", "v", (F.lit(1.0) / F.col("d")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nn = float(deg.count())
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1.0 / nn).alias("r"))
+    for _ in range(_ITERS):
+        ranks = (
+            ew.join(
+                F.broadcast(ranks), ew["u"] == F.col("node")
+            )
+            .groupBy("v")
+            .agg(
+                (
+                    F.lit((1.0 - _DAMP) / nn)
+                    + F.lit(_DAMP) * F.sum(F.col("r") * F.col("w"))
+                ).alias("r")
+            )
+            .select(F.col("v").alias("node"), "r")
+        )
+    return (
+        ranks.join(deg, ranks["node"] == deg["u"])
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.round("r", 6).alias("pagerank"),
+        )
+    )

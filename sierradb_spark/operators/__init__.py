@@ -22,7 +22,9 @@ from sierradb_spark.functions import (
     scrub,
     dedup,
     dedup_wide,
+    graphs,
     multimodal,
+    quantize,
     pipeline,
     quality,
     similarity,
@@ -54,6 +56,8 @@ for mod in (
     relational4,
     scrub,
     text3,
+    quantize,
+    graphs,
 ):
     REGISTRY.merge(mod.REG)
 

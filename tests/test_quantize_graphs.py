@@ -1,0 +1,43 @@
+"""Quality claims of the round-4 quantization and graph operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sierradb_spark.operators import REGISTRY
+
+
+def test_sq8_quantization_preserves_topk(spark, sf_dir):
+    """The docstring's claim: 8-bit scalar quantization loses nothing of
+    the exact cosine top-10 on this corpus, and reconstruction error is
+    bounded by half a quantization step."""
+    row = REGISTRY.queries["sq8_quantized_recall"].spark(spark, sf_dir).collect()[0]
+    assert row["n_dims"] == 64
+    assert row["overlap_at_10"] == 10
+    # Embeddings are unit-ish floats; a 254-level grid over their range
+    # keeps the mean |error| far below one part in a hundred.
+    assert 0 < row["mean_abs_err"] < 0.01
+
+
+def test_pagerank_conserves_rank_and_flags_hubs(spark, sf_dir):
+    """No dangling nodes in the undirected candidate graph => total rank
+    must stay 1; the highest-rank node must be a max-degree hub."""
+    df = REGISTRY.queries["pagerank_near_dup"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0  # the corpus plants near-dup clusters
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3, f"rank mass leaked: sum={total}"
+    # PageRank is strictly positive under damping on every reachable node.
+    assert all(r["pagerank"] > 0 for r in rows)
+    # If the graph has degree structure, ranks must reflect it (on a
+    # regular graph — e.g. all disjoint pairs — uniform rank is exact).
+    if len({r["degree"] for r in rows}) > 1:
+        assert len({r["pagerank"] for r in rows}) > 1
+
+
+def test_pagerank_edges_are_equi_join_plan(spark, sf_dir):
+    """The candidate edges must come from the LSH band equi-join —
+    no cartesian product anywhere in the plan."""
+    df = REGISTRY.queries["pagerank_near_dup"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
