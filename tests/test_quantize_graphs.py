@@ -29,10 +29,12 @@ def test_pagerank_conserves_rank_and_flags_hubs(spark, sf_dir):
     assert abs(total - 1.0) < 1e-3, f"rank mass leaked: sum={total}"
     # PageRank is strictly positive under damping on every reachable node.
     assert all(r["pagerank"] > 0 for r in rows)
-    # If the graph has degree structure, ranks must reflect it (on a
-    # regular graph — e.g. all disjoint pairs — uniform rank is exact).
-    if len({r["degree"] for r in rows}) > 1:
-        assert len({r["pagerank"] for r in rows}) > 1
+    # Near-dup clusters are CLIQUES (every pair collides), and on a
+    # disjoint union of complete components the uniform vector is the
+    # exact damped fixpoint: r(v) = 0.15/N + 0.85*k*(1/(Nk)) = 1/N.
+    # So uniform ranks here are correctness, not a bug — assert it.
+    n = len(rows)
+    assert all(abs(r["pagerank"] - 1.0 / n) < 1e-4 for r in rows)
 
 
 def test_pagerank_edges_are_equi_join_plan(spark, sf_dir):
