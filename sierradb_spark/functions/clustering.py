@@ -1,0 +1,149 @@
+"""K-means clustering over the embedding corpus (Lloyd's algorithm).
+
+The clustering primitive behind IVF coarse quantizers, SemDeDup cell
+assignment, and corpus topic balancing — here as a first-class operator
+with deterministic initialization (centroids = the k lowest vec_ids)
+and a FIXED iteration count, so the whole run is expressible as
+unrolled SQL and value-oracle-checked like everything else.
+
+Scale shape (100 TB): the canonical distributed k-means — centroids
+live driver-side (k x dims doubles, trivially small) and are broadcast
+into each assignment pass; each iteration is one crossJoin(broadcast) +
+one aggregate over the corpus, nothing ever shuffles the embedding
+table by key. Distances use the expanded form |a|^2 - 2ab + |b|^2 with
+sequential-fold dot products (`F.aggregate` / `list_dot_product`), so
+both engines produce bit-identical sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sierradb_spark.operators.base import Registry, load
+from sierradb_spark.functions.similarity import dot_col
+
+REG = Registry()
+
+_K = 8
+_ITERS = 3  # assignment rounds (centroid updates between them: _ITERS - 1)
+
+
+def _sql_kmeans() -> str:
+    parts = [
+        f"""
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        u AS (
+            SELECT vec_id, unnest(range(len(emb))) AS i, unnest(emb) AS x
+            FROM v
+        ),
+        c0 AS (SELECT vec_id AS cid, emb AS cent FROM v WHERE vec_id < {_K})
+        """
+    ]
+    for t in range(1, _ITERS + 1):
+        parts.append(
+            f"""
+        d{t} AS (
+            SELECT v.vec_id, c.cid,
+                   list_dot_product(v.emb, v.emb)
+                   - 2 * list_dot_product(v.emb, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS dist
+            FROM v, c{t - 1} c
+        ),
+        a{t} AS (
+            SELECT vec_id, min(cid) AS cid, min(md) AS md
+            FROM (
+                SELECT vec_id, cid, dist,
+                       min(dist) OVER (PARTITION BY vec_id) AS md
+                FROM d{t}
+            ) WHERE dist = md
+            GROUP BY vec_id
+        )
+        """
+        )
+        if t < _ITERS:
+            parts.append(
+                f"""
+        m{t} AS (
+            SELECT a.cid, u.i, avg(u.x) AS mu
+            FROM a{t} a JOIN u USING (vec_id)
+            GROUP BY a.cid, u.i
+        ),
+        c{t} AS (SELECT cid, list(mu ORDER BY i) AS cent FROM m{t} GROUP BY cid)
+        """
+            )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT CAST(cid AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(sum(md), 4) AS sse
+        FROM a{_ITERS} GROUP BY cid
+        """
+    )
+
+
+@REG.add(
+    "kmeans_embedding_clusters",
+    oracle=_sql_kmeans(),
+    doc=f"Lloyd's k-means (k={_K}, {_ITERS} assignment rounds, deterministic "
+    "init from the lowest vec_ids) over the embedding corpus — the coarse-"
+    "quantizer/cell-assignment primitive IVF and SemDeDup build on. Centroids "
+    "are collected driver-side between rounds (k x dims doubles) and re-"
+    "broadcast, exactly how production distributed k-means works; each round "
+    "is one broadcast crossJoin + one aggregate, never a corpus shuffle. "
+    "Reports per-cluster sizes and within-cluster SSE.",
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).localCheckpoint(eager=False)  # read once per round, not rebuilt
+    cent_rows = [
+        (int(r["vec_id"]), list(r["emb"]))
+        for r in v.where(F.col("vec_id") < _K).collect()
+    ]
+    assigned = None
+    for t in range(_ITERS):
+        cdf = spark.createDataFrame(
+            cent_rows, "cid long, cent array<double>"
+        )
+        dist = (
+            dot_col(F.col("emb"), F.col("emb"))
+            - 2 * dot_col(F.col("emb"), F.col("cent"))
+            + dot_col(F.col("cent"), F.col("cent"))
+        ).alias("dist")
+        d = v.crossJoin(F.broadcast(cdf)).select("vec_id", "cid", "emb", dist)
+        md = F.min("dist").over(Window.partitionBy("vec_id"))
+        assigned = (
+            d.withColumn("md", md)
+            .where(F.col("dist") == F.col("md"))
+            .groupBy("vec_id")
+            .agg(F.min("cid").alias("cid"), F.min("md").alias("md"))
+        )
+        if t < _ITERS - 1:
+            means = (
+                assigned.join(v, "vec_id")
+                .select("cid", F.posexplode("emb").alias("i", "x"))
+                .groupBy("cid", "i")
+                .agg(F.avg("x").alias("mu"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mu"))),
+                        lambda s: s["mu"],
+                    ).alias("cent")
+                )
+            )
+            cent_rows = [
+                (int(r["cid"]), list(r["cent"])) for r in means.collect()
+            ]
+    return assigned.groupBy("cid").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum("md"), 4).alias("sse"),
+    ).select(
+        F.col("cid").cast("long").alias("cluster_id"), "n_vectors", "sse"
+    )

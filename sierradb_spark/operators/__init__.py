@@ -18,6 +18,7 @@ from sierradb_spark.operators import (
     windows,
 )
 from sierradb_spark.functions import (
+    clustering,
     contamination,
     scrub,
     dedup,
@@ -58,6 +59,7 @@ for mod in (
     text3,
     quantize,
     graphs,
+    clustering,
 ):
     REGISTRY.merge(mod.REG)
 
