@@ -811,7 +811,14 @@ class EventStore:
             # same source commits the token between here and our CAS.
             if batch_token in self._read_state().batch_tokens:
                 return self.spark.createDataFrame([], APPEND_RESULT_SCHEMA)
-        batch = batch.localCheckpoint(eager=True)
+        # Lazy pin: the checkpoint materializes inside the FIRST job that
+        # consumes the batch (the precondition probe or the assignment
+        # pass) instead of costing a job of its own — one fewer fixed
+        # per-commit job on the hot ingest path. Once materialized, the
+        # non-deterministic generated ids are frozen: every later
+        # consumer (retry attempts after a lost CAS race included) reads
+        # the same pinned blocks.
+        batch = batch.localCheckpoint(eager=False)
         if not fast and not self.config.strict_versioning:
             # Common connector case: an expected_version column exists but
             # every row is 'any' (no preconditions anywhere). One cheap
