@@ -275,22 +275,24 @@ _PACK_SHARD_DOCS = 500  # docs per packing shard (contiguous doc_id range)
     "shard into contiguous doc_id ranges, the running sum is a window "
     "PARTITIONED by shard (parallel, no single-reducer sort), and each shard's "
     "base offset is an exclusive prefix over the O(#shards) per-shard totals — "
-    "computed as a second (deliberately tiny) window and broadcast back, all in "
-    "ONE plan, no driver collect, no persist. Result is bit-identical to the "
-    "global running sum, so the exact oracle still applies.",
+    "computed as a second (deliberately tiny) window and broadcast back, in one "
+    "action, no driver collect, no persist; the tokenized projection is pinned "
+    "behind a lazy checkpoint so the corpus is scanned once. Result is "
+    "bit-identical to the global running sum, so the exact oracle still applies.",
 )
 def sequence_packing(
-    spark: SparkSession, sf_dir: str, materialize: bool = False
+    spark: SparkSession, sf_dir: str, materialize: bool = True
 ) -> DataFrame:
-    """``materialize=False`` (default) keeps everything in one plan; the
-    totals branch and the main branch then each scan+tokenize the corpus
-    (their column pruning differs, so Catalyst does not merge the two
-    subtrees into a reused exchange). Tokenizing 5k docs twice is cheaper
-    than a second Spark action at bench scale — but at 100 TB the corpus
-    scan dominates everything, so ``materialize=True`` checkpoints the
-    tokenized projection (3 longs/doc) and both branches read it:
-    exactly one pass over the text. localCheckpoint blocks free on GC
-    (no session-lifetime cache entry)."""
+    """``materialize=True`` (default) pins the tokenized projection
+    (3 longs/doc) behind a LAZY localCheckpoint: the totals branch and
+    the main branch both read it, so the corpus is scanned+tokenized
+    exactly ONCE — the only sane shape at 100 TB, and measured faster
+    at bench scale too (the checkpoint materializes inside the first
+    job; no extra action). Blocks free on GC — no session-lifetime
+    cache entry. ``materialize=False`` keeps a fully checkpoint-free
+    single plan at the cost of tokenizing twice (the two subtrees prune
+    different columns, so Catalyst does not merge them); kept for the
+    bit-identity test."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")

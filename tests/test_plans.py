@@ -248,13 +248,14 @@ def test_no_session_lifetime_cache_leak(spark, sf_dir):
 
 
 def test_sequence_packing_materialized_variant_identical(spark, sf_dir):
-    """materialize=True (one tokenization pass via checkpoint — the
-    100 TB form) must be bit-identical to the default single-plan form."""
+    """The default materialize=True (one tokenization pass via lazy
+    checkpoint — the 100 TB form) must be bit-identical to the
+    checkpoint-free single-plan form."""
     from sierradb_spark.functions.pipeline import sequence_packing
 
     a = sorted(map(tuple, sequence_packing(spark, sf_dir).collect()))
     b = sorted(
-        map(tuple, sequence_packing(spark, sf_dir, materialize=True).collect())
+        map(tuple, sequence_packing(spark, sf_dir, materialize=False).collect())
     )
     assert a == b and len(a) > 0
 
