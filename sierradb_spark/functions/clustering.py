@@ -84,6 +84,105 @@ def _sql_kmeans() -> str:
     )
 
 
+_KNN_K = 5
+
+
+@REG.add(
+    "knn_label_accuracy",
+    oracle=f"""
+        WITH p AS (
+            SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb,
+                   b.label AS lb,
+                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                         / nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0),
+                         6) AS c
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        nn AS (
+            SELECT va, la, lb,
+                   row_number() OVER (
+                       PARTITION BY va ORDER BY c DESC, vb ASC
+                   ) AS rk
+            FROM p
+        ),
+        votes AS (
+            SELECT va, la, lb, count(*) AS cnt
+            FROM nn WHERE rk <= {_KNN_K}
+            GROUP BY va, la, lb
+        ),
+        pred AS (
+            SELECT va, la, min(lb) AS pred
+            FROM (
+                SELECT va, la, lb, cnt,
+                       max(cnt) OVER (PARTITION BY va) AS mc
+                FROM votes
+            ) WHERE cnt = mc
+            GROUP BY va, la
+        )
+        SELECT la AS label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(count(*) FILTER (WHERE pred = la) AS BIGINT) AS n_correct
+        FROM pred GROUP BY la
+    """,
+    doc=f"Leave-one-out {_KNN_K}-NN label classification accuracy per label — "
+    "the standard embedding-quality eval (are same-label vectors actually "
+    "neighbors?). Majority vote over the top-k by cosine (rounded, vec_id "
+    "tiebreak; vote ties break to the smallest label — deterministic in both "
+    "engines). All-pairs by construction: this is the EVAL baseline run on a "
+    "sample; the production candidate source is the IVF/LSH operators in "
+    "similarity.py.",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("emb").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("emb").alias("eb"),
+    )
+    cos = F.round(
+        dot_col(F.col("ea"), F.col("eb"))
+        / F.nullif(
+            F.sqrt(dot_col(F.col("ea"), F.col("ea")))
+            * F.sqrt(dot_col(F.col("eb"), F.col("eb"))),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    p = a.join(b, F.col("va") != F.col("vb")).select(
+        "va", "la", "vb", "lb", cos.alias("c")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("va").orderBy(F.col("c").desc(), F.col("vb").asc())
+    )
+    votes = (
+        p.withColumn("rk", rk)
+        .where(F.col("rk") <= _KNN_K)
+        .groupBy("va", "la", "lb")
+        .agg(F.count("*").alias("cnt"))
+    )
+    mc = F.max("cnt").over(Window.partitionBy("va"))
+    pred = (
+        votes.withColumn("mc", mc)
+        .where(F.col("cnt") == F.col("mc"))
+        .groupBy("va", "la")
+        .agg(F.min("lb").alias("pred"))
+    )
+    return pred.groupBy(F.col("la").alias("label")).agg(
+        F.count("*").alias("n_vectors"),
+        F.count(F.when(F.col("pred") == F.col("la"), 1)).alias("n_correct"),
+    )
+
+
 @REG.add(
     "kmeans_embedding_clusters",
     oracle=_sql_kmeans(),

@@ -218,10 +218,11 @@ WINNOW_W = 4  # winnowing window (k-grams)
 WINNOW_MOD = 2**31 - 1
 
 
-@REG.add(
-    "winnow_fingerprints",
-    oracle=f"""
-        WITH g AS (
+# Shared oracle CTEs: rolling k-gram hashes -> winnowed fingerprint set
+# per document ((doc_id, fps) in CTE ``w``). Reused by the near-dup
+# pairs operator in text3.py — change in ONE place only.
+_SQL_WINNOW_CTES = f"""
+        g AS (
             SELECT doc_id,
                    list_transform(range(1, greatest(length(text) - {WINNOW_K - 2}, 1)),
                        i -> list_reduce(
@@ -240,6 +241,13 @@ WINNOW_MOD = 2**31 - 1
                        END) AS fps
             FROM g
         )
+"""
+
+
+@REG.add(
+    "winnow_fingerprints",
+    oracle=f"""
+        WITH {_SQL_WINNOW_CTES}
         SELECT doc_id,
                CAST(len(fps) AS BIGINT) AS n_fingerprints,
                list_min(fps) AS min_fp,
@@ -253,6 +261,18 @@ WINNOW_MOD = 2**31 - 1
     "hashes its own chars exactly once.",
 )
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fps_df(spark, sf_dir).select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fps): the winnowed fingerprint set per document — the
+    Spark twin of the ``w`` CTE in ``_SQL_WINNOW_CTES`` (change both
+    together or oracles diverge)."""
     d = load(spark, sf_dir, "documents")
     text = F.col("text")
     # Stage char codes once (split+ascii is O(len)), MATERIALIZED:
@@ -295,12 +315,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return staged.select("doc_id", fps.alias("fps")).select(
-        "doc_id",
-        F.size("fps").cast("long").alias("n_fingerprints"),
-        F.array_min("fps").alias("min_fp"),
-        F.array_max("fps").alias("max_fp"),
-    )
+    return staged.select("doc_id", fps.alias("fps"))
 
 
 @REG.add(

@@ -24,7 +24,67 @@ from pyspark.sql import functions as F
 from sierradb_spark.operators.base import Registry, load
 from sierradb_spark.functions.text2 import _SQL_WORDS, _toks
 
+from sierradb_spark.functions.text import _SQL_WINNOW_CTES, winnow_fps_df
+
 REG = Registry()
+
+# Stop-fingerprint cap: a fingerprint shared by more documents than this
+# is boilerplate (license headers, navigation chrome) and is excluded
+# from pair generation — the standard guard that keeps the fingerprint
+# self-join collision-scaled instead of quadratic on common shingles.
+_FP_MAX_DOCS = 10
+_FP_MIN_SHARED = 5
+
+
+@REG.add(
+    "winnow_near_dup_pairs",
+    oracle=f"""
+        WITH {_SQL_WINNOW_CTES},
+        fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        rare AS (
+            SELECT fp FROM fp GROUP BY fp
+            HAVING count(*) <= {_FP_MAX_DOCS}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fp a
+        JOIN rare r ON a.fp = r.fp
+        JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {_FP_MIN_SHARED}
+    """,
+    doc="Near-dup pairs by shared winnowing fingerprints — the third dedup "
+    "modality next to MinHash and SimHash, and the one that catches PARTIAL "
+    "overlap (a copied section inside an otherwise-different document), which "
+    "whole-document sketches dilute away. Fingerprints shared by more than "
+    f"{_FP_MAX_DOCS} documents are dropped as boilerplate before the "
+    "self-join, so pair generation is collision-scaled (equi-join on the "
+    f"fingerprint key), never N^2; pairs need >= {_FP_MIN_SHARED} shared "
+    "prints to surface.",
+)
+def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = winnow_fps_df(spark, sf_dir)
+    fp = fps.select("doc_id", F.explode("fps").alias("fp"))
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") <= _FP_MAX_DOCS)
+        .select("fp")
+    )
+    fp = fp.join(rare, "fp")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= _FP_MIN_SHARED)
+    )
 
 
 @REG.add(
