@@ -7,6 +7,7 @@ from sierradb_spark.streaming.subscribe import (
 )
 from sierradb_spark.streaming.windowed import (
     dedup_stream,
+    interval_join_streams,
     session_window_counts,
     windowed_event_counts,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "Subscription",
     "read_subscription_sink",
     "dedup_stream",
+    "interval_join_streams",
     "session_window_counts",
     "windowed_event_counts",
 ]

@@ -66,6 +66,44 @@ def windowed_event_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "event_id",
+    left_time: str = "ts",
+    right_time: str = "ts",
+    watermark: str = "10 minutes",
+    within: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: a right-stream event matches a
+    left-stream event with the same key when it arrives in
+    ``[left_ts, left_ts + within]`` — the attribution-join shape
+    (impression→click, order→payment, request→response).
+
+    Both sides carry watermarks, and the time-range condition is what
+    bounds the join STATE: a left row can stop waiting for matches once
+    the watermark passes ``left_ts + within`` (and symmetrically for
+    the right), so state is O(events per horizon), not O(stream
+    history). A right event arriving later than the watermark allows
+    finds its left partner already evicted and is dropped — matched
+    pairs are emitted exactly once and never retro-appear.
+    """
+    l = left.withWatermark(left_time, watermark).alias("l")
+    r = right.withWatermark(right_time, watermark).alias("r")
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond).select(
+        F.col(f"l.{key_col}").alias(key_col),
+        lt.alias("left_ts"),
+        rt.alias("right_ts"),
+        (rt.cast("long") - lt.cast("long")).alias("delay_seconds"),
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: Sequence[str] = ("event_id",),

@@ -186,3 +186,59 @@ def test_windowed_counts_over_event_schema_stream(spark, tmp_path):
     # ANALYZE cleanly without a value column, which is the regression
     # this test pins (it raised AnalysisException before value_col)
     assert all("total_value" not in r.asDict() for r in out)
+
+
+def test_interval_join_attribution_and_late_drop(spark, tmp_path):
+    """Stream-stream interval join (impression->click attribution):
+    clicks within 5 minutes of the same-key impression match; clicks
+    outside the interval never match; a click arriving below the
+    watermark finds the impression's state evicted and is dropped."""
+    from sierradb_spark.streaming import interval_join_streams
+
+    left_src = str(tmp_path / "left")
+    right_src = str(tmp_path / "right")
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+
+    def run_join(left_stream):
+        right_stream = spark.readStream.schema(SCHEMA).parquet(right_src)
+        return interval_join_streams(
+            left_stream, right_stream, key_col="event_id"
+        )
+
+    # Impressions i1@10:00, i2@10:02; clicks: i1@10:03 (in window),
+    # i2@10:09 (10:02+5m=10:07 -> outside), i9@10:04 (unknown key).
+    _write_batch(
+        spark,
+        left_src,
+        [(_t(0), "imp", 1.0, "i1"), (_t(2), "imp", 1.0, "i2")],
+    )
+    _write_batch(
+        spark,
+        right_src,
+        [
+            (_t(3), "click", 1.0, "i1"),
+            (_t(9), "click", 1.0, "i2"),
+            (_t(4), "click", 1.0, "i9"),
+        ],
+    )
+    _run_pass(spark, left_src, ckpt, run_join, out)
+    got = {(r["event_id"], r["delay_seconds"]) for r in out}
+    assert got == {("i1", 180)}
+
+    # Pass 2 ONLY advances both watermarks far past 10:00 (the
+    # watermark moves between micro-batches, so the late row must
+    # arrive in a LATER pass than the rows that advance it).
+    _write_batch(spark, left_src, [(_t(40), "imp", 1.0, "i8")])
+    _write_batch(spark, right_src, [(_t(40), "click", 1.0, "zz")])
+    out2: list = []
+    _run_pass(spark, left_src, ckpt, run_join, out2)
+    assert out2 == []
+
+    # Pass 3: a click for i1 at 10:01 — inside the ORIGINAL interval
+    # but below the watermark: the impression's state is evicted, the
+    # late click is dropped at input, and no new match appears.
+    _write_batch(spark, right_src, [(_t(1), "click", 1.0, "i1")])
+    out3: list = []
+    _run_pass(spark, left_src, ckpt, run_join, out3)
+    assert out3 == []
