@@ -11,8 +11,11 @@ live driver-side (k x dims doubles, trivially small) and are broadcast
 into each assignment pass; each iteration is one crossJoin(broadcast) +
 one aggregate over the corpus, nothing ever shuffles the embedding
 table by key. Distances use the expanded form |a|^2 - 2ab + |b|^2 with
-sequential-fold dot products (`F.aggregate` / `list_dot_product`), so
-both engines produce bit-identical sums.
+sequential-fold dot products (`F.aggregate` / `list_dot_product`), and
+updated centroid coordinates are rounded to 9 decimals on both sides
+(the mean is an order-dependent float sum; rounding re-pins the two
+engines to identical centroids each round) — so the discrete
+assignments feeding the oracle hash stay bit-identical.
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sierradb_spark.operators.base import Registry, load
-from sierradb_spark.functions.similarity import dot_col
+from sierradb_spark.functions.similarity import cosine_col, dot_col
 
 REG = Registry()
 
@@ -62,10 +65,15 @@ def _sql_kmeans() -> str:
         """
         )
         if t < _ITERS:
+            # round(mu, 9): the mean is an order-dependent float sum
+            # (engines aggregate partials in different orders); rounding
+            # the centroid coordinates pins both engines to IDENTICAL
+            # centroids each round, so the sequential-fold distances —
+            # and hence the discrete assignments — stay bit-identical.
             parts.append(
                 f"""
         m{t} AS (
-            SELECT a.cid, u.i, avg(u.x) AS mu
+            SELECT a.cid, u.i, round(avg(u.x), 9) AS mu
             FROM a{t} a JOIN u USING (vec_id)
             GROUP BY a.cid, u.i
         ),
@@ -149,15 +157,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("lb"),
         F.col("emb").alias("eb"),
     )
-    cos = F.round(
-        dot_col(F.col("ea"), F.col("eb"))
-        / F.nullif(
-            F.sqrt(dot_col(F.col("ea"), F.col("ea")))
-            * F.sqrt(dot_col(F.col("eb"), F.col("eb"))),
-            F.lit(0.0),
-        ),
-        6,
-    )
+    cos = F.round(cosine_col(F.col("ea"), F.col("eb")), 6)
     p = a.join(b, F.col("va") != F.col("vb")).select(
         "va", "la", "vb", "lb", cos.alias("c")
     )
@@ -228,7 +228,9 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 assigned.join(v, "vec_id")
                 .select("cid", F.posexplode("emb").alias("i", "x"))
                 .groupBy("cid", "i")
-                .agg(F.avg("x").alias("mu"))
+                # round: see the oracle's m{t} comment — pins centroids
+                # identically across engines despite summation order.
+                .agg(F.round(F.avg("x"), 9).alias("mu"))
                 .groupBy("cid")
                 .agg(
                     F.transform(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.operators.base import Registry, load  # noqa: F401
+from sierradb_spark.operators.base import Registry
 from sierradb_spark.functions.dedup_wide import _SQL_WIDE_MINS
 
 REG = Registry()
@@ -100,11 +100,14 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # pin: read 8 + 2 times below
     )
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
-    # Pre-divide each edge by its source degree once; iterations then
-    # only multiply-and-sum.
+    # Carry the source degree on each edge; iterations sum r/d — the
+    # SAME float expression the oracle sums (r * (1/d) differs from r/d
+    # by an ulp for non-power-of-two degrees, and over 8 iterations that
+    # drift is the kind of cross-engine divergence the sequential-fold
+    # dot products elsewhere exist to prevent).
     ew = (
         edges.join(deg, "u")
-        .select("u", "v", (F.lit(1.0) / F.col("d")).alias("w"))
+        .select("u", "v", "d")
         .localCheckpoint(eager=True)
     )
     nn = float(deg.count())
@@ -118,7 +121,7 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 (
                     F.lit((1.0 - _DAMP) / nn)
-                    + F.lit(_DAMP) * F.sum(F.col("r") * F.col("w"))
+                    + F.lit(_DAMP) * F.sum(F.col("r") / F.col("d"))
                 ).alias("r")
             )
             .select(F.col("v").alias("node"), "r")

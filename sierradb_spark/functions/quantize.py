@@ -152,7 +152,9 @@ def sq8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id")
     )
-    n_dims = st.agg((F.max("i") + 1).cast("int").alias("n_dims"))
+    # From the pinned dq blocks — NOT st, whose subtree would re-run the
+    # corpus explode+aggregate a second time.
+    n_dims = dq.agg((F.max("i") + 1).cast("int").alias("n_dims"))
     overlap = topq.join(topx, "vec_id").agg(
         F.count("*").alias("overlap_at_10")
     )
