@@ -15,6 +15,7 @@ from sierradb_spark.operators import (
     relational3,
     relational4,
     sketches,
+    stats,
     windows,
 )
 from sierradb_spark.functions import (
@@ -60,6 +61,7 @@ for mod in (
     quantize,
     graphs,
     clustering,
+    stats,
 ):
     REGISTRY.merge(mod.REG)
 
