@@ -43,3 +43,27 @@ def test_pagerank_edges_are_equi_join_plan(spark, sf_dir):
     df = REGISTRY.queries["pagerank_near_dup"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_round4_op_plan_shapes(spark, sf_dir):
+    """100 TB plan contracts of the round-4 operators: fingerprint pair
+    generation and chunk indexing plan no cartesian product; SQ8's dim
+    stats come back via broadcast; k-means assignment joins the
+    broadcast centroid table (the corpus side never shuffles by key)."""
+    from sierradb_spark.operators import REGISTRY
+    from sierradb_spark.plans import assert_plan, plan_features
+
+    assert_plan(REGISTRY.queries["winnow_near_dup_pairs"].spark(spark, sf_dir))
+    assert_plan(REGISTRY.queries["doc_chunk_index"].spark(spark, sf_dir))
+    assert_plan(REGISTRY.queries["tfidf_top_terms"].spark(spark, sf_dir))
+    f = assert_plan(
+        REGISTRY.queries["sq8_quantized_recall"].spark(spark, sf_dir),
+        forbid_cartesian=False,  # 1-row aggregate combiners + query vector
+        require_broadcast_joins=2,  # dim stats + dequantized query side
+    )
+    # The intentional cross joins all pair with 1-row/broadcast sides.
+    kf = plan_features(
+        REGISTRY.queries["kmeans_embedding_clusters"].spark(spark, sf_dir)
+    )
+    assert kf["broadcast_hash_joins"] + kf["nested_loop_joins"] >= 1
+    assert kf["cartesian_products"] == 0
