@@ -1,0 +1,104 @@
+"""The reference client's call shape, run against our store.
+
+Mirrors the reference README's example session (README.md:25-86):
+``client.execute_command('EAPPEND', 'user-123', 'UserCreated', ...)`` —
+a migrating user's call sites should work with only the client-object
+swap."""
+
+from __future__ import annotations
+
+import pytest
+
+from sierradb_spark.commands import CommandError, execute_command as ex
+from sierradb_spark.eventstore import EventStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return EventStore(spark, str(tmp_path / "cmdstore"))
+
+
+def test_reference_readme_session(store):
+    assert ex(store, "PING") == "PONG"
+
+    r1 = ex(
+        store, "EAPPEND", "user-123", "UserRegistered",
+        "EXPECTED_VERSION", "empty",
+        "PAYLOAD", '{"email":"alice@example.com","name":"Alice"}',
+    )
+    assert r1["stream_version"] == 0 and r1["partition_sequence"] == 0
+    assert r1["event_id"] and r1["partition_key"]
+
+    r2 = ex(
+        store, "EAPPEND", "user-123", "EmailVerified",
+        "EXPECTED_VERSION", 0, "PAYLOAD", '{"ts":"2024-10-18"}',
+    )
+    assert r2["stream_version"] == 1
+
+    # Wrong expected version -> command error, nothing written.
+    with pytest.raises(CommandError, match="version conflict"):
+        ex(store, "EAPPEND", "user-123", "Nope", "EXPECTED_VERSION", 7)
+
+    rows = ex(store, "ESCAN", "user-123", "-", "+", "COUNT", 100)
+    assert [r["event_name"] for r in rows] == ["UserRegistered", "EmailVerified"]
+    assert rows[0]["payload"] == b'{"email":"alice@example.com","name":"Alice"}'
+    assert rows[0]["timestamp"] > 1_600_000_000_000  # milliseconds, not ns
+
+    got = ex(store, "EGET", rows[1]["event_id"])
+    assert [g["event_id"] for g in got] == [rows[1]["event_id"]]
+
+    assert ex(store, "ESVER", "user-123") == 1
+    assert ex(store, "ESVER", "ghost-stream") is None
+
+    pid = rows[0]["partition_id"]
+    assert ex(store, "EPSEQ", pid) == 1
+    ps = ex(store, "EPSCAN", pid, 0, "+")
+    assert [p["partition_sequence"] for p in ps] == [0, 1]
+
+    info = ex(store, "INFO")
+    assert info["total_events"] == 2
+
+
+def test_emappend_atomic_and_reverse_scan(store):
+    pk = ex(store, "EAPPEND", "seed", "Seed")["partition_key"]
+    rs = ex(
+        store, "EMAPPEND", pk,
+        "order-1", "OrderCreated", "PAYLOAD", '{"total":99.99}',
+        "order-1", "OrderPaid",
+        "audit-1", "AuditEntry", "METADATA", '{"who":"alice"}',
+    )
+    assert [r["stream_version"] for r in rs] == [0, 1, 0]
+    assert len({r["partition_id"] for r in rs}) == 1
+    # Same transaction: EGET on any member returns all three.
+    txn = ex(store, "EGET", rs[2]["event_id"])
+    assert len(txn) == 3
+    # The stream lives under the EXPLICIT partition key, so the scan
+    # must name it (same rule as the reference's ESCAN PARTITION_KEY).
+    rev = ex(store, "ESCAN", "order-1", "-", "+", "PARTITION_KEY", pk, "REVERSE")
+    assert [r["event_name"] for r in rev] == ["OrderPaid", "OrderCreated"]
+
+
+def test_esub_epsub_build_matchers(store):
+    ex(store, "EAPPEND", "s-a", "E1")
+    ex(store, "EAPPEND", "s-a", "E2")
+    sub = ex(store, "ESUB", "s-a", "FROM", 1, "WINDOW", 10)
+    assert sub.matcher.streams == ("s-a",)
+    assert sub.matcher.from_versions == {"s-a": 1}
+    assert sub.max_files_per_trigger == 10
+
+    # Implicit FROM -> latest+1 (nothing old redelivered).
+    sub2 = ex(store, "ESUB", "s-a")
+    assert sub2.matcher.from_versions == {"s-a": 2}
+
+    sub3 = ex(store, "EPSUB", "*", "FROM", "MAP", "3=7", "DEFAULT", 2)
+    assert sub3.matcher.partitions is None
+    assert sub3.matcher.from_sequences == {3: 7}
+    assert sub3.matcher.default_from == 2
+
+    sub4 = ex(store, "EPSUB", "0-5", "FROM", 0)
+    assert sub4.matcher.partitions == (0, 1, 2, 3, 4, 5)
+
+    with pytest.raises(CommandError):
+        ex(store, "NOSUCH")
+    with pytest.raises(CommandError):
+        ex(store, "ESCAN", "s-a", "x", "+")
