@@ -19,9 +19,10 @@ DataFrame/SQL API and Catalyst picks the physical strategy. Python UDFs
 appear only where built-ins genuinely cannot express the semantics.
 """
 
+from sierradb_spark.commands import execute_command
 from sierradb_spark.config import EngineConfig
 from sierradb_spark.session import get_spark
 
-__all__ = ["EngineConfig", "get_spark"]
+__all__ = ["EngineConfig", "execute_command", "get_spark"]
 
 __version__ = "0.1.0"
