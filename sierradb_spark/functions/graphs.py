@@ -32,21 +32,24 @@ def _sql_pagerank() -> str:
     """Unrolled fixed-iteration PageRank oracle (recursive CTEs with
     aggregation in the recursive term are non-portable; 8 chained CTEs
     are boring and exact)."""
+    # MATERIALIZED: the iteration CTEs reference edges/deg ~9 times
+    # each, and DuckDB would otherwise re-derive the (expensive) MinHash
+    # band join per reference — same result, ~7x oracle wall-time.
     ctes = [
         f"""
-        cand AS (
+        cand AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
              AND a.doc_id < b.doc_id
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT doc_a AS u, doc_b AS v FROM cand
             UNION ALL
             SELECT doc_b AS u, doc_a AS v FROM cand
         ),
-        deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
-        n AS (SELECT count(*)::DOUBLE AS nn FROM deg),
+        deg AS MATERIALIZED (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        n AS MATERIALIZED (SELECT count(*)::DOUBLE AS nn FROM deg),
         pr0 AS (SELECT u AS node, 1.0 / nn AS r FROM deg, n)
         """
     ]
