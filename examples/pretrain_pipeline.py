@@ -124,14 +124,29 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     )
     n3 = clean.count()
 
-    # 4. Stratified mixture sampling (deterministic multiplicative hash).
+    # 3b. Template downweighting: PageRank over the near-dup candidate
+    #     graph surfaces boilerplate hubs; surviving docs whose rank is
+    #     above the graph mean sample at half rate (downweighted, not
+    #     dropped — they carry signal, just over-represented).
+    from sierradb_spark.functions.graphs import pagerank_near_dup
+
+    pr = pagerank_near_dup(spark, sf_dir)
+    mean_pr = float(pr.agg(F.avg("pagerank")).collect()[0][0] or 0.0)
+    hubs = pr.where(F.col("pagerank") > mean_pr).select("doc_id")
+    clean = clean.join(
+        F.broadcast(hubs.withColumn("_hub", F.lit(True))), "doc_id", "left"
+    )
+    n3b = clean.where(F.col("_hub")).count()
+
+    # 4. Stratified mixture sampling (deterministic multiplicative hash),
+    #    halved for template hubs.
     rate = (
         F.when(F.col("lang") == "en", 0.5).when(F.col("lang") == "zh", 1.0).otherwise(0.75)
-    )
+    ) * F.when(F.col("_hub"), 0.5).otherwise(1.0)
     keep = ((F.col("doc_id") * 2654435761) % (1 << 32)) < (
         F.lit(float(1 << 32)) * rate
     ).cast("long")
-    sampled = clean.where(keep)
+    sampled = clean.where(keep).drop("_hub")
     n4 = sampled.count()
 
     # 5. Sharded export: 8-way deterministic shard, one directory per shard.
@@ -152,6 +167,9 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         "after_exact_dedup": n2,
         "after_near_dedup": n2b,
         "after_decontamination": n3,
+        # '#'-prefixed keys are informational (not funnel stages — this
+        # one counts docs whose sampling rate was halved, not dropped).
+        "#template_hubs_downweighted": n3b,
         "after_mixture_sampling": n4,
     }
 

@@ -11,7 +11,9 @@ def test_pretrain_pipeline_end_to_end(spark, sf_dir, tmp_path):
 
     out = str(tmp_path / "corpus")
     funnel = run_pipeline(spark, sf_dir, out)
-    ns = list(funnel.values())
+    # '#'-prefixed keys are informational (e.g. downweighted-hub counts),
+    # not funnel stages — only stage counts must shrink monotonically.
+    ns = [v for k, v in funnel.items() if not k.startswith("#")]
     assert ns[0] > 0
     assert all(a >= b for a, b in zip(ns, ns[1:])), funnel  # monotone funnel
     assert ns[-1] > 0
