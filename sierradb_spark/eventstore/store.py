@@ -600,6 +600,23 @@ class EventStore:
             "partition_id int, confirmed_sequence long",
         )
 
+    def register_views(self, prefix: str = "sierra_") -> list[str]:
+        """Register the store's tables as session temp views so plain
+        ``spark.sql`` works against them: ``<prefix>events``,
+        ``<prefix>heads``, ``<prefix>watermarks``. Views capture the
+        CURRENT committed snapshot (the manifest chain resolved now) —
+        re-register after appends to see new commits, exactly like
+        re-calling :meth:`events`. Returns the view names.
+        """
+        pairs = {
+            f"{prefix}events": self.events(),
+            f"{prefix}heads": self.heads(),
+            f"{prefix}watermarks": self.watermarks(),
+        }
+        for name, df in pairs.items():
+            df.createOrReplaceTempView(name)
+        return list(pairs)
+
     def visible_events(self) -> DataFrame:
         """Events gated by the confirmation watermark (read.rs:460-496).
 

@@ -102,3 +102,21 @@ def test_esub_epsub_build_matchers(store):
         ex(store, "NOSUCH")
     with pytest.raises(CommandError):
         ex(store, "ESCAN", "s-a", "x", "+")
+
+
+def test_register_views_sql_access(store, spark):
+    ex(store, "EAPPEND", "sql-1", "E1")
+    ex(store, "EAPPEND", "sql-1", "E2")
+    names = store.register_views()
+    assert set(names) == {"sierra_events", "sierra_heads", "sierra_watermarks"}
+    got = spark.sql(
+        "SELECT stream_id, max(stream_version) v FROM sierra_events "
+        "GROUP BY stream_id"
+    ).collect()
+    assert {(r["stream_id"], r["v"]) for r in got} == {("sql-1", 1)}
+    heads = spark.sql(
+        "SELECT max(stream_version) v FROM sierra_heads WHERE stream_id='sql-1'"
+    ).collect()[0]["v"]
+    assert heads == 1
+    wm = spark.sql("SELECT sum(confirmed_sequence) s FROM sierra_watermarks")
+    assert wm.collect()[0]["s"] == 1
