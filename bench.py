@@ -107,7 +107,9 @@ def main() -> int:
         # Compaction runs every compact_each batches (like a production
         # ingest loop would), so the trend is measured THROUGH segment
         # rollovers and heads-log folds, not just between them.
-        n_batches = int(os.environ.get("SPARK_GRAFT_SUSTAINED_BATCHES", "50"))
+        n_batches = max(
+            1, int(os.environ.get("SPARK_GRAFT_SUSTAINED_BATCHES", "50"))
+        )  # clamp: 0 would leave evps empty and crash the summary print
         per_batch, compact_each = 2_000, 10
         evps: list[float] = []
         compact_secs: list[float] = []

@@ -46,16 +46,9 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     # 1b. PII redaction (RefinedWeb-style): same portable regex stages as
     #     the registry's pii_redacted_corpus operator. Rewrites text in
     #     place — no rows drop, so it sits outside the funnel counts.
-    from sierradb_spark.functions.scrub import EMAIL_RE, IPV4_RE, PHONE_RE
+    from sierradb_spark.functions.scrub import redact_col
 
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"),
-            IPV4_RE, "[IP]",
-        ),
-        PHONE_RE, "[PHONE]",
-    )
-    quality = quality.withColumn("text", redacted)
+    quality = quality.withColumn("text", redact_col(F.col("text")))
 
     # 1c. Gopher repetition filter: drop docs where >30% of their 8-word
     #     chunks repeat within the doc (pure array algebra, no shuffle).

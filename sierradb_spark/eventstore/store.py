@@ -168,9 +168,16 @@ def _cap_batch_tokens(tokens, cap: int = 1024) -> list[str]:
         lst.sort(reverse=True)  # newest batch first
     kept: list[str] = []
     depth = 0
+    # Iterate keys in SORTED order: dict order here follows set/dict
+    # insertion built from a frozenset, which varies with string-hash
+    # randomization — at the cap boundary that would make WHICH keys
+    # keep their newest token nondeterministic across processes (and
+    # base manifests non-reproducible).
+    keys = sorted(by_key)
     while len(kept) < cap:
         progressed = False
-        for lst in by_key.values():
+        for key in keys:
+            lst = by_key[key]
             if depth < len(lst):
                 kept.append(lst[depth][1])
                 progressed = True
@@ -818,15 +825,20 @@ class EventStore:
         (invisible) and are swept by :meth:`compact`, identical to a
         crashed writer's leftovers.
         """
+        # ONE chain resolution serves both the replay fast path and the
+        # first commit attempt (a second listing+fold per batch is pure
+        # overhead); retry attempts re-read because a lost CAS means the
+        # chain moved under us.
+        state = self._read_state()
         if batch_token is not None:
             # Replay fast path: if this micro-batch's token is already in
             # the manifest chain (crash landed between manifest-rename
             # and checkpoint-commit), skip BEFORE materializing anything
             # — a replayed 100k-row batch must cost a manifest read, not
-            # a full pipeline run. The in-loop re-check below still
+            # a full pipeline run. The retry-path re-check below still
             # guards the race where a concurrent writer replaying the
             # same source commits the token between here and our CAS.
-            if batch_token in self._read_state().batch_tokens:
+            if batch_token in state.batch_tokens:
                 return self.spark.createDataFrame([], APPEND_RESULT_SCHEMA)
         # Lazy pin: the checkpoint materializes inside the FIRST job that
         # consumes the batch (the precondition probe or the assignment
@@ -854,11 +866,12 @@ class EventStore:
             fast = not has_precondition
         last_err: ConcurrentWriteError | None = None
         for _attempt in range(max(1, self.config.commit_retries + 1)):
-            state = self._read_state()
-            if batch_token is not None and batch_token in state.batch_tokens:
-                # Committed by a previous incarnation (or by the racing
-                # writer we just lost to, replaying the same source).
-                return self.spark.createDataFrame([], APPEND_RESULT_SCHEMA)
+            if _attempt > 0:
+                state = self._read_state()  # the chain moved: re-resolve
+                if batch_token is not None and batch_token in state.batch_tokens:
+                    # Committed by the racing writer we just lost to,
+                    # replaying the same source.
+                    return self.spark.createDataFrame([], APPEND_RESULT_SCHEMA)
             heads = (
                 # Same resolved state as the watermarks below: heads and
                 # watermark base always reflect ONE commit (and one

@@ -55,6 +55,16 @@ def _parse_image_header(b: bytes) -> tuple[int, int, int] | None:
     no-dependency fallback when PIL isn't importable."""
     import struct
 
+    # Malformed/truncated headers must degrade to None (caller falls
+    # back to the stub codec), never crash the decode task: one bad
+    # blob in a corpus would otherwise fail the whole mapInPandas job.
+    try:
+        return _parse_image_header_unsafe(b, struct)
+    except (IndexError, struct.error):
+        return None
+
+
+def _parse_image_header_unsafe(b: bytes, struct):
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
         w, h = struct.unpack(">II", b[16:24])
         color_type = b[25]

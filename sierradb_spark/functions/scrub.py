@@ -118,6 +118,20 @@ def pii_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def redact_col(text: F.Column) -> F.Column:
+    """The canonical PII redaction chain. Order is load-bearing —
+    emails first so their domains can't be half-eaten by the IP
+    pattern — so every redaction site (this module's operator, the
+    example pipeline) must call THIS helper, not rebuild the chain."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "[EMAIL]"),
+            IPV4_RE, "[IP]",
+        ),
+        PHONE_RE, "[PHONE]",
+    )
+
+
 @REG.add(
     "pii_redacted_corpus",
     oracle=f"""
@@ -152,13 +166,7 @@ def pii_redacted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.regexp_count(F.col("text"), F.lit(IPV4_RE))
         + F.regexp_count(F.col("text"), F.lit(PHONE_RE))
     )
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"),
-            IPV4_RE, "[IP]",
-        ),
-        PHONE_RE, "[PHONE]",
-    )
+    redacted = redact_col(F.col("text"))
     return e.select(
         "doc_id",
         n_red.cast("bigint").alias("n_redactions"),

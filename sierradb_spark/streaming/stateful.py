@@ -99,9 +99,6 @@ class StreamHeadsMaintainer:
         import os
         import secrets
 
-        from pyspark.sql import types as T
-
-        from sierradb_spark.eventstore.schema import EVENT_SCHEMA
         from sierradb_spark.streaming.subscribe import (
             PartitionMatcher,
             Subscription,
@@ -114,11 +111,9 @@ class StreamHeadsMaintainer:
         )
         if not os.path.isdir(self.feed_path):
             return  # empty store: nothing to fold yet
-        feed_schema = T.StructType(
-            EVENT_SCHEMA.fields
-            + [T.StructField("delivery_commit", T.LongType(), True)]
-        )
-        src = spark.readStream.schema(feed_schema).parquet(self.feed_path)
+        from sierradb_spark.streaming.subscribe import sink_schema
+
+        src = spark.readStream.schema(sink_schema()).parquet(self.feed_path)
         heads = stream_heads_view(src)
 
         def sink(batch: DataFrame, _bid: int) -> None:

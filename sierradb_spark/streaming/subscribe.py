@@ -97,6 +97,22 @@ class PartitionMatcher:
         return cond & gate
 
 
+def sink_schema():
+    """Schema of a ``start_to_sink``/``catchup_to_sink`` table:
+    EVENT_SCHEMA plus the ``delivery_commit`` audit column. The ONE
+    construction site — the empty-sink reader and the stateful heads
+    feed both import this, so a future sink column can't silently
+    diverge between them."""
+    from pyspark.sql import types as T
+
+    from sierradb_spark.eventstore.schema import EVENT_SCHEMA
+
+    return T.StructType(
+        EVENT_SCHEMA.fields
+        + [T.StructField("delivery_commit", T.LongType(), True)]
+    )
+
+
 def read_subscription_sink(
     spark, sink_path: str, after_commit: int | None = None
 ) -> DataFrame:
@@ -118,15 +134,7 @@ def read_subscription_sink(
     directory at all (the producer side legally starts on an empty
     store); that reads as an empty result, not an error."""
     if not os.path.isdir(sink_path):
-        from pyspark.sql import types as T
-
-        from sierradb_spark.eventstore.schema import EVENT_SCHEMA
-
-        schema = T.StructType(
-            EVENT_SCHEMA.fields
-            + [T.StructField("delivery_commit", T.LongType(), True)]
-        )
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], sink_schema())
     df = spark.read.parquet(sink_path)
     if after_commit is not None:
         df = df.where(F.col("delivery_commit") > int(after_commit))
@@ -198,10 +206,19 @@ class Subscription:
         except FileNotFoundError:
             return {"last_commit": None, "watermarks": {}, "pending": {}}
         if "watermarks" not in raw:  # legacy flat {pid: seq} cursor file
+            # ``legacy``: the old cursor has no commit anchor, but its
+            # watermarks prove every commit the source already listed
+            # was processed — so the NEXT pending commit (whatever its
+            # number; the file source never re-lists processed
+            # manifests) is a valid anchor. Without this flag the
+            # cold-start rule (commit 1 or a base required) would block
+            # every incremental commit and silently stall delivery
+            # until the next compaction publishes a base.
             return {
                 "last_commit": None,
                 "watermarks": {int(k): int(v) for k, v in raw.items()},
                 "pending": {},
+                "legacy": True,
             }
         return {
             "last_commit": raw["last_commit"],
@@ -259,7 +276,13 @@ class Subscription:
             # retained, base 4 pending in a later trigger) — silent
             # loss. Blocking instead is safe: the chain resolves, so a
             # base (or commit 1) is guaranteed to be listed eventually.
-            fresh_ok = last is None and (c == 1 or entry["base"])
+            # A legacy (pre-anchor) cursor accepts ANY first commit: its
+            # watermarks already cover everything the source listed
+            # before the upgrade, and the source only delivers new
+            # manifests — see _load_cursor.
+            fresh_ok = last is None and (
+                c == 1 or entry["base"] or cursor.get("legacy", False)
+            )
             if fresh_ok or (last is not None and c == last + 1) or entry["base"]:
                 todo.append(pending.pop(c))
                 cursor["last_commit"] = c

@@ -451,7 +451,38 @@ def test_cursor_file_roundtrip_and_legacy_format(store, tmp_path):
         "last_commit": None,
         "watermarks": {0: 5, 2: 7},
         "pending": {},
+        "legacy": True,
     }
+
+
+def test_legacy_cursor_accepts_next_incremental_commit(store, tmp_path):
+    """Upgrade path: a pre-anchor (flat) cursor file must NOT stall on
+    the next incremental commit. The old code processed every commit the
+    source listed (the watermarks prove it); the file source never
+    re-lists them, so the first pending commit — whatever its number,
+    base or not — is the valid anchor. Without the legacy flag the
+    cold-start rule (commit 1 or a base) would block it forever on a
+    store that never compacts."""
+    import json as _json
+
+    sub = Subscription(store, PartitionMatcher())
+    ckpt = str(tmp_path / "legacy_ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    with open(sub._cursor_path(ckpt), "w") as f:
+        _json.dump({"0": 99}, f)  # old flat format, mid-stream
+    cur = sub._load_cursor(ckpt)
+    cur["pending"][7] = {
+        "base": False,
+        "watermarks": {"0": 120},
+        "events_add": ["partition_id=0/x.parquet"],
+    }
+    todo = Subscription._pop_deliverable(cur)
+    assert [t["events_add"] for t in todo] == [["partition_id=0/x.parquet"]]
+    assert cur["last_commit"] == 7
+    # A FRESH cursor (no file at all) must still insist on a chain start.
+    fresh = sub._load_cursor(str(tmp_path / "nope"))
+    fresh["pending"][7] = {"base": False, "watermarks": {}, "events_add": ["y"]}
+    assert Subscription._pop_deliverable(fresh) == []
 
 
 def test_live_tail_processing_time_trigger(store, tmp_path):
