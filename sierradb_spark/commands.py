@@ -16,7 +16,10 @@ from the stored nanoseconds, exactly like the server's
 ``timestamp / 1_000_000``).
 
 Supported commands: PING, INFO, EAPPEND, EMAPPEND, EGET, ESCAN,
-EPSCAN, ESVER, EPSEQ, ESUB, EPSUB. ESUB/EPSUB return an *unstarted*
+EPSCAN, ESVER, EPSEQ, ESUB, EPSUB. Extensions beyond the reference
+grammar: ``REVERSE`` on ESCAN/EPSCAN (reverse iteration, R6) and
+``AS_OF <commit>`` on every read command (time travel over the
+manifest chain). ESUB/EPSUB return an *unstarted*
 :class:`~sierradb_spark.streaming.subscribe.Subscription` — start it
 with ``.start(deliver, checkpoint)`` (push delivery) or
 ``.start_to_sink(...)``; EACK is not a standalone command here because
@@ -116,6 +119,13 @@ def _append_resp(r, ts_ms: int) -> dict:
     }
 
 
+def _as_of(opts: dict) -> "int | None":
+    """AS_OF <commit> — an EXTENSION argument on every read command
+    (the reference has no time travel; our manifest chain does, see
+    EventStore ``as_of``). Reads resolve the snapshot at that commit."""
+    return int(_s(opts["AS_OF"])) if "AS_OF" in opts else None
+
+
 def _pk_of(stream_id: str) -> str:
     from sierradb_spark import ids
 
@@ -191,15 +201,21 @@ def execute_command(store: EventStore, cmd: Any, *args: Any) -> Any:
             for r, req in zip(results, reqs)
         ]
     if name == "EGET":
-        if len(a) != 1:
-            raise CommandError("EGET <event_id>")
-        return _event_rows(store.get(_s(a[0])))
+        if not a:
+            raise CommandError("EGET <event_id> [AS_OF <commit>]")
+        opts, rest = _parse_append_opts(a[1:], {"AS_OF"})
+        if rest:
+            raise CommandError(f"unexpected arguments: {rest}")
+        return _event_rows(store.get(_s(a[0]), as_of=_as_of(opts)))
     if name in ("ESCAN", "EPSCAN"):
         if len(a) < 3:
             raise CommandError(f"{name} requires <target> <start> <end>")
         target, start, end = a[0], _range(a[1]), _range(a[2])
         opts, rest = _parse_append_opts(
-            a[3:], {"PARTITION_KEY", "COUNT"} if name == "ESCAN" else {"COUNT"}
+            a[3:],
+            {"PARTITION_KEY", "COUNT", "AS_OF"}
+            if name == "ESCAN"
+            else {"COUNT", "AS_OF"},
         )
         direction = "forward"
         if rest and _s(rest[0]).upper() == "REVERSE":  # extension, iter.rs R6
@@ -211,26 +227,32 @@ def execute_command(store: EventStore, cmd: Any, *args: Any) -> Any:
             df = store.scan(
                 _s(target), start, end, count=count, direction=direction,
                 partition_key=_s(opts["PARTITION_KEY"]) if "PARTITION_KEY" in opts else None,
+                as_of=_as_of(opts),
             )
         else:
             df = store.pscan(
-                int(_s(target)), start, end, count=count, direction=direction
+                int(_s(target)), start, end, count=count, direction=direction,
+                as_of=_as_of(opts),
             )
         return _event_rows(df)
     if name == "ESVER":
         if not a:
-            raise CommandError("ESVER <stream_id> [PARTITION_KEY <pk>]")
-        opts, rest = _parse_append_opts(a[1:], {"PARTITION_KEY"})
+            raise CommandError("ESVER <stream_id> [PARTITION_KEY <pk>] [AS_OF <commit>]")
+        opts, rest = _parse_append_opts(a[1:], {"PARTITION_KEY", "AS_OF"})
         if rest:
             raise CommandError(f"unexpected arguments: {rest}")
         return store.stream_version(
             _s(a[0]),
             partition_key=_s(opts["PARTITION_KEY"]) if "PARTITION_KEY" in opts else None,
+            as_of=_as_of(opts),
         )
     if name == "EPSEQ":
-        if len(a) != 1:
-            raise CommandError("EPSEQ <partition>")
-        return store.partition_sequence(int(_s(a[0])))
+        if not a:
+            raise CommandError("EPSEQ <partition> [AS_OF <commit>]")
+        opts, rest = _parse_append_opts(a[1:], {"AS_OF"})
+        if rest:
+            raise CommandError(f"unexpected arguments: {rest}")
+        return store.partition_sequence(int(_s(a[0])), as_of=_as_of(opts))
     if name == "ESUB":
         return _parse_esub(store, a)
     if name == "EPSUB":

@@ -120,3 +120,18 @@ def test_register_views_sql_access(store, spark):
     assert heads == 1
     wm = spark.sql("SELECT sum(confirmed_sequence) s FROM sierra_watermarks")
     assert wm.collect()[0]["s"] == 1
+
+
+def test_as_of_time_travel_reads(store):
+    ex(store, "EAPPEND", "tt-1", "E1")  # commit 1
+    ex(store, "EAPPEND", "tt-1", "E2")  # commit 2
+    assert ex(store, "ESVER", "tt-1", "AS_OF", 1) == 0
+    assert ex(store, "ESVER", "tt-1") == 1
+    old = ex(store, "ESCAN", "tt-1", "-", "+", "AS_OF", 1)
+    assert [r["event_name"] for r in old] == ["E1"]
+    pid = old[0]["partition_id"]
+    assert ex(store, "EPSEQ", pid, "AS_OF", 1) == 0
+    assert ex(store, "EPSEQ", pid) == 1
+    # EGET of the second event against the first snapshot: not visible.
+    e2 = ex(store, "ESCAN", "tt-1", 1, 1)[0]["event_id"]
+    assert ex(store, "EGET", e2, "AS_OF", 1) == []
