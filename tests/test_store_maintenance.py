@@ -78,3 +78,76 @@ def test_stats_snapshot(spark, tmp_path):
     assert s2["total_events"] == 21
     assert s2["events_files"] <= files_before
     assert s2["commits_resolvable"] == 1  # base manifest only
+
+
+def test_zorder_compaction_rowgroup_skipping(spark, tmp_path):
+    """compact(order='zorder') must give SEQUENCE ranges real row-group
+    skipping on the rewritten file, where the stream sort cannot (a
+    stream-sorted file spreads every sequence range across ~all row
+    groups), while keeping scan/pscan results identical."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))  # force many row groups
+    try:
+        results = {}
+        for order in ("stream", "zorder"):
+            st = EventStore(
+                spark,
+                str(tmp_path / f"z_{order}"),
+                EngineConfig(shuffle_partitions=8),
+            )
+            # One explicit partition key -> one hive dir, one deep file.
+            pk = "f0e1d2c3-0000-5000-8000-000000000001"
+            reqs = spark.range(24_000).select(
+                F.concat(F.lit("zs-"), (F.col("id") % 64).cast("string")).alias(
+                    "stream_id"
+                ),
+                F.lit("Z").alias("event_name"),
+                F.encode(F.col("id").cast("string"), "utf-8").alias("payload"),
+                F.lit(pk).alias("partition_key"),
+            )
+            assert st.append_df(reqs).where("accepted").count() == 24_000
+            st.compact(order=order)
+            files = [
+                f
+                for f in glob.glob(f"{st.events_path}/partition_id=*/*.parquet")
+                if "compact-" in f
+            ]
+            assert len(files) == 1
+            meta = pq.ParquetFile(files[0]).metadata
+            idx = {
+                meta.schema.column(i).name: i
+                for i in range(meta.schema.column(0) and meta.num_columns)
+            }
+            n_rg = meta.num_row_groups
+            assert n_rg >= 8, f"need many row groups, got {n_rg}"
+            seqs = [
+                (
+                    meta.row_group(g).column(idx["partition_sequence"]).statistics.min,
+                    meta.row_group(g).column(idx["partition_sequence"]).statistics.max,
+                )
+                for g in range(n_rg)
+            ]
+            total = max(mx for _, mx in seqs)
+            lo, hi = int(total * 0.45), int(total * 0.55)  # a 10% range
+            touched = sum(1 for mn, mx in seqs if not (mx < lo or mn > hi))
+            results[order] = (touched / n_rg, st)
+        z_frac, zst = results["zorder"]
+        s_frac, _ = results["stream"]
+        # Stream sort: the 10% sequence range hits ~every row group.
+        assert s_frac > 0.8, f"stream-sorted seq selectivity {s_frac}"
+        # Z-order: bounded fraction, and strictly better than stream sort.
+        assert z_frac < 0.6 and z_frac < s_frac, (z_frac, s_frac)
+        # Correctness unchanged: pscan over the range matches seq arithmetic.
+        pid = zst.pscan(zst.stats()["partitions_touched"] and int(
+            next(iter(zst.stats()["confirmed_sequences"]))
+        ), lo, hi)
+        assert pid.count() == hi - lo + 1
+    finally:
+        if prev is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev)
