@@ -180,6 +180,7 @@ class StreamIngest:
         on_batch=None,
         compact_every: int | None = None,
         compact_retain_seconds: float = 600.0,
+        compact_order: str = "stream",
     ) -> StreamingQuery:
         """``compact_every``: run ``store.compact()`` after every N
         committed micro-batches (the automatic segment-rollover cadence,
@@ -193,7 +194,12 @@ class StreamIngest:
         Subscriptions tail the manifest log: a zero window would let
         compaction unlink a listed-but-unprocessed manifest (or its
         parquet files) out from under the subscriber's streaming query.
-        Set it above your longest concurrent query/subscriber lag."""
+        Set it above your longest concurrent query/subscriber lag.
+
+        ``compact_order``: sort order for the rewritten files —
+        ``"stream"`` (ESCAN-optimal) or ``"zorder"`` (balanced
+        stream/sequence row-group skipping; see
+        :meth:`EventStore.compact`)."""
         if not requests.isStreaming:
             raise ValueError("requests must be a streaming DataFrame")
 
@@ -235,7 +241,9 @@ class StreamIngest:
                 and batch_id > 0
                 and batch_id % compact_every == 0
             ):
-                self.store.compact(retain_seconds=compact_retain_seconds)
+                self.store.compact(
+                    retain_seconds=compact_retain_seconds, order=compact_order
+                )
             if on_batch is not None:
                 on_batch(batch_id, result)
 

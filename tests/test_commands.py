@@ -135,3 +135,19 @@ def test_as_of_time_travel_reads(store):
     # EGET of the second event against the first snapshot: not visible.
     e2 = ex(store, "ESCAN", "tt-1", 1, 1)[0]["event_id"]
     assert ex(store, "EGET", e2, "AS_OF", 1) == []
+
+
+def test_esub_built_subscription_delivers(store, tmp_path):
+    """An ESUB-built Subscription must actually deliver: catchup from
+    the parsed FROM version, ordered, exactly the matched stream."""
+    ex(store, "EAPPEND", "d-a", "E0")
+    ex(store, "EAPPEND", "d-a", "E1")
+    ex(store, "EAPPEND", "d-b", "X0")
+    ex(store, "EAPPEND", "d-a", "E2")
+    sub = ex(store, "ESUB", "d-a", "FROM", 1)
+    got: list = []
+    sub.catchup(got.extend, str(tmp_path / "esub_ckpt"))
+    assert [(r["stream_id"], r["stream_version"], r["event_name"]) for r in got] == [
+        ("d-a", 1, "E1"),
+        ("d-a", 2, "E2"),
+    ]
