@@ -290,3 +290,82 @@ def doc_chunk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.col("toks"), start + 1, _CHUNK_W), " ")
         ).alias("chunk_hash"),
     )
+
+
+@REG.add(
+    "readability_scores",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, {_SQL_WORDS} AS toks,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, lang, n_sentences,
+                   len(toks) AS n_words,
+                   list_sum(list_transform(toks,
+                       w -> greatest(len(regexp_extract_all(lower(w),
+                                                            '[aeiouy]+')), 1)))
+                       AS n_syllables
+            FROM t WHERE len(toks) >= 1
+        )
+        SELECT doc_id, lang,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                     - 84.6 * (n_syllables::DOUBLE / n_words), 3)
+                   AS flesch_ease
+        FROM s
+    """,
+    doc="Flesch reading-ease per document with a vowel-group syllable "
+    "heuristic (every [aeiouy]+ run = one syllable, floor 1/word) and "
+    "[.!?]+ runs as sentence breaks — the classic cheap readability gate "
+    "(too-easy = listicles/spam, too-hard = OCR garbage). Single map-side "
+    "pass: tokenization, syllable counting, and the formula are all "
+    "array/regex built-ins; no shuffle at all.",
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    toks = _toks()
+    # Syllables per word = vowel-group runs (floor 1). Counted by
+    # replacing each [aeiouy]+ run with a sentinel and splitting on it:
+    # n_parts - 1 == n_runs (regexp_extract_all has no Column form that
+    # a transform lambda variable can reach).
+    syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.size(
+                    F.split(F.regexp_replace(F.lower(w), "[aeiouy]+", "\x01"), "\x01")
+                )
+                - 1,
+                F.lit(1),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    t = d.select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        n_sent.alias("n_sentences"),
+        syll.alias("n_syllables"),
+    ).where(F.size("toks") >= 1)
+    nw = F.size("toks").cast("double")
+    return t.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_words"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.round(
+            206.835
+            - 1.015 * (nw / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables") / nw),
+            3,
+        ).alias("flesch_ease"),
+    )
