@@ -30,6 +30,7 @@ from sierradb_spark.functions import (
     pipeline,
     quality,
     similarity,
+    substring,
     text,
     text2,
     text3,
@@ -62,6 +63,7 @@ for mod in (
     graphs,
     clustering,
     stats,
+    substring,
 ):
     REGISTRY.merge(mod.REG)
 

@@ -330,3 +330,28 @@ def test_sessionize_single_exchange(q):
     # total. A second exchange here would re-shuffle the whole event
     # table at 100 TB for nothing.
     assert_plan(q("sessionize_streams"), max_shuffles=1)
+
+
+def test_substring_scrub_spans_broadcast_no_text_in_shuffles(q):
+    """Exact-substring scrub: the span table (tiny) must broadcast into
+    the word-table anti-join — shuffling the exploded word table by a
+    span key would move the whole corpus; and the island windows must
+    run partitioned by doc_id over digest-derived positions only (gram
+    text never appears in any exchange)."""
+    f = assert_plan(q("substring_scrubbed_corpus"), forbid_cartesian=True)
+    plan = f["plan"]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    specs = _window_partition_specs(plan)
+    assert specs and all(s.startswith("doc_id") for s in specs), specs
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\([^)]*\)[^\n]*", plan):
+        assert "gram" not in ex, f"gram text in a shuffle: {ex}"
+
+
+def test_repeated_span_stats_digest_only_shuffle(q):
+    # The dup-gram aggregate shuffles digests only; the per-doc island
+    # windows are doc_id-partitioned; no pair enumeration anywhere.
+    f = assert_plan(q("repeated_span_stats"), forbid_nested_loop=True)
+    specs = _window_partition_specs(f["plan"])
+    assert specs and all(s.startswith("doc_id") for s in specs), specs
