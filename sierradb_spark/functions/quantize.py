@@ -162,3 +162,342 @@ def sq8_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.abs(F.col("d") - F.col("x"))), 6).alias("mean_abs_err")
     )
     return n_dims.crossJoin(overlap).crossJoin(err)
+
+
+_MRL_DIMS = (8, 16, 32)  # Matryoshka prefix widths audited (full dim = 64)
+
+
+@REG.add(
+    "matryoshka_truncation_recall",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT emb AS qv FROM v WHERE vec_id = 0),
+        topx AS (
+            SELECT v.vec_id FROM v, q
+            WHERE v.vec_id <> 0
+            ORDER BY round(list_dot_product(v.emb, q.qv)
+                           / nullif(sqrt(list_dot_product(v.emb, v.emb))
+                                    * sqrt(list_dot_product(q.qv, q.qv)), 0),
+                           4) DESC,
+                     v.vec_id ASC
+            LIMIT 10
+        ),
+        ks AS (SELECT unnest({list(_MRL_DIMS)}) AS k),
+        t AS (
+            SELECT ks.k, v.vec_id,
+                   round(list_dot_product(v.emb[1:ks.k], q.qv[1:ks.k])
+                         / nullif(sqrt(list_dot_product(v.emb[1:ks.k],
+                                                        v.emb[1:ks.k]))
+                                  * sqrt(list_dot_product(q.qv[1:ks.k],
+                                                          q.qv[1:ks.k])), 0),
+                         4) AS c
+            FROM v, q, ks WHERE v.vec_id <> 0
+        ),
+        r AS (
+            SELECT k, vec_id,
+                   row_number() OVER (PARTITION BY k
+                                      ORDER BY c DESC, vec_id ASC) AS rk
+            FROM t
+        )
+        SELECT CAST(r.k AS INT) AS truncate_dim,
+               CAST(count(*) AS BIGINT) AS overlap_at_10
+        FROM r JOIN topx USING (vec_id)
+        WHERE r.rk <= 10
+        GROUP BY r.k
+    """,
+    doc="Matryoshka-style truncation audit: cosine top-10 using only the "
+    f"first k dims (k in {list(_MRL_DIMS)}) vs the full-dim exact top-10, "
+    "per-k overlap. The coarse-to-fine retrieval lever — search on a "
+    "prefix, rerank on the full vector — priced before anyone flips it "
+    "on. One corpus scan serves every k (the prefix cosine is array "
+    "algebra over the same rows); per-k ranking is a k-partitioned "
+    "window, never a global sort.",
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from sierradb_spark.functions.similarity import cosine_col, _dvec
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding").alias("emb"))
+    q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    body = v.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    topx = (
+        body.select(
+            "vec_id",
+            F.round(cosine_col(F.col("emb"), F.col("qv")), 4).alias("c"),
+        )
+        .orderBy(F.col("c").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    t = body.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(k) for k in _MRL_DIMS])).alias("k"),
+        "emb",
+        "qv",
+    ).select(
+        "k",
+        "vec_id",
+        F.round(
+            cosine_col(
+                F.slice(F.col("emb"), F.lit(1), F.col("k")),
+                F.slice(F.col("qv"), F.lit(1), F.col("k")),
+            ),
+            4,
+        ).alias("c"),
+    )
+    w = Window.partitionBy("k").orderBy(F.col("c").desc(), F.col("vec_id").asc())
+    r = t.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+    return (
+        r.join(F.broadcast(topx), "vec_id")
+        .groupBy("k")
+        .agg(F.count("*").alias("overlap_at_10"))
+        .select(
+            F.col("k").cast("int").alias("truncate_dim"),
+            "overlap_at_10",
+        )
+    )
+
+
+_PQ_M = 4  # subspaces
+_PQ_SD = 16  # dims per subspace (full dim 64)
+_PQ_K = 16  # centroids per subspace (4-bit codes)
+
+
+@REG.add(
+    "pq_adc_recall",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        sub AS (
+            SELECT v.vec_id, js.j,
+                   v.emb[(js.j * {_PQ_SD} + 1):(js.j * {_PQ_SD} + {_PQ_SD})]
+                       AS sv
+            FROM v, (SELECT unnest(range({_PQ_M})) AS j) js
+        ),
+        c0 AS (
+            SELECT j, vec_id AS cid, sv AS cent FROM sub
+            WHERE vec_id < {_PQ_K}
+        ),
+        d1 AS (
+            SELECT s.vec_id, s.j, c.cid,
+                   list_dot_product(s.sv, s.sv)
+                   - 2 * list_dot_product(s.sv, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS dist
+            FROM sub s JOIN c0 c ON s.j = c.j
+        ),
+        a1 AS (
+            SELECT vec_id, j, min(cid) AS cid
+            FROM (
+                SELECT vec_id, j, cid, dist,
+                       min(dist) OVER (PARTITION BY vec_id, j) AS md
+                FROM d1
+            ) WHERE dist = md
+            GROUP BY vec_id, j
+        ),
+        u AS (
+            SELECT vec_id, j, unnest(range(len(sv))) AS i, unnest(sv) AS x
+            FROM sub
+        ),
+        m1 AS (
+            SELECT a.j, a.cid, u.i, round(avg(u.x), 9) AS mu
+            FROM a1 a JOIN u ON u.vec_id = a.vec_id AND u.j = a.j
+            GROUP BY a.j, a.cid, u.i
+        ),
+        c1 AS (
+            SELECT j, cid, list(mu ORDER BY i) AS cent
+            FROM m1 GROUP BY j, cid
+        ),
+        d2 AS (
+            SELECT s.vec_id, s.j, c.cid,
+                   list_dot_product(s.sv, s.sv)
+                   - 2 * list_dot_product(s.sv, c.cent)
+                   + list_dot_product(c.cent, c.cent) AS dist
+            FROM sub s JOIN c1 c ON s.j = c.j
+        ),
+        a2 AS (
+            SELECT vec_id, j, min(cid) AS cid
+            FROM (
+                SELECT vec_id, j, cid, dist,
+                       min(dist) OVER (PARTITION BY vec_id, j) AS md
+                FROM d2
+            ) WHERE dist = md
+            GROUP BY vec_id, j
+        ),
+        recon AS (
+            SELECT a.vec_id, flatten(list(c.cent ORDER BY a.j)) AS rv
+            FROM a2 a JOIN c1 c ON c.j = a.j AND c.cid = a.cid
+            GROUP BY a.vec_id
+        ),
+        q AS (SELECT emb AS qv FROM v WHERE vec_id = 0),
+        adc AS (
+            SELECT r.vec_id,
+                   list_dot_product(q.qv, q.qv)
+                   - 2 * list_dot_product(q.qv, r.rv)
+                   + list_dot_product(r.rv, r.rv) AS ad
+            FROM recon r, q WHERE r.vec_id <> 0
+        ),
+        topa AS (
+            SELECT vec_id FROM adc
+            ORDER BY round(ad, 6) ASC, vec_id ASC LIMIT 10
+        ),
+        exact AS (
+            SELECT v.vec_id,
+                   list_dot_product(v.emb, v.emb)
+                   - 2 * list_dot_product(v.emb, q.qv)
+                   + list_dot_product(q.qv, q.qv) AS xd
+            FROM v, q WHERE v.vec_id <> 0
+        ),
+        topx AS (
+            SELECT vec_id FROM exact
+            ORDER BY round(xd, 6) ASC, vec_id ASC LIMIT 10
+        ),
+        err AS (
+            SELECT round(avg((list_dot_product(v.emb, v.emb)
+                              - 2 * list_dot_product(v.emb, r.rv)
+                              + list_dot_product(r.rv, r.rv))
+                             / {_PQ_M * _PQ_SD}), 6) AS recon_mse
+            FROM v JOIN recon r USING (vec_id)
+        )
+        SELECT CAST({_PQ_M} AS INT) AS n_subspaces,
+               CAST({_PQ_K} AS INT) AS n_centroids,
+               CAST((SELECT count(*) FROM topa JOIN topx USING (vec_id))
+                    AS BIGINT) AS overlap_at_10,
+               (SELECT recon_mse FROM err) AS recon_mse
+    """,
+    doc=f"Product quantization audit: {_PQ_M} subspaces x {_PQ_K} centroids "
+    "(4-bit codes, 64x smaller than float32), per-subspace codebooks "
+    "trained by deterministic Lloyd's (init = lowest vec_ids, one update "
+    "round, centroids rounded to 9 decimals so both engines quantize "
+    "identically); L2 top-10 on the reconstructed vectors vs the exact "
+    "top-10, plus the mean per-dim reconstruction error. The "
+    "reconstruction-distance form is mathematically identical to the "
+    "ADC lookup-table sum a production scorer uses — the LUT is just "
+    "this computation factored per subspace. Codebooks are O(m*k*d/m) "
+    "doubles — broadcast; assignment passes never shuffle the corpus.",
+)
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from sierradb_spark.functions.similarity import dot_col, _dvec
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding").alias("emb"))
+    sub = v.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
+        "emb",
+    ).select(
+        "vec_id",
+        "j",
+        F.slice(F.col("emb"), F.col("j") * _PQ_SD + 1, _PQ_SD).alias("sv"),
+    )
+    # Pin the subvector table: both assignment passes, the centroid
+    # update, and the reconstruction error read it.
+    sub = sub.localCheckpoint(eager=False)
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d = sub.join(F.broadcast(cents), "j").select(
+            "vec_id",
+            "j",
+            "cid",
+            (
+                dot_col(F.col("sv"), F.col("sv"))
+                - 2 * dot_col(F.col("sv"), F.col("cent"))
+                + dot_col(F.col("cent"), F.col("cent"))
+            ).alias("dist"),
+        )
+        wmin = Window.partitionBy("vec_id", "j")
+        return (
+            d.withColumn("md", F.min("dist").over(wmin))
+            .where(F.col("dist") == F.col("md"))
+            .groupBy("vec_id", "j")
+            .agg(F.min("cid").alias("cid"))
+        )
+
+    c0 = sub.where(F.col("vec_id") < _PQ_K).select(
+        "j", F.col("vec_id").alias("cid"), F.col("sv").alias("cent")
+    )
+    a1 = assign(c0)
+    u = sub.select("vec_id", "j", F.posexplode("sv").alias("i", "x"))
+    m1 = (
+        a1.join(u, ["vec_id", "j"])
+        .groupBy("j", "cid", "i")
+        .agg(F.round(F.avg("x"), 9).alias("mu"))
+    )
+    c1 = m1.groupBy("j", "cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "mu"))), lambda s: s.mu
+        ).alias("cent")
+    )
+    c1 = c1.localCheckpoint(eager=False)  # read by a2, recon
+    a2 = assign(c1)
+    recon = (
+        a2.join(F.broadcast(c1), ["j", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("j", "cent"))),
+                    lambda s: s.cent,
+                )
+            ).alias("rv")
+        )
+        .localCheckpoint(eager=False)  # read by adc + err
+    )
+    q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    adc = (
+        recon.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot_col(F.col("qv"), F.col("qv"))
+                - 2 * dot_col(F.col("qv"), F.col("rv"))
+                + dot_col(F.col("rv"), F.col("rv"))
+            ).alias("ad"),
+        )
+    )
+    topa = (
+        adc.orderBy(F.round("ad", 6).asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    exact = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                dot_col(F.col("emb"), F.col("emb"))
+                - 2 * dot_col(F.col("emb"), F.col("qv"))
+                + dot_col(F.col("qv"), F.col("qv"))
+            ).alias("xd"),
+        )
+    )
+    topx = (
+        exact.orderBy(F.round("xd", 6).asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    err = v.join(recon, "vec_id").agg(
+        F.round(
+            F.avg(
+                (
+                    dot_col(F.col("emb"), F.col("emb"))
+                    - 2 * dot_col(F.col("emb"), F.col("rv"))
+                    + dot_col(F.col("rv"), F.col("rv"))
+                )
+                / (_PQ_M * _PQ_SD)
+            ),
+            6,
+        ).alias("recon_mse")
+    )
+    head = topa.join(topx, "vec_id").agg(
+        F.count("*").alias("overlap_at_10")
+    )
+    return (
+        head.select(
+            F.lit(_PQ_M).cast("int").alias("n_subspaces"),
+            F.lit(_PQ_K).cast("int").alias("n_centroids"),
+            "overlap_at_10",
+        ).crossJoin(err)
+    )
