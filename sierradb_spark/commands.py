@@ -17,9 +17,10 @@ from the stored nanoseconds, exactly like the server's
 
 Supported commands: PING, INFO, EAPPEND, EMAPPEND, EGET, ESCAN,
 EPSCAN, ESVER, EPSEQ, ESUB, EPSUB. Extensions beyond the reference
-grammar: ``REVERSE`` on ESCAN/EPSCAN (reverse iteration, R6) and
+grammar: ``REVERSE`` on ESCAN/EPSCAN (reverse iteration, R6),
 ``AS_OF <commit>`` on every read command (time travel over the
-manifest chain). ESUB/EPSUB return an *unstarted*
+manifest chain), and ``ECHANGES <since> [TO <commit>]`` (the batch
+change feed — events added by commits in the range). ESUB/EPSUB return an *unstarted*
 :class:`~sierradb_spark.streaming.subscribe.Subscription` — start it
 with ``.start(deliver, checkpoint)`` (push delivery) or
 ``.start_to_sink(...)``; EACK is not a standalone command here because
@@ -253,6 +254,21 @@ def execute_command(store: EventStore, cmd: Any, *args: Any) -> Any:
         if rest:
             raise CommandError(f"unexpected arguments: {rest}")
         return store.partition_sequence(int(_s(a[0])), as_of=_as_of(opts))
+    if name == "ECHANGES":
+        # Extension: ECHANGES <since_commit> [TO <commit>] — the batch
+        # change feed (EventStore.changes): events added by commits in
+        # (since, to], compaction-safe (see changes() docstring). The
+        # polling counterpart of ESUB at the same commit granularity.
+        if not a:
+            raise CommandError("ECHANGES <since_commit> [TO <commit>]")
+        opts, rest = _parse_append_opts(a[1:], {"TO"})
+        if rest:
+            raise CommandError(f"unexpected arguments: {rest}")
+        to = int(_s(opts["TO"])) if "TO" in opts else None
+        df = store.changes(int(_s(a[0])), to=to)
+        return _event_rows(
+            df.orderBy("partition_id", "partition_sequence")
+        )
     if name == "ESUB":
         return _parse_esub(store, a)
     if name == "EPSUB":

@@ -575,6 +575,67 @@ class EventStore:
             .parquet(*paths)
         )
 
+    def changes(
+        self, since: int, to: Optional[int] = None
+    ) -> DataFrame:
+        """Change feed: the events ADDED by commits in ``(since, to]`` —
+        the Delta Change-Data-Feed analogue over the manifest chain
+        (append-only table, so every change is an insert).
+
+        A consumer that processed through commit N calls
+        ``changes(N)`` to get exactly the events of commits N+1..head —
+        the batch-pull counterpart of a Subscription (same commit
+        granularity the subscription's delivery cursor acks at), for
+        consumers that poll instead of streaming.
+
+        Base manifests inside the range are SKIPPED: a compaction
+        commit re-lists rewritten bytes but adds no events, so the feed
+        never re-delivers across a compaction. Raises
+        :class:`SnapshotExpiredError` when an incremental manifest in
+        the range was swept (its adds can no longer be distinguished
+        from the base's re-list) — increase ``compact(retain_seconds)``
+        to keep a longer change-feed window.
+
+        Scale: resolving the range is driver-side manifest arithmetic
+        (no Spark jobs); the returned DataFrame scans only the named
+        files — cost proportional to the change set, never the table.
+        """
+        try:
+            names = sorted(
+                n for n in os.listdir(self.commits_path) if n.endswith(".json")
+            )
+        except FileNotFoundError:
+            names = []
+        have = {int(n.split(".")[0]): n for n in names}
+        head = max(have) if have else 0
+        if to is None:
+            to = head
+        if to > head:
+            raise ValueError(f"to={to} exceeds the head commit {head}")
+        if since > to:
+            raise ValueError(f"since={since} is past to={to}")
+        files: list[str] = []
+        for c in range(since + 1, to + 1):
+            name = have.get(c)
+            if name is None:
+                raise SnapshotExpiredError(
+                    f"change feed ({since}, {to}] is not reconstructable: "
+                    f"commit {c}'s manifest was compacted away (increase "
+                    "compact()'s retain_seconds to keep a longer change-feed "
+                    "window)"
+                )
+            m = self._load_manifest(name)
+            if m.get("base"):
+                continue  # re-listed bytes, no new events
+            files.extend(m.get("events_add", ()))
+        if not files:
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        return (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .option("basePath", self.events_path)
+            .parquet(*[os.path.join(self.events_path, f) for f in files])
+        )
+
     def heads(self, as_of: Optional[int] = None) -> DataFrame:
         """The stream-heads log: latest (stream_version,
         partition_sequence) per stream as of each commit; read with

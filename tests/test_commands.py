@@ -151,3 +151,21 @@ def test_esub_built_subscription_delivers(store, tmp_path):
         ("d-a", 1, "E1"),
         ("d-a", 2, "E2"),
     ]
+
+
+def test_echanges_command_feed(store):
+    ex(store, "EAPPEND", "ch-1", "A0")
+    ex(store, "EAPPEND", "ch-2", "B0")
+    ex(store, "EAPPEND", "ch-1", "A1")
+    rows = ex(store, "ECHANGES", 1)
+    assert [(r["stream_id"], r["event_name"]) for r in rows] == [
+        ("ch-2", "B0"),
+        ("ch-1", "A1"),
+    ] or sorted((r["stream_id"], r["event_name"]) for r in rows) == [
+        ("ch-1", "A1"),
+        ("ch-2", "B0"),
+    ]
+    assert ex(store, "ECHANGES", 1, "TO", 2)[0]["event_name"] == "B0"
+    assert ex(store, "ECHANGES", 3) == []
+    with pytest.raises(CommandError):
+        ex(store, "ECHANGES")

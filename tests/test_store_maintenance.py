@@ -151,3 +151,32 @@ def test_zorder_compaction_rowgroup_skipping(spark, tmp_path):
             hconf.unset("parquet.block.size")
         else:
             hconf.set("parquet.block.size", prev)
+
+
+def test_changes_feed_commit_ranges(store):
+    from sierradb_spark.eventstore.store import SnapshotExpiredError
+
+    for b in range(3):
+        store.append([AppendRequest(f"cf-{i}", f"B{b}") for i in range(4)])
+    assert store.changes(0).count() == 12
+    batch2 = store.changes(1, 2)
+    assert sorted(r["event_name"] for r in batch2.collect()) == ["B1"] * 4
+    assert store.changes(2).count() == 4  # commit 3 only
+    assert store.changes(3).count() == 0  # caught up
+    with pytest.raises(ValueError):
+        store.changes(0, 99)  # beyond head
+    with pytest.raises(ValueError):
+        store.changes(3, 2)  # inverted range
+
+    # Compaction (retention 0) sweeps incremental manifests: a range that
+    # needs them errors instead of silently returning the base's re-list…
+    store.compact()
+    with pytest.raises(SnapshotExpiredError):
+        store.changes(1)
+    # …the base commit itself adds nothing, and post-compaction appends
+    # flow through the feed as usual.
+    base = store._read_state().commit
+    assert store.changes(base - 1).count() == 0  # base re-lists, adds nothing
+    store.append([AppendRequest("cf-new", "B3")])
+    post = store.changes(base)
+    assert [r["event_name"] for r in post.collect()] == ["B3"]
