@@ -137,3 +137,87 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("r", 6).alias("pagerank"),
         )
     )
+
+
+@REG.add(
+    "triangle_count_near_dup",
+    oracle="WITH "
+    + _SQL_WIDE_MINS
+    + """,
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
+             AND a.doc_id < b.doc_id
+        ),
+        und AS (
+            SELECT u, v FROM cand
+            UNION ALL
+            SELECT v AS u, u AS v FROM cand
+        ),
+        deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+        tri AS (
+            SELECT count(*) AS n_triangles
+            FROM cand e1
+            JOIN cand e2 ON e2.u = e1.v
+            JOIN cand e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_edges,
+               CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles,
+               floor(3.0 * (SELECT n_triangles FROM tri)
+                     / nullif((SELECT sum(d * (d - 1)) / 2 FROM deg), 0)
+                     * 1e6 + 0.5) / 1e6 AS transitivity
+    """,
+    doc="Triangle count + global clustering coefficient (transitivity = "
+    "3*triangles/wedges) over the production-width MinHash near-duplicate "
+    "graph — distinguishes tight template cliques (high transitivity) "
+    "from chain-like drift (low). The canonical ordered-edge triangle "
+    "join: each edge stored once as (u < v), triangles enumerated "
+    "u < v < w exactly once via two equi-joins — never an unordered "
+    "N^3 enumeration; wedges are pure degree arithmetic.",
+)
+def triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+
+    cand = (
+        minhash_wide_candidates(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=True)  # read 5 times below
+    )
+    und = cand.unionByName(
+        cand.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    e1, e2, e3 = cand.alias("e1"), cand.alias("e2"), cand.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = cand.agg(F.count("*").alias("n_edges"))
+    wedges = deg.agg((F.sum(F.col("d") * (F.col("d") - 1)) / 2).alias("w"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            (
+                F.floor(
+                    3.0
+                    * F.col("n_triangles")
+                    / F.nullif(F.col("w"), F.lit(0.0))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("transitivity"),
+        )
+    )

@@ -180,3 +180,35 @@ def test_changes_feed_commit_ranges(store):
     store.append([AppendRequest("cf-new", "B3")])
     post = store.changes(base)
     assert [r["event_name"] for r in post.collect()] == ["B3"]
+
+
+def test_incremental_view_maintenance_via_changes(store):
+    """The change feed supports incremental materialized-view
+    maintenance: folding only each commit range's delta into a running
+    aggregate must equal a full recompute over the whole table."""
+    from pyspark.sql import functions as F
+
+    acc: dict[str, int] = {}
+    last = 0
+    for b in range(4):
+        store.append(
+            [AppendRequest(f"ivm-{i % 3}", f"T{i % 2}") for i in range(5)]
+        )
+        head = store._read_state().commit
+        delta = (
+            store.changes(last)
+            .groupBy("event_name")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        for r in delta:
+            acc[r["event_name"]] = acc.get(r["event_name"], 0) + r["n"]
+        last = head
+    full = {
+        r["event_name"]: r["n"]
+        for r in store.events()
+        .groupBy("event_name")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert acc == full == {"T0": 12, "T1": 8}
