@@ -97,17 +97,20 @@ _FRONT_50 = [
     "multimodal_decode_metadata", "multimodal_metadata_only",
     "multimodal_byte_features", "multimodal_resize_plan",
     "multimodal_frame_sample",
-    # curation pipeline + quality + chunk/semantic dedup (17)
-    "deterministic_doc_sample", "train_shard_assignment",
-    "text_normalize_stats", "near_dup_components", "sequence_packing",
+    # curation pipeline + quality + chunk/semantic dedup (15)
+    "train_shard_assignment",
+    "near_dup_components", "sequence_packing",
     "chunk_dedup_survivors", "doc_repetition_gopher", "dedup_keep_best_quality",
     "quality_filter_funnel", "word_entropy_by_lang", "repetition_ratio_stats",
     "stratified_sample_by_lang", "token_bucket_histogram", "semdedup_survivors",
     "dedup_survivor_corpus",
-    # round-4 flagships: clustering + quantized-ANN audit (the generic
-    # relational entries they displaced are still behind the window and
-    # redundantly covered by the TPC-H sweep)
+    # round-3 flagships: clustering + quantized-ANN audit
     "kmeans_embedding_clusters", "sq8_quantized_recall",
+    # round-4 flagships: exact-substring span dedup (the displaced
+    # deterministic_doc_sample / text_normalize_stats remain behind the
+    # window; their machinery — hash sampling, text stats — is already
+    # exercised by stratified_sample_by_lang and the text/quality rows)
+    "repeated_span_stats", "substring_scrubbed_corpus",
 ]
 REGISTRY.reorder_front(_FRONT_50)
 
