@@ -610,6 +610,8 @@ class EventStore:
         head = max(have) if have else 0
         if to is None:
             to = head
+        if since < 0:
+            raise ValueError(f"since={since} must be >= 0 (0 = from genesis)")
         if to > head:
             raise ValueError(f"to={to} exceeds the head commit {head}")
         if since > to:
