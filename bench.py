@@ -140,6 +140,19 @@ def main() -> int:
             if half >= 1
             else 1.0
         )
+        # Median companion: a multi-batch stretch of external host load
+        # drags the half-MEAN down and masquerades as table-size
+        # degradation; the half-median ignores it. Real O(table) growth
+        # moves both — divergence between the two ratios reads as
+        # "noisy host", agreement as "trust the trend".
+        trend_med = (
+            round(
+                statistics.median(evps[half:]) / statistics.median(evps[:half]),
+                3,
+            )
+            if half >= 1
+            else 1.0
+        )
         # Reported in its own JSON section, NOT in the headline timings:
         # the headline value is compared round-over-round on a stable
         # query set, and this phase is a throughput probe, not a query.
@@ -147,6 +160,7 @@ def main() -> int:
             "total_seconds": round(sum(per_batch / r for r in evps), 3),
             "batches_evps": evps,
             "trend_ratio_last_half_over_first_half": trend,
+            "trend_ratio_median_halves": trend_med,
             "events_per_batch": per_batch,
             "compact_every_batches": compact_each,
             "compact_seconds": compact_secs,
