@@ -78,10 +78,14 @@ def main() -> int:
             F.lit("BenchEvent").alias("event_name"),
             F.encode(F.col("id").cast("string"), "utf-8").alias("payload"),
         )
+        # One tiny untimed append first: the write path's one-time
+        # Arrow/codegen/schema warm-up costs ~20 s and belongs to the
+        # session, not the operation — paying it inside trial 0 only
+        # wastes wall-clock the median throws away anyway.
+        warm = EventStore(spark, os.path.join(scratch, "warm"))
+        warm.append_df(reqs.limit(10)).where("accepted").count()
         # Median of k trials, each on a FRESH store: the measured op is
-        # "20k-event batch append into an empty table", and the first
-        # trial additionally pays one-time codegen/schema warm-up that
-        # the median discards.
+        # "20k-event batch append into an empty table".
         ing_runs: list[float] = []
         n_ok = 0
         for trial in range(k):
