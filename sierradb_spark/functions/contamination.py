@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.operators.base import Registry, load
+from sierradb_spark.registry import Registry, load
 
 REG = Registry()
 

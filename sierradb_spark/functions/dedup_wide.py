@@ -34,7 +34,7 @@ from sierradb_spark.functions.dedup import (
     minhash_col,
     with_shingles,
 )
-from sierradb_spark.operators.base import Registry, load
+from sierradb_spark.registry import Registry, load
 
 REG = Registry()
 
@@ -69,8 +69,11 @@ _SQL_WIDE_MINS = f"""
 """
 
 
-def _wide_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band_idx, band_digest): 16 bands x 4-hash MinHash LSH.
+def wide_bands_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_digest) for any (doc_id, text) frame:
+    16 bands x 4-hash MinHash LSH — the reusable core of
+    :func:`_wide_bands`, also fed per-micro-batch by the streaming
+    corpus dedup (streaming/corpus.py).
 
     The shingle arrays are MATERIALIZED (localCheckpoint) before the 64
     hash expressions consume them: with 64 consumers Catalyst's project
@@ -81,7 +84,7 @@ def _wide_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins reads a plain in-memory array: one tokenization per document,
     then pure md5 throughput.
     """
-    d = with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    d = with_shingles(docs, "doc_id")
     sh = F.col("shingles")
     # repartition: the testdata corpus arrives as one parquet file (one
     # input split), which would serialize the whole md5 pass on a single
@@ -111,6 +114,11 @@ def _wide_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mins.select(
         "doc_id", F.posexplode(band_arr).alias("band_idx", "band_digest")
     )
+
+
+def _wide_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band digests of the testdata documents table (registry form)."""
+    return wide_bands_for(load(spark, sf_dir, "documents"))
 
 
 @REG.add(

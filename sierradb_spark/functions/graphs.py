@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.operators.base import Registry
+from sierradb_spark.registry import Registry
 from sierradb_spark.functions.dedup_wide import _SQL_WIDE_MINS
 
 REG = Registry()

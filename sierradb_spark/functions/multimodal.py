@@ -33,7 +33,7 @@ from sierradb_spark.functions._media_codec import (
     frame_sample_batches,
     resize_batches,
 )
-from sierradb_spark.operators.base import Registry, load
+from sierradb_spark.registry import Registry, load
 
 REG = Registry()
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sierradb_spark.functions.pipeline import _KNUTH, _RING, _NEAR_DUP_PAIRS_SQL
-from sierradb_spark.operators.base import Registry, load
+from sierradb_spark.registry import Registry, load
 
 REG = Registry()
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.operators.base import Registry, load
+from sierradb_spark.registry import Registry, load
 from sierradb_spark.functions.similarity import _sql_cos
 
 REG = Registry()

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sierradb_spark.operators.base import Registry, load
+from sierradb_spark.registry import Registry, load
 from sierradb_spark.functions.text2 import _SQL_WORDS, _toks
 
 from sierradb_spark.functions.text import _SQL_WINNOW_CTES, winnow_fps_df

@@ -5,7 +5,7 @@ what ``__spark_entry__.py`` exposes to the driver's correctness gate,
 and what ``bench.py`` samples its headline set from.
 """
 
-from sierradb_spark.operators.base import Query, Registry, load
+from sierradb_spark.registry import Query, Registry, load
 
 from sierradb_spark.operators import (
     event_analytics,

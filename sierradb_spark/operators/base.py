@@ -1,107 +1,11 @@
-"""Query registry plumbing.
+"""Compatibility re-export: the registry primitives live at
+``sierradb_spark.registry`` (a top-level module) so that a functions
+module can be imported FIRST without running this package's
+``__init__`` — which imports every functions module and would see the
+one mid-import as partially initialized (the circular-import trap that
+importing ``operators.base`` from a leaf module springs, because
+importing a submodule always executes the parent package init)."""
 
-Every declared operator is a ``Query``: a Spark callable plus (usually)
-an equivalent ANSI-SQL oracle that DuckDB can run on the same parquet
-tables. The driver's correctness gate hash-matches the two at sf0.01
-(order-insensitive), so:
+from sierradb_spark.registry import Query, Registry, TABLES, load
 
-- every computed column is aliased identically on both sides;
-- floating aggregates are rounded identically on both sides (doubles
-  accumulated in different orders by two engines agree to ~1e-12
-  relative; rounding makes the hash stable);
-- DuckDB integer aggregates are cast to BIGINT in the oracle (DuckDB
-  widens sum(int) to HUGEINT, Spark to LONG).
-"""
-
-from __future__ import annotations
-
-from dataclasses import dataclass, field
-from typing import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
-
-
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name not in TABLES:
-        raise KeyError(f"unknown table {name}")
-    if name == "events":
-        # The events table carries TIMESTAMP(NANOS) parquet timestamps,
-        # which Spark only reads as raw longs. Convert to µs-precision
-        # TIMESTAMP by truncation — exactly what DuckDB does when it
-        # reads the same file, so oracle comparisons agree.
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-@dataclass(frozen=True)
-class Query:
-    """One declared operator: Spark implementation + DuckDB oracle."""
-
-    name: str
-    spark: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None → non-SQL-expressible, rows-only check
-    headline: bool = False  # included in bench.py
-    doc: str = ""
-
-
-class Registry:
-    def __init__(self) -> None:
-        self._queries: dict[str, Query] = {}
-
-    def add(
-        self,
-        name: str,
-        oracle: str | None,
-        headline: bool = False,
-        doc: str = "",
-    ) -> Callable:
-        def deco(fn: Callable[[SparkSession, str], DataFrame]):
-            if name in self._queries:
-                raise ValueError(f"duplicate query {name}")
-            self._queries[name] = Query(name, fn, oracle, headline, doc or fn.__doc__ or "")
-            return fn
-
-        return deco
-
-    def merge(self, other: "Registry") -> None:
-        for q in other._queries.values():
-            if q.name in self._queries:
-                raise ValueError(f"duplicate query {q.name}")
-            self._queries[q.name] = q
-
-    def reorder_front(self, front: list[str]) -> None:
-        """Pin ``front`` as the first registry entries (insertion order),
-        leaving every other query in merge order behind them. Raises on
-        unknown names so the pinned list can't silently drift from the
-        actual surface."""
-        missing = [n for n in front if n not in self._queries]
-        if missing:
-            raise ValueError(f"reorder_front: unknown queries {missing}")
-        ordered = {n: self._queries[n] for n in front}
-        for n, q in self._queries.items():
-            if n not in ordered:
-                ordered[n] = q
-        self._queries = ordered
-
-    @property
-    def queries(self) -> dict[str, Query]:
-        return dict(self._queries)
+__all__ = ["Query", "Registry", "TABLES", "load"]

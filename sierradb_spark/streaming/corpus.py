@@ -1,0 +1,184 @@
+"""Streaming near-dup-free corpus ingestion.
+
+The batch dedup operators (functions/dedup_wide.py) answer "which of
+these N documents duplicate each other"; a production corpus is built
+INCREMENTALLY — crawl batches arrive continuously and each new document
+must be checked against everything already accepted. Re-running the
+batch pass over the whole corpus per batch is O(corpus) per batch; this
+operator is O(batch + collisions):
+
+1. per micro-batch, compute production-width MinHash band digests
+   (the same 64-hash/16-band machinery as the batch operator —
+   ``wide_bands_for``);
+2. drop documents whose bands collide with the PERSISTED band index of
+   already-accepted documents (left-anti equi-join on
+   (band_idx, band_digest) — never a scan of accepted text);
+3. among the remainder, resolve within-batch collisions with the shared
+   connected-components fixpoint, keeping each component's lowest
+   doc_id;
+4. append survivors' text to the corpus and their bands to the index.
+
+Earlier batches win ties across batches (their documents are already in
+the index); within a batch the lowest doc_id wins — both deterministic.
+A document too short to shingle (< SHINGLE_K tokens) produces no bands
+and is always accepted; gate such docs out beforehand with
+``min_tokens``.
+
+Exactly-once without a commit log: every batch writes its docs and
+bands to ``batch=<id>`` subdirectories with overwrite semantics, so a
+replayed micro-batch (crash between the data write and the streaming
+checkpoint commit) rewrites byte-identical files instead of appending
+duplicates. The index read for batch N filters to ``batch < N``, which
+both excludes a half-written own-batch directory on replay and makes
+the survivor computation independent of replay timing.
+
+Scale shape (100 TB): the index holds 16 x 32-byte digests per accepted
+doc — ~0.5 KB/doc, 5 TB per 10 B docs — partitioned by band digest
+prefix at cluster scale so the anti-join shuffles only the batch side;
+accepted text is written once and never re-read by the dedup path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+class StreamingCorpusDedup:
+    """Incrementally build a near-dup-free corpus from a document stream."""
+
+    def __init__(
+        self, spark: SparkSession, out_dir: str, min_tokens: int = 0
+    ) -> None:
+        self.spark = spark
+        self.docs_path = os.path.join(out_dir, "docs")
+        self.bands_path = os.path.join(out_dir, "bands")
+        self.min_tokens = min_tokens
+
+    # --- the per-batch fold (also the replay unit) -----------------------
+
+    def _index_before(self, batch_id: int) -> DataFrame | None:
+        if not os.path.isdir(self.bands_path):
+            return None
+        idx = self.spark.read.option("basePath", self.bands_path).parquet(
+            self.bands_path
+        )
+        # batch < N: excludes a half-written own-batch dir on replay and
+        # pins the survivor set to what earlier batches accepted.
+        return idx.where(F.col("batch") < batch_id).select(
+            "band_idx", "band_digest"
+        )
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        from sierradb_spark.functions.dedup_wide import wide_bands_for
+        from sierradb_spark.functions.pipeline import min_label_components
+
+        docs = docs.select("doc_id", "text")
+        if self.min_tokens > 0:
+            docs = docs.where(
+                F.size(F.split(F.trim("text"), r"\s+")) >= self.min_tokens
+            )
+        docs = docs.localCheckpoint(eager=True)  # read by bands + final write
+        bands = wide_bands_for(docs).localCheckpoint(eager=True)
+        # 1. cross-batch: drop docs colliding with the accepted index.
+        idx = self._index_before(batch_id)
+        if idx is not None:
+            hit = (
+                bands.join(idx, ["band_idx", "band_digest"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            fresh = bands.join(hit, "doc_id", "left_anti")
+        else:
+            fresh = bands
+        # 2. within-batch: collisions among the remaining docs; keep each
+        # component's lowest doc_id (the shared CC fixpoint).
+        a, b = fresh.alias("a"), fresh.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_digest") == F.col("b.band_digest"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        if pairs.limit(1).count() > 0:
+            edges = pairs.unionByName(  # min_label_components wants symmetry
+                pairs.select(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                )
+            )
+            comp = min_label_components(edges)  # (id, label=min id)
+            losers = comp.where(F.col("id") != F.col("label")).select(
+                F.col("id").alias("doc_id")
+            )
+            survivors = fresh.select("doc_id").distinct().join(
+                losers, "doc_id", "left_anti"
+            )
+        else:
+            survivors = fresh.select("doc_id").distinct()
+        # Shingle-less docs have no bands: always accepted.
+        bandless = docs.select("doc_id").join(
+            bands.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        keep = survivors.unionByName(bandless)
+        # 3. idempotent writes: batch=<id> subdirs, overwrite semantics.
+        (
+            docs.join(keep, "doc_id", "left_semi")
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.docs_path, f"batch={batch_id}"))
+        )
+        (
+            bands.join(survivors, "doc_id", "left_semi")
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.bands_path, f"batch={batch_id}"))
+        )
+
+    # --- streaming drivers ----------------------------------------------
+
+    def start(
+        self,
+        docs_stream: DataFrame,
+        checkpoint: str,
+        available_now: bool = True,
+        trigger_interval: str | None = None,
+    ) -> StreamingQuery:
+        writer = docs_stream.writeStream.foreachBatch(
+            self.process_batch
+        ).option("checkpointLocation", checkpoint)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_interval:
+            writer = writer.trigger(processingTime=trigger_interval)
+        return writer.start()
+
+    def ingest_available(
+        self, docs_stream: DataFrame, checkpoint: str, timeout_s: float = 300.0
+    ) -> None:
+        """Synchronous availableNow pass (the testable form): fold every
+        pending micro-batch, then return."""
+        q = self.start(docs_stream, checkpoint, available_now=True)
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    def corpus(self) -> DataFrame:
+        """The accepted corpus so far (doc_id, text, batch)."""
+        if not os.path.isdir(self.docs_path):
+            return self.spark.createDataFrame([], DOCS_SCHEMA + ", batch long")
+        return self.spark.read.option("basePath", self.docs_path).parquet(
+            self.docs_path
+        )

@@ -1,0 +1,120 @@
+"""Streaming near-dup-free corpus ingestion (streaming/corpus.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sierradb_spark.streaming.corpus import DOCS_SCHEMA, StreamingCorpusDedup
+
+# ~40-token docs: near-dups share all but one word -> jaccard >> 0.8,
+# caught by the 16x4 LSH with p ~ 0.9998; UNIQ docs share nothing.
+_BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform "
+    "victor whiskey xray yankee zulu one two three four five six seven "
+    "eight nine ten eleven twelve thirteen fourteen"
+)
+_NEAR = _BASE.replace("oscar", "oskar")
+_NEAR2 = _BASE.replace("victor", "viktor")
+_UNIQ1 = " ".join(f"u{i}a u{i}b u{i}c" for i in range(14))
+_UNIQ2 = " ".join(f"w{i}a w{i}b w{i}c" for i in range(14))
+
+
+def _write_batch(spark, landing: str, name: str, rows: list[tuple]) -> None:
+    # one FILE per batch (a .parquet directory would be invisible to the
+    # file-stream source's listing)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(landing, exist_ok=True)
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(landing, name))
+
+
+@pytest.fixture()
+def dedup(spark, tmp_path):
+    return StreamingCorpusDedup(spark, str(tmp_path / "corpus"))
+
+
+def _ingest(spark, dedup, landing, ckpt):
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    dedup.ingest_available(stream, ckpt)
+
+
+def test_within_and_cross_batch_dedup(spark, tmp_path, dedup):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: base doc, a unique doc, and an in-batch near-dup of base
+    _write_batch(
+        spark, landing, "b1.parquet",
+        [(1, _BASE), (2, _UNIQ1), (3, _NEAR)],
+    )
+    _ingest(spark, dedup, landing, ckpt)
+    assert sorted(
+        r["doc_id"] for r in dedup.corpus().collect()
+    ) == [1, 2]  # 3 lost the in-batch component to 1
+
+    # batch 2: a cross-batch near-dup of 1 (index hit) and a new unique
+    _write_batch(
+        spark, landing, "b2.parquet",
+        [(4, _NEAR2), (5, _UNIQ2)],
+    )
+    _ingest(spark, dedup, landing, ckpt)
+    assert sorted(
+        r["doc_id"] for r in dedup.corpus().collect()
+    ) == [1, 2, 5]  # 4 collided with the persisted index
+
+    # accepted text is intact
+    texts = {r["doc_id"]: r["text"] for r in dedup.corpus().collect()}
+    assert texts[1] == _BASE and texts[5] == _UNIQ2
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path, dedup):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, landing, "b1.parquet", [(1, _BASE), (2, _UNIQ1)])
+    _ingest(spark, dedup, landing, ckpt)
+    first = sorted(
+        (r["doc_id"], r["batch"]) for r in dedup.corpus().collect()
+    )
+    # crash-replay: re-run the SAME micro-batch fold directly
+    batch = spark.createDataFrame([(1, _BASE), (2, _UNIQ1)], DOCS_SCHEMA)
+    dedup.process_batch(batch, 0)
+    assert (
+        sorted((r["doc_id"], r["batch"]) for r in dedup.corpus().collect())
+        == first
+    )
+
+
+def test_short_docs_bypass_banding(spark, tmp_path, dedup):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    # two identical 2-token docs: too short to shingle, both accepted
+    _write_batch(
+        spark, landing, "b1.parquet", [(1, "hi there"), (2, "hi there")]
+    )
+    _ingest(spark, dedup, landing, ckpt)
+    assert dedup.corpus().count() == 2
+
+
+def test_min_tokens_gate(spark, tmp_path):
+    dd = StreamingCorpusDedup(spark, str(tmp_path / "c2"), min_tokens=10)
+    landing = str(tmp_path / "landing2")
+    _write_batch(
+        spark, landing, "b1.parquet", [(1, "too short"), (2, _BASE)]
+    )
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(landing)
+    dd.ingest_available(stream, str(tmp_path / "ckpt2"))
+    assert [r["doc_id"] for r in dd.corpus().collect()] == [2]
