@@ -1,3 +1,4 @@
+from sierradb_spark.streaming.corpus import StreamingCorpusDedup
 from sierradb_spark.streaming.ingest import StreamIngest
 from sierradb_spark.streaming.subscribe import (
     PartitionMatcher,
@@ -14,6 +15,7 @@ from sierradb_spark.streaming.windowed import (
 
 __all__ = [
     "StreamIngest",
+    "StreamingCorpusDedup",
     "StreamMatcher",
     "PartitionMatcher",
     "Subscription",
