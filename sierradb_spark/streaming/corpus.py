@@ -47,6 +47,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 DOCS_SCHEMA = "doc_id long, text string"
+# Explicit read schemas (incl. the batch partition column): a batch in
+# which nothing survived — or nothing shingled — writes an EMPTY
+# batch=<id> directory, and schema inference over only-empty dirs fails;
+# with the schema pinned such dirs read as zero rows, as they should.
+_DOCS_READ_SCHEMA = DOCS_SCHEMA + ", batch long"
+_BANDS_READ_SCHEMA = "doc_id long, band_idx int, band_digest string, batch long"
 
 
 class StreamingCorpusDedup:
@@ -65,8 +71,10 @@ class StreamingCorpusDedup:
     def _index_before(self, batch_id: int) -> DataFrame | None:
         if not os.path.isdir(self.bands_path):
             return None
-        idx = self.spark.read.option("basePath", self.bands_path).parquet(
-            self.bands_path
+        idx = (
+            self.spark.read.schema(_BANDS_READ_SCHEMA)
+            .option("basePath", self.bands_path)
+            .parquet(self.bands_path)
         )
         # batch < N: excludes a half-written own-batch dir on replay and
         # pins the survivor set to what earlier batches accepted.
@@ -178,7 +186,9 @@ class StreamingCorpusDedup:
     def corpus(self) -> DataFrame:
         """The accepted corpus so far (doc_id, text, batch)."""
         if not os.path.isdir(self.docs_path):
-            return self.spark.createDataFrame([], DOCS_SCHEMA + ", batch long")
-        return self.spark.read.option("basePath", self.docs_path).parquet(
-            self.docs_path
+            return self.spark.createDataFrame([], _DOCS_READ_SCHEMA)
+        return (
+            self.spark.read.schema(_DOCS_READ_SCHEMA)
+            .option("basePath", self.docs_path)
+            .parquet(self.docs_path)
         )

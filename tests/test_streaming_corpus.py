@@ -118,3 +118,17 @@ def test_min_tokens_gate(spark, tmp_path):
     stream = spark.readStream.schema(DOCS_SCHEMA).parquet(landing)
     dd.ingest_available(stream, str(tmp_path / "ckpt2"))
     assert [r["doc_id"] for r in dd.corpus().collect()] == [2]
+
+
+def test_bandless_only_batch_then_normal_batch(spark, tmp_path, dedup):
+    """A batch whose docs are all too short to shingle writes an EMPTY
+    bands/batch=0 dir; the next batch's index read must survive that
+    (schema inference over only-empty dirs would fail without the
+    pinned read schema)."""
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, landing, "b1.parquet", [(1, "hi"), (2, "yo")])
+    _ingest(spark, dedup, landing, ckpt)
+    _write_batch(spark, landing, "b2.parquet", [(3, _BASE)])
+    _ingest(spark, dedup, landing, ckpt)
+    assert sorted(r["doc_id"] for r in dedup.corpus().collect()) == [1, 2, 3]
