@@ -369,3 +369,58 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("flesch_ease"),
     )
+
+
+@REG.add(
+    "zipf_law_fit",
+    oracle="""
+        WITH tok AS (
+            SELECT lang, unnest(CASE WHEN length(trim(text)) = 0 THEN ['']
+                 ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+            FROM documents
+        ),
+        cnt AS (
+            SELECT lang, lower(t) AS tk, count(*) AS c
+            FROM tok GROUP BY lang, lower(t)
+        ),
+        rk AS (
+            SELECT lang, c,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, tk ASC) AS r
+            FROM cnt
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_ranks,
+               round(regr_slope(ln(c), ln(r)), 6) AS zipf_slope,
+               round(regr_intercept(ln(c), ln(r)), 6) AS zipf_intercept,
+               round(corr(ln(c), ln(r)) * corr(ln(c), ln(r)), 6) AS r_squared
+        FROM rk WHERE r <= 200 GROUP BY lang
+    """,
+    doc="Zipf's-law fit per language: log-log regression of token frequency "
+    "on frequency rank over the top 200 ranks. A natural-language corpus "
+    "fits slope ~ -1 with high R^2; synthetic/templated/spammy text "
+    "deviates — a cheap corpus-health diagnostic (one token aggregate, "
+    "one lang-partitioned rank window over distinct tokens, one "
+    "regression fold).",
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.array(F.lit(""))
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    cnt = (
+        d.select("lang", F.explode(toks).alias("t"))
+        .groupBy("lang", F.lower("t").alias("tk"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tk").asc())
+    rk = cnt.withColumn("r", F.row_number().over(w)).where(F.col("r") <= 200)
+    lc, lr = F.log(F.col("c")), F.log(F.col("r"))
+    return rk.groupBy("lang").agg(
+        F.count("*").alias("n_ranks"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.corr(lc, lr) * F.corr(lc, lr), 6).alias("r_squared"),
+    )
