@@ -177,6 +177,18 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
             if c > 0:
                 snapshots[c] = copy.deepcopy(model)
 
+    # Change-feed oracle: the events each commit added, by commit number
+    # (checked against store.changes at the end); bases contribute
+    # nothing, swept incrementals must raise.
+    commit_events: dict[int, list[tuple]] = {}
+    swept: set[int] = set()
+    bases: set[int] = set()
+
+    def record_commit(prev_head: int, accepted: list[tuple]) -> None:
+        head = store._read_state().commit
+        if head > prev_head and accepted:
+            commit_events[head] = sorted(accepted)
+
     n_appends = 0
     for step in range(30):
         roll = rng.random()
@@ -193,6 +205,7 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
             for r in reqs:
                 ok, vers = model.append_txn([r])
                 expected_results.append((ok, vers[0] if ok else None))
+            prev_head = store._read_state().commit
             res = store.append(
                 [
                     AppendRequest(s, n, payload=p, expected_version=e)
@@ -201,6 +214,14 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
             )
             got = [(r.accepted, r.stream_version) for r in res]
             assert got == expected_results, f"append diverged at step {step} (seed {seed})"
+            record_commit(
+                prev_head,
+                [
+                    (r.stream_id, r.stream_version, r.partition_id)
+                    for r in res
+                    if r.accepted
+                ],
+            )
             n_appends += 1
             maybe_snapshot()
         elif roll < 0.7:  # multi-event atomic txn on one stream's partition
@@ -211,6 +232,7 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
                 for _ in range(rng.randrange(2, 4))
             ]
             ok, vers = model.append_txn(reqs)
+            prev_head = store._read_state().commit
             res = store.append_transaction(
                 [
                     AppendRequest(
@@ -218,6 +240,14 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
                     )
                     for (s, n, e, p) in reqs
                 ]
+            )
+            record_commit(
+                prev_head,
+                [
+                    (r.stream_id, r.stream_version, r.partition_id)
+                    for r in res
+                    if r.accepted
+                ],
             )
             assert all(r.accepted for r in res) == ok, f"txn diverged step {step} (seed {seed})"
             if ok:
@@ -258,6 +288,12 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
                     with pytest.raises(SnapshotExpiredError):
                         store.events(as_of=c)
                 del snapshots[c]
+            if store._read_state().commit > base_before:
+                bases.add(base_before + 1)
+                for c in list(commit_events):
+                    if c <= base_before:
+                        swept.add(c)
+                        del commit_events[c]
         elif roll < 0.96:
             # Tokened append + immediate replay (the crash-between-
             # manifest-and-checkpoint scenario): the replay must be a
@@ -271,7 +307,15 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
                 ok, vers = model.append_txn([(s, n, e, b"")])
                 expected_results.append((ok, vers[0] if ok else None))
             token = f"fuzz-{seed}-{step}"
+            prev_head = store._read_state().commit
             enriched, res = _tokened_apply(store, spark, reqs, token)
+            record_commit(
+                prev_head,
+                [
+                    (r["stream_id"], r["stream_version"], r["partition_id"])
+                    for r in res.where("accepted").collect()
+                ],
+            )
             got = [
                 (r["accepted"], r["stream_version"])
                 for r in res.orderBy("arrival").collect()
@@ -299,7 +343,16 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
             s = rng.choice(STREAMS)
             ok, vers = model.append_txn([(s, "RaceWinner", "any", b"")])
             assert ok
-            store.append([AppendRequest(s, "RaceWinner")])
+            prev_head = store._read_state().commit
+            res = store.append([AppendRequest(s, "RaceWinner")])
+            record_commit(
+                prev_head,
+                [
+                    (r.stream_id, r.stream_version, r.partition_id)
+                    for r in res
+                    if r.accepted
+                ],
+            )
             if stale.commit > 0 or store._read_state().commit > stale.commit:
                 with pytest.raises(ConcurrentWriteError):
                     s2._write_manifest(
@@ -322,3 +375,24 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
     for pid in {model.partition_of(s) for s in STREAMS}:
         check_partition(pid)
     assert n_appends > 0
+
+    # change-feed sweep: for a handful of since points, changes(since)
+    # must equal exactly the recorded per-commit deltas above it —
+    # or raise SnapshotExpiredError when a needed incremental was swept.
+    head = store._read_state().commit
+    for since in sorted(
+        set([0, head] + [rng.randrange(0, head + 1) for _ in range(6)])
+    ):
+        needed = range(since + 1, head + 1)
+        if any(c in swept for c in needed):
+            with pytest.raises(SnapshotExpiredError):
+                store.changes(since).collect()
+            continue
+        want = sorted(
+            t for c in needed if c in commit_events for t in commit_events[c]
+        )
+        got = sorted(
+            (r["stream_id"], r["stream_version"], r["partition_id"])
+            for r in store.changes(since).collect()
+        )
+        assert got == want, f"changes({since}) diverged (seed {seed})"
