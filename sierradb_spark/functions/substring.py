@@ -82,18 +82,6 @@ _SQL_ENRICHED = f"""
     FROM documents
 """
 
-# words -> overlapping K-gram start positions with digests. Guarded so a
-# doc shorter than K words yields no grams (Spark's sequence() would
-# otherwise DESCEND for a negative stop; DuckDB's range() is empty).
-_SPARK_GRAMS = f"""
-    CASE WHEN size(split(trim(text), '\\\\s+')) < {SPAN_WORDS} THEN array()
-         ELSE transform(
-             sequence(0, size(split(trim(text), '\\\\s+')) - {SPAN_WORDS}),
-             p -> concat_ws(' ', slice(split(trim(text), '\\\\s+'),
-                                       p + 1, {SPAN_WORDS})))
-    END
-"""
-
 _SQL_GRAMS = f"""
     CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < {SPAN_WORDS}
          THEN []
@@ -142,13 +130,38 @@ _SQL_SPANS = f"""
 """
 
 
+def _words_col() -> F.Column:
+    """Tokenized text, guarded for empty docs (both engines split '' to
+    ['']; the guard keeps the two in lockstep)."""
+    return F.when(
+        F.length(F.trim("text")) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+
+
 def _gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, p, digest): overlapping K-gram start positions. Text is
-    digested immediately — nothing downstream ever shuffles gram text."""
+    digested immediately — nothing downstream ever shuffles gram text.
+
+    The word array is STAGED as its own projection before the gram
+    lambda consumes it (the with_shingles discipline): higher-order
+    functions run interpreted with no common-subexpression elimination,
+    so an inline ``split(...)`` would re-tokenize the whole document for
+    every gram position — O(tokens^2) regex work per doc. Behind the
+    staged alias each ``slice`` is an O(K) array read. The sequence()
+    guard stays: Spark's sequence DESCENDS for a negative stop
+    (DuckDB's range is just empty)."""
     e = _enriched(spark, sf_dir)
-    return e.select(
-        "doc_id", F.posexplode(F.expr(_SPARK_GRAMS))
-    ).select(
+    staged = e.select("doc_id", _words_col().alias("w"))
+    w = F.col("w")
+    grams = F.when(
+        F.size(w) < SPAN_WORDS, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - SPAN_WORDS),
+            lambda p: F.concat_ws(" ", F.slice(w, p + 1, SPAN_WORDS)),
+        )
+    )
+    return staged.select("doc_id", F.posexplode(grams)).select(
         "doc_id",
         F.col("pos").cast("bigint").alias("p"),
         F.md5("col").alias("digest"),

@@ -404,8 +404,6 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regression fold).",
 )
 def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents")
     toks = F.when(
         F.length(F.trim("text")) == 0, F.array(F.lit(""))

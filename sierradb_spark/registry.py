@@ -15,7 +15,7 @@ tables. The driver's correctness gate hash-matches the two at sf0.01
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession

@@ -13,13 +13,17 @@ operator is O(batch + collisions):
 2. drop documents whose bands collide with the PERSISTED band index of
    already-accepted documents (left-anti equi-join on
    (band_idx, band_digest) — never a scan of accepted text);
-3. among the remainder, resolve within-batch collisions with the shared
-   connected-components fixpoint, keeping each component's lowest
-   doc_id;
+3. build the within-batch collision graph over ALL banded docs (index
+   hits included) and resolve it with the shared connected-components
+   fixpoint: a component containing any index hit is already
+   represented in the corpus and drops WHOLE (a doc whose only
+   collision is with a same-batch near-dup of the corpus is itself a
+   transitive near-dup); a clean component keeps its lowest doc_id;
 4. append survivors' text to the corpus and their bands to the index.
 
 Earlier batches win ties across batches (their documents are already in
-the index); within a batch the lowest doc_id wins — both deterministic.
+the index, and hit-components drop transitively); within a batch the
+lowest doc_id wins — both deterministic.
 A document too short to shingle (< SHINGLE_K tokens) produces no bands
 and is always accepted; gate such docs out beforehand with
 ``min_tokens``.
@@ -93,20 +97,27 @@ class StreamingCorpusDedup:
             )
         docs = docs.localCheckpoint(eager=True)  # read by bands + final write
         bands = wide_bands_for(docs).localCheckpoint(eager=True)
-        # 1. cross-batch: drop docs colliding with the accepted index.
+        # 1. cross-batch: docs whose bands collide with the accepted index.
         idx = self._index_before(batch_id)
         if idx is not None:
             hit = (
                 bands.join(idx, ["band_idx", "band_digest"], "left_semi")
                 .select("doc_id")
                 .distinct()
+                .localCheckpoint(eager=True)  # read 2x below
             )
-            fresh = bands.join(hit, "doc_id", "left_anti")
         else:
-            fresh = bands
-        # 2. within-batch: collisions among the remaining docs; keep each
-        # component's lowest doc_id (the shared CC fixpoint).
-        a, b = fresh.alias("a"), fresh.alias("b")
+            hit = bands.select("doc_id").where(F.lit(False))
+        # 2. within-batch collision graph over ALL banded docs — index
+        # hits INCLUDED. Dropping hits before building the graph would
+        # erase their edges, silently accepting a doc whose only
+        # collision is with a same-batch doc that is itself a near-dup
+        # of the corpus (A~B, B~accepted C: A must drop too). So the
+        # rule is component-wise: a component containing any index hit
+        # is already represented in the corpus — drop it whole (earlier
+        # batches win, transitively); a clean component keeps its lowest
+        # doc_id (the shared CC fixpoint).
+        a, b = bands.alias("a"), bands.alias("b")
         pairs = (
             a.join(
                 b,
@@ -120,6 +131,7 @@ class StreamingCorpusDedup:
             )
             .distinct()
         )
+        banded_ids = bands.select("doc_id").distinct()
         if pairs.limit(1).count() > 0:
             edges = pairs.unionByName(  # min_label_components wants symmetry
                 pairs.select(
@@ -128,14 +140,22 @@ class StreamingCorpusDedup:
                 )
             )
             comp = min_label_components(edges)  # (id, label=min id)
-            losers = comp.where(F.col("id") != F.col("label")).select(
-                F.col("id").alias("doc_id")
+            hit_labels = (
+                comp.join(hit, comp["id"] == hit["doc_id"])
+                .select("label")
+                .distinct()
             )
-            survivors = fresh.select("doc_id").distinct().join(
-                losers, "doc_id", "left_anti"
+            keep_in_graph = (
+                comp.join(F.broadcast(hit_labels), "label", "left_anti")
+                .where(F.col("id") == F.col("label"))
+                .select(F.col("id").alias("doc_id"))
             )
+            isolated = banded_ids.join(
+                comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+            ).join(hit, "doc_id", "left_anti")
+            survivors = keep_in_graph.unionByName(isolated)
         else:
-            survivors = fresh.select("doc_id").distinct()
+            survivors = banded_ids.join(hit, "doc_id", "left_anti")
         # Shingle-less docs have no bands: always accepted.
         bandless = docs.select("doc_id").join(
             bands.select("doc_id").distinct(), "doc_id", "left_anti"

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from sierradb_spark.operators.base import TABLES
+from sierradb_spark.registry import TABLES
 
 
 def norm_value(v):

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 import sierradb_spark.operators  # noqa: F401 — break the functions<->operators import cycle
 from sierradb_spark.functions.similarity import build_ivf_index, probe_ivf
-from sierradb_spark.operators.base import load
+from sierradb_spark.registry import load
 from sierradb_spark.plans import plan_features
 
 

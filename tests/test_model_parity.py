@@ -290,9 +290,13 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
                 del snapshots[c]
             if store._read_state().commit > base_before:
                 bases.add(base_before + 1)
+                # EVERY manifest at/below base_before is unlinked by the
+                # retain-0 sweep — including a previous compaction's BASE
+                # manifest, which recorded no events but whose absence
+                # still makes changes() ranges crossing it unresolvable.
+                swept.update(range(1, base_before + 1))
                 for c in list(commit_events):
                     if c <= base_before:
-                        swept.add(c)
                         del commit_events[c]
         elif roll < 0.96:
             # Tokened append + immediate replay (the crash-between-

@@ -132,3 +132,44 @@ def test_bandless_only_batch_then_normal_batch(spark, tmp_path, dedup):
     _write_batch(spark, landing, "b2.parquet", [(3, _BASE)])
     _ingest(spark, dedup, landing, ckpt)
     assert sorted(r["doc_id"] for r in dedup.corpus().collect()) == [1, 2, 3]
+
+
+def test_transitive_near_dup_drops_with_its_component(spark, tmp_path, dedup):
+    """A doc whose ONLY collision is with a same-batch doc that itself
+    collides with the corpus must drop too (its component contains an
+    index hit). The fixture's collision structure is asserted first so
+    a constant change can't silently turn this into a vacuous test."""
+    from sierradb_spark.functions.dedup_wide import wide_bands_for
+
+    cut = 8
+    C = " ".join(f"c{i}" for i in range(40))
+    X = (
+        " ".join(f"c{i}" for i in range(40 - cut))
+        + " " + " ".join(f"x{i}" for i in range(cut))
+    )
+    Y = (
+        " ".join(f"y{i}" for i in range(cut))
+        + " " + " ".join(f"c{i}" for i in range(cut, 40 - cut))
+        + " " + " ".join(f"x{i}" for i in range(cut))
+    )
+
+    def bands_of(text):
+        df = spark.createDataFrame([(0, text)], DOCS_SCHEMA)
+        return {
+            (r["band_idx"], r["band_digest"])
+            for r in wide_bands_for(df).collect()
+        }
+
+    bc, bx, by = bands_of(C), bands_of(X), bands_of(Y)
+    assert bx & bc, "fixture broke: X no longer collides with C"
+    assert by & bx, "fixture broke: Y no longer collides with X"
+    assert not (by & bc), "fixture broke: Y collides with C directly"
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, landing, "b1.parquet", [(1, C)])
+    _ingest(spark, dedup, landing, ckpt)
+    _write_batch(spark, landing, "b2.parquet", [(2, X), (3, Y)])
+    _ingest(spark, dedup, landing, ckpt)
+    # X hit the index; Y's component contained X, so Y dropped with it.
+    assert sorted(r["doc_id"] for r in dedup.corpus().collect()) == [1]
