@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sierradb_spark.operators.base import load  # noqa: E402
+from sierradb_spark.registry import load  # noqa: E402
 from sierradb_spark.session import get_spark  # noqa: E402
 
 
