@@ -422,3 +422,63 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
         F.round(F.corr(lc, lr) * F.corr(lc, lr), 6).alias("r_squared"),
     )
+
+
+_HEAPS_POINTS = (50, 100, 200, 500, 1000, 2000, 5000)
+
+
+@REG.add(
+    "heaps_law_vocab_growth",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN ['']
+                 ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
+            FROM documents
+        ),
+        first_seen AS (
+            SELECT lower(t) AS tk, min(doc_id) AS first_doc
+            FROM tok GROUP BY lower(t)
+        ),
+        pts AS (SELECT unnest({list(_HEAPS_POINTS)}) AS n_docs),
+        growth AS (
+            SELECT p.n_docs,
+                   count(*) FILTER (WHERE f.first_doc < p.n_docs) AS vocab
+            FROM pts p, first_seen f GROUP BY p.n_docs
+        )
+        SELECT CAST(n_docs AS INT) AS n_docs,
+               CAST(vocab AS BIGINT) AS vocab
+        FROM growth WHERE vocab > 0
+    """,
+    doc="Heaps'-law vocabulary growth: distinct-token count after the "
+    f"first n documents (doc_id order), sampled at {list(_HEAPS_POINTS)}. "
+    "Natural corpora grow ~ K*n^beta with beta ~ 0.5; a flattening curve "
+    "means the corpus is recycling vocabulary (templates) and more data "
+    "adds little. Computed from each token's FIRST document — one "
+    "aggregate over (token -> min doc_id), then a broadcast of the "
+    "sample points; never a running distinct over the corpus.",
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.array(F.lit(""))
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    first_seen = (
+        d.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy(F.lower("t").alias("tk"))
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    pts = F.explode(
+        F.array(*[F.lit(int(p)) for p in _HEAPS_POINTS])
+    ).alias("n_docs")
+    growth = (
+        first_seen.select("first_doc", pts)
+        .groupBy("n_docs")
+        .agg(
+            F.sum(
+                (F.col("first_doc") < F.col("n_docs")).cast("bigint")
+            ).alias("vocab")
+        )
+    )
+    return growth.where(F.col("vocab") > 0).select(
+        F.col("n_docs").cast("int").alias("n_docs"), "vocab"
+    )
