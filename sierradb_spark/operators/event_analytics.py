@@ -447,3 +447,50 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.sum("n").over(norm), 4).alias("p"),
     )
+
+
+@REG.add(
+    "event_daily_autocorr",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   count(*) AS n
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        lagged AS (
+            SELECT event_type, d, n,
+                   lag(n) OVER (PARTITION BY event_type ORDER BY d)
+                       AS prev_n
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(avg(n), 4) AS avg_daily,
+               round(corr(n, prev_n), 4) AS lag1_autocorr
+        FROM lagged WHERE prev_n IS NOT NULL
+        GROUP BY event_type
+    """,
+    doc="Day-over-day autocorrelation of event volume per type: daily "
+    "counts, lag-1 self-join via a type-partitioned window, Pearson "
+    "correlation of consecutive days — the periodicity/trend detector "
+    "behind rate-anomaly monitoring (high positive = momentum/weekly "
+    "rhythm, near zero = noise). One aggregate over (type, day) — "
+    "days x types rows, tiny — then a window and a correlation fold; "
+    "the event table itself is touched once, map-side partial-agged.",
+)
+def event_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.withColumn("prev_n", F.lag("n").over(w)).where(
+        F.col("prev_n").isNotNull()
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg("n"), 4).alias("avg_daily"),
+        F.round(F.corr("n", "prev_n"), 4).alias("lag1_autocorr"),
+    )
