@@ -173,3 +173,66 @@ def test_transitive_near_dup_drops_with_its_component(spark, tmp_path, dedup):
     _ingest(spark, dedup, landing, ckpt)
     # X hit the index; Y's component contained X, so Y dropped with it.
     assert sorted(r["doc_id"] for r in dedup.corpus().collect()) == [1]
+
+
+def test_single_batch_matches_batch_semantics(spark, tmp_path):
+    """On one batch with an empty index, the streaming fold must agree
+    exactly with the batch-mode rule (connected components over the
+    band-collision graph, keep each component's min doc_id) computed
+    independently here over a 60-doc corpus with several near-dup
+    clusters."""
+    import random
+
+    from sierradb_spark.functions.dedup_wide import wide_bands_for
+    from sierradb_spark.functions.pipeline import min_label_components
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = []
+    base_texts = []
+    for b in range(12):
+        words = rng.sample(vocab, 30)
+        base_texts.append(" ".join(words))
+    for i in range(60):
+        b = base_texts[i % 12]
+        if i < 12:
+            docs.append((i, b))  # originals
+        elif i < 36:
+            toks = b.split()
+            j = rng.randrange(len(toks))
+            toks[j] = f"m{i}"  # near-dup: one word changed
+            docs.append((i, " ".join(toks)))
+        else:
+            docs.append((i, " ".join(rng.sample(vocab, 30))))  # fresh draws
+    df = spark.createDataFrame(docs, DOCS_SCHEMA)
+
+    # independent batch-mode computation
+    bands = wide_bands_for(df)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_digest") == F.col("b.band_digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    comp = min_label_components(sym)
+    in_graph_keep = {
+        r["id"] for r in comp.where(F.col("id") == F.col("label")).collect()
+    }
+    graph_ids = {r["id"] for r in comp.collect()}
+    all_ids = {d for d, _ in docs}
+    expected = sorted(in_graph_keep | (all_ids - graph_ids))
+
+    dd = StreamingCorpusDedup(spark, str(tmp_path / "xval"))
+    dd.process_batch(df, 0)
+    got = sorted(r["doc_id"] for r in dd.corpus().collect())
+    assert got == expected
+    # sanity: the fixture actually formed dup clusters
+    assert len(expected) < 60
