@@ -354,3 +354,111 @@ def doc_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((frac <= 0.3).cast("bigint")).alias("docs_kept"),
         (F.floor(F.avg(frac) * 1e6 + 0.5) / 1e6).alias("avg_dup_fraction"),
     )
+
+
+# --- canonical-URL dedup ----------------------------------------------------
+#
+# Crawl pipelines dedup by canonical URL before any content pass: the
+# same page arrives as http/https, with/without www., with/without a
+# trailing slash, and wrapped in tracking params. The corpus has no URL
+# column, so docs are enriched with deterministic doc_id-derived URLs
+# exhibiting all four variation axes; the oracle re-derives the same
+# enrichment (the PII-detector pattern), so the normalizer itself is
+# value-checked with real duplicate groups.
+#
+# Canonical form: https + no www. + no trailing slash + only the id
+# param. Extraction regexes use the Java/RE2 intersection (non-capturing
+# groups, no lookarounds).
+
+_SPARK_URL = """
+    concat(
+        CASE WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'https://' END,
+        CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+        'site', CAST(doc_id % 4 AS STRING), '.com/p/',
+        CAST(doc_id % 5 AS STRING),
+        CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+        CASE WHEN doc_id % 2 = 0
+             THEN concat('?utm_source=feed&utm_id=',
+                         CAST(doc_id % 5 AS STRING),
+                         '&id=', CAST(doc_id % 10 AS STRING))
+             ELSE concat('?id=', CAST(doc_id % 10 AS STRING)) END
+    )
+"""
+
+_SQL_URL = """
+    (CASE WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+    || 'site' || (doc_id % 4) || '.com/p/' || (doc_id % 5)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=feed&utm_id=' || (doc_id % 5)
+                  || '&id=' || (doc_id % 10)
+             ELSE '?id=' || (doc_id % 10) END)
+"""
+
+_HOSTPATH_RE = r"^https?://(?:www\.)?([^?]*)"
+_ID_RE = r"[?&]id=([0-9]+)"
+
+
+@REG.add(
+    "url_canonical_dedup",
+    oracle=f"""
+        WITH u AS (
+            SELECT doc_id, {_SQL_URL} AS url FROM documents
+        ),
+        c AS (
+            SELECT doc_id, url,
+                   'https://'
+                   || regexp_replace(
+                          regexp_extract(url, '{_HOSTPATH_RE}', 1), '/$', '')
+                   || '?id=' || regexp_extract(url, '{_ID_RE}', 1)
+                       AS canonical,
+                   regexp_extract(url, 'site([0-9]+)\\.com', 1) AS site
+            FROM u
+        )
+        SELECT 'site' || site || '.com' AS domain,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               floor((1.0 - count(DISTINCT canonical)::DOUBLE / count(*))
+                     * 1e6 + 0.5) / 1e6 AS dup_ratio
+        FROM c GROUP BY site
+    """,
+    doc="Canonical-URL dedup audit: normalize scheme (-> https), strip "
+    "www., trailing slash, and tracking params (keep only ?id=N), then "
+    "count raw vs canonical URLs per domain — the crawl-side dedup pass "
+    "that runs before any content hashing. Normalization is three "
+    "regexes in whole-stage codegen; the aggregate shuffles canonical "
+    "strings only.",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    u = d.select("doc_id", F.expr(_SPARK_URL).alias("url"))
+    canonical = F.concat(
+        F.lit("https://"),
+        F.regexp_replace(
+            F.regexp_extract(F.col("url"), _HOSTPATH_RE, 1), r"/$", ""
+        ),
+        F.lit("?id="),
+        F.regexp_extract(F.col("url"), _ID_RE, 1),
+    )
+    site = F.regexp_extract(F.col("url"), r"site([0-9]+)\.com", 1)
+    c = u.select("doc_id", canonical.alias("canonical"), site.alias("site"))
+    return c.groupBy("site").agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct("canonical").alias("n_canonical"),
+        F.min("doc_id").alias("first_doc"),
+        (
+            F.floor(
+                (1.0 - F.count_distinct("canonical") / F.count("*")) * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("dup_ratio"),
+    ).select(
+        F.concat(F.lit("site"), F.col("site"), F.lit(".com")).alias("domain"),
+        "n_urls",
+        "n_canonical",
+        "first_doc",
+        "dup_ratio",
+    )
