@@ -203,6 +203,52 @@ class StreamingCorpusDedup:
             if q.isActive:
                 q.stop()
 
+    def compact_index(self) -> None:
+        """Fold the per-batch band-index directories into one base dir.
+
+        Long-running ingestion accumulates one ``batch=<id>`` directory
+        per micro-batch; every batch's index read lists them all, so the
+        listing cost grows with batch count. Folding rewrites all bands
+        into ``batch=-1`` (below every real batch id, so `batch < N`
+        reads keep including it) and removes the folded directories.
+
+        Crash safety needs no commit protocol here: the fold is written
+        BEFORE the old dirs are removed, and duplicate band rows (fold
+        written, crash before removal) are harmless — the index is only
+        ever consumed by semi-joins, for which membership is idempotent.
+        Run it only AFTER the ingestion query has committed its
+        checkpoint (e.g. after ``ingest_available`` returns), never
+        concurrently with one: a not-yet-checkpointed batch's bands,
+        once folded into the base, would make that batch's replay
+        self-collide and drop its documents (the per-batch layout
+        exists precisely so replays exclude their own bands).
+        """
+        if not os.path.isdir(self.bands_path):
+            return
+        import shutil
+
+        folded = [
+            d
+            for d in os.listdir(self.bands_path)
+            if d.startswith("batch=") and d != "batch=-1"
+        ]
+        if not folded:
+            return
+        idx = (
+            self.spark.read.schema(_BANDS_READ_SCHEMA)
+            .option("basePath", self.bands_path)
+            .parquet(self.bands_path)
+            .select("doc_id", "band_idx", "band_digest")
+            .distinct()
+        )
+        tmp = os.path.join(self.bands_path, ".fold-tmp")
+        idx.write.mode("overwrite").parquet(tmp)
+        base = os.path.join(self.bands_path, "batch=-1")
+        shutil.rmtree(base, ignore_errors=True)
+        os.rename(tmp, base)
+        for d in folded:
+            shutil.rmtree(os.path.join(self.bands_path, d), ignore_errors=True)
+
     def corpus(self) -> DataFrame:
         """The accepted corpus so far (doc_id, text, batch)."""
         if not os.path.isdir(self.docs_path):

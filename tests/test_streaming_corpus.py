@@ -236,3 +236,25 @@ def test_single_batch_matches_batch_semantics(spark, tmp_path):
     assert got == expected
     # sanity: the fixture actually formed dup clusters
     assert len(expected) < 60
+
+
+def test_index_compaction_preserves_dedup(spark, tmp_path, dedup):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, landing, "b1.parquet", [(1, _BASE)])
+    _ingest(spark, dedup, landing, ckpt)
+    _write_batch(spark, landing, "b2.parquet", [(2, _UNIQ1)])
+    _ingest(spark, dedup, landing, ckpt)
+    dedup.compact_index()
+    dirs = [
+        d for d in os.listdir(dedup.bands_path) if d.startswith("batch=")
+    ]
+    assert dirs == ["batch=-1"]  # folded to one base dir
+    # the folded index still blocks cross-batch near-dups...
+    _write_batch(spark, landing, "b3.parquet", [(3, _NEAR), (4, _UNIQ2)])
+    _ingest(spark, dedup, landing, ckpt)
+    assert sorted(r["doc_id"] for r in dedup.corpus().collect()) == [1, 2, 4]
+    # ...and compaction is idempotent
+    dedup.compact_index()
+    dedup.compact_index()
+    assert sorted(r["doc_id"] for r in dedup.corpus().collect()) == [1, 2, 4]
