@@ -209,8 +209,10 @@ class StreamingCorpusDedup:
         Long-running ingestion accumulates one ``batch=<id>`` directory
         per micro-batch; every batch's index read lists them all, so the
         listing cost grows with batch count. Folding rewrites all bands
-        into ``batch=-1`` (below every real batch id, so `batch < N`
-        reads keep including it) and removes the folded directories.
+        under a FRESH negative batch id (below every real batch id, so
+        ``batch < N`` reads keep including it, and never the same id as
+        the previous fold) and then removes every superseded directory —
+        previous fold included — only after the new one is live.
 
         Crash safety needs no commit protocol here: the fold is written
         BEFORE the old dirs are removed, and duplicate band rows (fold
@@ -227,13 +229,12 @@ class StreamingCorpusDedup:
             return
         import shutil
 
-        folded = [
-            d
-            for d in os.listdir(self.bands_path)
-            if d.startswith("batch=") and d != "batch=-1"
+        dirs = [
+            d for d in os.listdir(self.bands_path) if d.startswith("batch=")
         ]
-        if not folded:
-            return
+        ids = [int(d.split("=")[1]) for d in dirs]
+        if len([i for i in ids if i >= 0]) == 0 and len(ids) <= 1:
+            return  # nothing to fold
         idx = (
             self.spark.read.schema(_BANDS_READ_SCHEMA)
             .option("basePath", self.bands_path)
@@ -243,10 +244,15 @@ class StreamingCorpusDedup:
         )
         tmp = os.path.join(self.bands_path, ".fold-tmp")
         idx.write.mode("overwrite").parquet(tmp)
-        base = os.path.join(self.bands_path, "batch=-1")
-        shutil.rmtree(base, ignore_errors=True)
-        os.rename(tmp, base)
-        for d in folded:
+        # Make the NEW fold visible first, under a FRESH negative id (so
+        # it never collides with the previous fold), and only then
+        # remove the superseded dirs: a crash between the two steps
+        # leaves duplicate band rows, which the semi-join consumer
+        # cannot observe — the old base is never deleted before its
+        # replacement is live.
+        new_id = min([i for i in ids if i < 0], default=0) - 1
+        os.rename(tmp, os.path.join(self.bands_path, f"batch={new_id}"))
+        for d in dirs:
             shutil.rmtree(os.path.join(self.bands_path, d), ignore_errors=True)
 
     def corpus(self) -> DataFrame:

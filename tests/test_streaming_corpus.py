@@ -249,7 +249,7 @@ def test_index_compaction_preserves_dedup(spark, tmp_path, dedup):
     dirs = [
         d for d in os.listdir(dedup.bands_path) if d.startswith("batch=")
     ]
-    assert dirs == ["batch=-1"]  # folded to one base dir
+    assert len(dirs) == 1 and int(dirs[0].split("=")[1]) < 0  # one base dir
     # the folded index still blocks cross-batch near-dups...
     _write_batch(spark, landing, "b3.parquet", [(3, _NEAR), (4, _UNIQ2)])
     _ingest(spark, dedup, landing, ckpt)
