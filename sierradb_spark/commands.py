@@ -53,6 +53,17 @@ def _b(x: Any) -> bytes:
     return str(x).encode()
 
 
+def _int(x: Any, what: str) -> int:
+    """Integer argument parse that stays inside the command-error
+    contract: malformed client input is a CommandError, never a raw
+    ValueError escaping to the caller."""
+    s = _s(x)
+    try:
+        return int(s)
+    except ValueError:
+        raise CommandError(f"expected integer {what}, got {s!r}")
+
+
 def _range(x: Any) -> "int | str":
     s = _s(x)
     if s in ("-", "+"):
@@ -97,7 +108,7 @@ def _append_request(stream_id: str, event_name: str, opts: dict) -> AppendReques
         event_id=_s(opts["EVENT_ID"]) if "EVENT_ID" in opts else None,
         partition_key=_s(opts["PARTITION_KEY"]) if "PARTITION_KEY" in opts else None,
         timestamp_ms=(
-            int(_s(opts["TIMESTAMP"]))
+            _int(opts["TIMESTAMP"], "TIMESTAMP")
             if "TIMESTAMP" in opts
             else time.time_ns() // 1_000_000
         ),
@@ -124,7 +135,7 @@ def _as_of(opts: dict) -> "int | None":
     """AS_OF <commit> — an EXTENSION argument on every read command
     (the reference has no time travel; our manifest chain does, see
     EventStore ``as_of``). Reads resolve the snapshot at that commit."""
-    return int(_s(opts["AS_OF"])) if "AS_OF" in opts else None
+    return _int(opts["AS_OF"], "AS_OF commit") if "AS_OF" in opts else None
 
 
 def _pk_of(stream_id: str) -> str:
@@ -223,7 +234,7 @@ def execute_command(store: EventStore, cmd: Any, *args: Any) -> Any:
             direction, rest = "reverse", rest[1:]
         if rest:
             raise CommandError(f"unexpected arguments: {rest}")
-        count = int(_s(opts["COUNT"])) if "COUNT" in opts else None
+        count = _int(opts["COUNT"], "COUNT") if "COUNT" in opts else None
         if name == "ESCAN":
             df = store.scan(
                 _s(target), start, end, count=count, direction=direction,
@@ -232,7 +243,7 @@ def execute_command(store: EventStore, cmd: Any, *args: Any) -> Any:
             )
         else:
             df = store.pscan(
-                int(_s(target)), start, end, count=count, direction=direction,
+                _int(target, "partition"), start, end, count=count, direction=direction,
                 as_of=_as_of(opts),
             )
         return _event_rows(df)
@@ -253,7 +264,7 @@ def execute_command(store: EventStore, cmd: Any, *args: Any) -> Any:
         opts, rest = _parse_append_opts(a[1:], {"AS_OF"})
         if rest:
             raise CommandError(f"unexpected arguments: {rest}")
-        return store.partition_sequence(int(_s(a[0])), as_of=_as_of(opts))
+        return store.partition_sequence(_int(a[0], "partition"), as_of=_as_of(opts))
     if name == "ECHANGES":
         # Extension: ECHANGES <since_commit> [TO <commit>] — the batch
         # change feed (EventStore.changes): events added by commits in
@@ -264,8 +275,8 @@ def execute_command(store: EventStore, cmd: Any, *args: Any) -> Any:
         opts, rest = _parse_append_opts(a[1:], {"TO"})
         if rest:
             raise CommandError(f"unexpected arguments: {rest}")
-        to = int(_s(opts["TO"])) if "TO" in opts else None
-        df = store.changes(int(_s(a[0])), to=to)
+        to = _int(opts["TO"], "TO commit") if "TO" in opts else None
+        df = store.changes(_int(a[0], "since commit"), to=to)
         return _event_rows(
             df.orderBy("partition_id", "partition_sequence")
         )
@@ -294,7 +305,7 @@ def _parse_esub(store: EventStore, a: list):
             pkeys[streams[-1]] = _s(a[i + 1])
             i += 2
         elif tok == "WINDOW":
-            window = int(_s(a[i + 1]))
+            window = _int(a[i + 1], "WINDOW")
             i += 2
         elif tok == "FROM":
             nxt = _s(a[i + 1]).upper()
@@ -310,7 +321,7 @@ def _parse_esub(store: EventStore, a: list):
                     i += 1
                 from_spec = m
             else:
-                from_spec = int(_s(a[i + 1]))
+                from_spec = _int(a[i + 1], "FROM")
                 i += 2
         else:
             streams.append(_s(a[i]))
@@ -355,7 +366,7 @@ def _parse_epsub(store: EventStore, a: list):
     while i < len(a):
         tok = _s(a[i]).upper()
         if tok == "WINDOW":
-            window = int(_s(a[i + 1]))
+            window = _int(a[i + 1], "WINDOW")
             i += 2
         elif tok == "FROM":
             nxt = _s(a[i + 1]).upper()
@@ -371,10 +382,10 @@ def _parse_epsub(store: EventStore, a: list):
                     i += 1
                 from_spec = m
                 if i < len(a) and _s(a[i]).upper() == "DEFAULT":
-                    default_from = int(_s(a[i + 1]))
+                    default_from = _int(a[i + 1], "DEFAULT FROM")
                     i += 2
             else:
-                from_spec = int(_s(a[i + 1]))
+                from_spec = _int(a[i + 1], "FROM")
                 i += 2
         else:
             raise CommandError(f"unexpected argument {a[i]!r}")

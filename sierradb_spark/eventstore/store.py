@@ -626,7 +626,18 @@ class EventStore:
                     "compact()'s retain_seconds to keep a longer change-feed "
                     "window)"
                 )
-            m = self._load_manifest(name)
+            try:
+                m = self._load_manifest(name)
+            except FileNotFoundError:
+                # Raced a concurrent compact(): the manifest was listed
+                # but swept before we loaded it — same condition as the
+                # missing-manifest branch above, same error.
+                raise SnapshotExpiredError(
+                    f"change feed ({since}, {to}] is not reconstructable: "
+                    f"commit {c}'s manifest was compacted away while the "
+                    "feed was being resolved (increase compact()'s "
+                    "retain_seconds to keep a longer change-feed window)"
+                )
             if m.get("base"):
                 continue  # re-listed bytes, no new events
             files.extend(m.get("events_add", ()))

@@ -435,14 +435,20 @@ _HEAPS_POINTS = (50, 100, 200, 500, 1000, 2000, 5000)
                  ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t
             FROM documents
         ),
+        doc_rank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS dr
+            FROM (SELECT DISTINCT doc_id FROM documents)
+        ),
         first_seen AS (
-            SELECT lower(t) AS tk, min(doc_id) AS first_doc
-            FROM tok GROUP BY lower(t)
+            SELECT lower(t) AS tk, min(r.dr) AS first_rank
+            FROM tok JOIN doc_rank r USING (doc_id)
+            GROUP BY lower(t)
         ),
         pts AS (SELECT unnest({list(_HEAPS_POINTS)}) AS n_docs),
         growth AS (
             SELECT p.n_docs,
-                   count(*) FILTER (WHERE f.first_doc < p.n_docs) AS vocab
+                   count(*) FILTER (WHERE f.first_rank < p.n_docs) AS vocab
             FROM pts p, first_seen f GROUP BY p.n_docs
         )
         SELECT CAST(n_docs AS INT) AS n_docs,
@@ -453,29 +459,57 @@ _HEAPS_POINTS = (50, 100, 200, 500, 1000, 2000, 5000)
     f"first n documents (doc_id order), sampled at {list(_HEAPS_POINTS)}. "
     "Natural corpora grow ~ K*n^beta with beta ~ 0.5; a flattening curve "
     "means the corpus is recycling vocabulary (templates) and more data "
-    "adds little. Computed from each token's FIRST document — one "
-    "aggregate over (token -> min doc_id), then a broadcast of the "
-    "sample points; never a running distinct over the corpus.",
+    "adds little. 'First n documents' is defined by RANK of doc_id (not "
+    "the raw id), so sparse/offset id spaces compute the same prefix. "
+    "Rank is resolved WITHOUT a global window: the n-th-smallest doc_id "
+    "thresholds come from a distributed top-k (TakeOrderedAndProject, "
+    "bounded at max(points) driver rows regardless of corpus size), and "
+    "the curve is then one aggregate over (token -> min doc_id) against "
+    "those literal thresholds.",
 )
 def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.when(
         F.length(F.trim("text")) == 0, F.array(F.lit(""))
     ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    # n-th smallest doc_ids (distributed top-k, O(max(points)) rows to
+    # the driver): "first n docs" == docs with doc_id <= thresholds[n].
+    smallest = [
+        r[0]
+        for r in d.select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(max(_HEAPS_POINTS))
+        .collect()
+    ]
+    if not smallest:
+        return spark.createDataFrame([], "n_docs int, vocab long")
+    thresholds = {
+        p: smallest[min(p, len(smallest)) - 1] for p in _HEAPS_POINTS
+    }
     first_seen = (
         d.select("doc_id", F.explode(toks).alias("t"))
         .groupBy(F.lower("t").alias("tk"))
         .agg(F.min("doc_id").alias("first_doc"))
     )
     pts = F.explode(
-        F.array(*[F.lit(int(p)) for p in _HEAPS_POINTS])
-    ).alias("n_docs")
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(p)).alias("n_docs"),
+                    F.lit(int(t)).alias("thr"),
+                )
+                for p, t in sorted(thresholds.items())
+            ]
+        )
+    ).alias("pt")
     growth = (
         first_seen.select("first_doc", pts)
+        .select("first_doc", "pt.n_docs", "pt.thr")
         .groupBy("n_docs")
         .agg(
             F.sum(
-                (F.col("first_doc") < F.col("n_docs")).cast("bigint")
+                (F.col("first_doc") <= F.col("thr")).cast("bigint")
             ).alias("vocab")
         )
     )

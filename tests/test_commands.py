@@ -169,3 +169,49 @@ def test_echanges_command_feed(store):
     assert ex(store, "ECHANGES", 3) == []
     with pytest.raises(CommandError):
         ex(store, "ECHANGES")
+
+
+def test_malformed_integer_args_are_command_errors(store):
+    """Every numeric command argument parses inside the command-error
+    contract: malformed client input raises CommandError, never a raw
+    ValueError (ADVICE r04: ECHANGES/EPSEQ previously leaked int())."""
+    ex(store, "EAPPEND", "int-1", "E0")
+    for args in (
+        ("ECHANGES", "abc"),
+        ("ECHANGES", "1", "TO", "xyz"),
+        ("EPSEQ", "not-a-partition"),
+        ("EPSCAN", "zero", "-", "+"),
+        ("ESCAN", "int-1", "-", "+", "COUNT", "many"),
+        ("ESCAN", "int-1", "-", "+", "AS_OF", "commitish"),
+        ("EAPPEND", "int-1", "E1", "TIMESTAMP", "noon"),
+    ):
+        with pytest.raises(CommandError, match="expected integer"):
+            ex(store, *args)
+
+
+def test_changes_survives_concurrent_compaction_sweep(store):
+    """A manifest unlinked between changes()'s listing and its load
+    surfaces as SnapshotExpiredError (the documented condition), not a
+    raw FileNotFoundError (ADVICE r04)."""
+    import os
+
+    from sierradb_spark.eventstore.store import SnapshotExpiredError
+
+    ex(store, "EAPPEND", "cc-1", "E0")
+    ex(store, "EAPPEND", "cc-1", "E1")
+    orig = store._load_manifest
+
+    def racing_load(name):
+        # Simulate compact(retain_seconds=0) winning the race: the
+        # listed manifest vanishes before the load.
+        path = os.path.join(store.commits_path, name)
+        if int(name.split(".")[0]) == 2 and os.path.exists(path):
+            os.unlink(path)
+        return orig(name)
+
+    store._load_manifest = racing_load
+    try:
+        with pytest.raises(SnapshotExpiredError, match="compacted away"):
+            store.changes(0)
+    finally:
+        store._load_manifest = orig
