@@ -115,6 +115,46 @@ def request_stream_from_socket(
     return _normalize(parsed)
 
 
+# The exact row shape Spark's Kafka source produces (KafkaSourceProvider
+# output schema) — the contract test constructs batch rows with this
+# schema so the decode path is verifiable without a broker.
+KAFKA_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_kafka_records(records: DataFrame) -> DataFrame:
+    """Kafka records -> append requests: the one projection between the
+    wire and ``StreamIngest``, shared by the live reader and the
+    brokerless contract test.
+
+    ``value`` holds a UTF-8 JSON append request (one per record); the
+    projection is ``cast(value as string)`` + ``from_json`` +
+    ``_normalize`` — byte-identical to the socket source's line decode,
+    so the two sources are interchangeable downstream. A record whose
+    value is not valid JSON decodes to a row of nulls from ``from_json``
+    (Kafka offsets must keep advancing past poison messages — a
+    malformed producer must not wedge ingestion); gate such rows out
+    with ``where(col("stream_id").isNotNull())`` into a dead-letter sink
+    if the topic is untrusted. Works on batch and streaming frames
+    alike — the contract test feeds constructed batch rows with
+    :data:`KAFKA_RECORD_SCHEMA`.
+    """
+    raw = records.select(F.col("value").cast("string").alias("value"))
+    parsed = raw.select(
+        F.from_json(F.col("value"), REQUEST_CORE_SCHEMA).alias("r")
+    ).select("r.*")
+    return _normalize(parsed)
+
+
 def kafka_available(spark: SparkSession) -> bool:
     """True iff the spark-sql-kafka connector is on the session's
     classpath (it ships separately from core Spark)."""
@@ -167,11 +207,7 @@ def request_stream_from_kafka(
         if max_offsets_per_trigger <= 0:
             raise ValueError("max_offsets_per_trigger must be positive")
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    raw = reader.load().select(F.col("value").cast("string").alias("value"))
-    parsed = raw.select(
-        F.from_json(F.col("value"), REQUEST_CORE_SCHEMA).alias("r")
-    ).select("r.*")
-    return _normalize(parsed)
+    return decode_kafka_records(reader.load())
 
 
 def rate_request_stream(

@@ -148,3 +148,96 @@ def test_kafka_source_capability_gate(spark):
     else:
         with pytest.raises(RuntimeError, match="spark-sql-kafka"):
             request_stream_from_kafka(spark, "localhost:9092", "events")
+
+
+def test_kafka_decode_contract_matches_socket_projection(store, spark):
+    """Brokerless Kafka contract (r04 brief item 1): constructed rows
+    with the Kafka source's exact output schema (binary key/value,
+    topic/partition/offset/timestamp) decode through
+    ``decode_kafka_records`` into append requests value-identical to
+    the JSON/socket projection, and feed ``append_df`` end to end."""
+    import datetime
+
+    from sierradb_spark.sources import (
+        KAFKA_RECORD_SCHEMA,
+        decode_kafka_records,
+    )
+
+    reqs = [
+        {
+            "stream_id": f"k-{i % 3}",
+            "event_name": "FromKafka",
+            "payload": f"p{i}",
+            "metadata": f"m{i}",
+            "expected_version": "any" if i % 2 else None,
+            "timestamp_ms": 1_700_000_000_000 + i,
+        }
+        for i in range(12)
+    ]
+    ts = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    kafka_rows = [
+        (
+            f"k-{i % 3}".encode(),          # key: producer partition key
+            json.dumps(r).encode(),          # value: the append request
+            "events",                        # topic
+            i % 3,                           # partition
+            i,                               # offset
+            ts,                              # timestamp
+            0,                               # timestampType (CreateTime)
+        )
+        for i, r in enumerate(reqs)
+    ]
+    records = spark.createDataFrame(kafka_rows, KAFKA_RECORD_SCHEMA)
+    decoded = decode_kafka_records(records)
+
+    # Schema contract: exactly the normalized request columns, with
+    # payload/metadata coerced to binary — identical to events_from_json.
+    assert [(f.name, f.dataType.simpleString()) for f in decoded.schema] == [
+        ("stream_id", "string"),
+        ("event_name", "string"),
+        ("payload", "binary"),
+        ("metadata", "binary"),
+        ("expected_version", "string"),
+        ("timestamp_ms", "bigint"),
+    ]
+
+    got = sorted(
+        (
+            r["stream_id"],
+            r["event_name"],
+            bytes(r["payload"]),
+            bytes(r["metadata"]),
+            r["expected_version"],
+            r["timestamp_ms"],
+        )
+        for r in decoded.collect()
+    )
+    want = sorted(
+        (
+            r["stream_id"],
+            "FromKafka",
+            r["payload"].encode(),
+            r["metadata"].encode(),
+            "any",  # null expected_version normalizes to "any"
+            r["timestamp_ms"],
+        )
+        for r in reqs
+    )
+    assert got == want
+
+    # A poison record (non-JSON value) decodes to nulls instead of
+    # failing the batch — offsets keep advancing; gate on stream_id.
+    poison = spark.createDataFrame(
+        [(None, b"not json {", "events", 0, 99, ts, 0)], KAFKA_RECORD_SCHEMA
+    )
+    prow = decode_kafka_records(poison).collect()[0]
+    assert prow["stream_id"] is None and prow["event_name"] is None
+    assert prow["expected_version"] == "any"  # normalization still applies
+
+    # End to end: the decoded frame feeds the same append path as every
+    # other source (the downstream contract the sources share).
+    res = store.append_df(decoded)
+    assert res.where(~F.col("accepted")).count() == 0
+    assert store.stream_version("k-0") == 3
+    ev = store.scan("k-1").orderBy("stream_version").collect()
+    assert [bytes(e["payload"]) for e in ev] == [b"p1", b"p4", b"p7", b"p10"]
