@@ -95,6 +95,138 @@ class LinkCAS(CommitBackend):
         return _stage_and_link(path, payload, "tmp")
 
 
+class DirOps(ABC):
+    """Directory maintenance primitives for table/index layouts
+    (list / promote / remove), the second storage seam next to
+    :class:`CommitBackend`'s publish-if-absent.
+
+    Spark itself writes data through the cluster filesystem, so the
+    WRITE path is already portable; what leaks driver-local assumptions
+    is MAINTENANCE — folding many ``batch=<id>`` directories into one,
+    sweeping superseded ones (streaming corpus index, subscription
+    sinks). Those ops live behind this interface so the same fold code
+    runs against a POSIX tree and an object-store namespace:
+
+    - :class:`LocalDirOps` — POSIX: ``os.listdir`` / atomic
+      ``os.rename`` / ``shutil.rmtree``.
+    - :class:`ObjectStoreDirOps` — the flat-namespace shape: S3/GCS/
+      Azure have no directories and NO atomic rename; "promote" is
+      per-object copy + source delete, listing is a prefix scan. The
+      local emulation restricts itself to exactly those primitives so
+      tests prove the fold protocols never depend on rename atomicity.
+
+    Every consumer of this seam must therefore order its steps so that
+    a non-atomic promote is safe: the new data is written and made
+    visible BEFORE superseded data is removed, and readers must treat
+    duplicate rows across old+new as harmless (semi-join membership,
+    event-identity dedup). That fold-before-delete discipline is
+    documented at each call site.
+    """
+
+    @abstractmethod
+    def exists(self, path: str) -> bool:
+        """True iff the directory exists (has any object under it)."""
+
+    @abstractmethod
+    def list_subdirs(self, path: str) -> list[str]:
+        """Names of the immediate child directories of ``path``."""
+
+    @abstractmethod
+    def promote(self, tmp_dir: str, final_dir: str) -> None:
+        """Make a fully-written staging directory visible under its
+        final name. Atomic on POSIX (rename); copy-then-delete on
+        object stores — callers must not rely on atomicity."""
+
+    @abstractmethod
+    def remove(self, path: str) -> None:
+        """Recursively remove a directory; missing is not an error."""
+
+
+class LocalDirOps(DirOps):
+    """POSIX directory ops (the default): atomic rename promote."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list_subdirs(self, path: str) -> list[str]:
+        try:
+            return sorted(
+                d
+                for d in os.listdir(path)
+                if os.path.isdir(os.path.join(path, d))
+            )
+        except FileNotFoundError:
+            return []
+
+    def promote(self, tmp_dir: str, final_dir: str) -> None:
+        os.rename(tmp_dir, final_dir)
+        fsync_dir(os.path.dirname(final_dir))
+
+    def remove(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
+class ObjectStoreDirOps(DirOps):
+    """Flat-namespace emulation: only object-store primitives.
+
+    Mirrors S3/GCS/Azure semantics on a local tree so fold protocols
+    can be tested against them: there are no directories (``exists`` /
+    ``list_subdirs`` are prefix scans over object keys) and no rename —
+    ``promote`` copies every object to the destination prefix one at a
+    time and then deletes the sources, exactly the visibility order a
+    real object store gives (objects appear under the new prefix
+    incrementally; a crash mid-promote leaves both prefixes partially
+    populated). A production deployment implements these four methods
+    with the store SDK's list/copy/delete calls (or the Hadoop
+    FileSystem API, which exposes the same shape).
+    """
+
+    def _keys(self, path: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                out.append(os.path.join(root, f))
+        return sorted(out)
+
+    def exists(self, path: str) -> bool:
+        return len(self._keys(path)) > 0 or os.path.isdir(path)
+
+    def list_subdirs(self, path: str) -> list[str]:
+        # Prefix listing with '/' delimiter: the distinct first path
+        # segment below the prefix, like S3 CommonPrefixes.
+        prefix = path.rstrip("/") + "/"
+        names = set()
+        for key in self._keys(path):
+            rel = key[len(prefix):]
+            if "/" in rel:
+                names.add(rel.split("/", 1)[0])
+        # os.walk also surfaces empty dirs; include them for parity with
+        # a fresh Spark write of an empty partition (marker objects).
+        if os.path.isdir(path):
+            for d in os.listdir(path):
+                if os.path.isdir(os.path.join(path, d)):
+                    names.add(d)
+        return sorted(names)
+
+    def promote(self, tmp_dir: str, final_dir: str) -> None:
+        import shutil
+
+        src_prefix = tmp_dir.rstrip("/") + "/"
+        for key in self._keys(tmp_dir):
+            dest = os.path.join(final_dir, key[len(src_prefix):])
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.copyfile(key, dest)  # one PUT-copy per object
+        os.makedirs(final_dir, exist_ok=True)
+        self.remove(tmp_dir)  # then delete the source objects
+
+    def remove(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
 class ConditionalPut(CommitBackend):
     """Object-store semantics (conditional PUT, If-None-Match: *).
 

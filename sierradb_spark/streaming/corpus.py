@@ -50,6 +50,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from sierradb_spark.eventstore.commit_backend import DirOps, LocalDirOps
+
 DOCS_SCHEMA = "doc_id long, text string"
 # Explicit read schemas (incl. the batch partition column): a batch in
 # which nothing survived — or nothing shingled — writes an EMPTY
@@ -63,17 +65,33 @@ class StreamingCorpusDedup:
     """Incrementally build a near-dup-free corpus from a document stream."""
 
     def __init__(
-        self, spark: SparkSession, out_dir: str, min_tokens: int = 0
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        min_tokens: int = 0,
+        dir_ops: DirOps | None = None,
     ) -> None:
+        if "://" in out_dir and dir_ops is None:
+            # The default maintenance ops are driver-local; on a URI
+            # path they would silently see "no index" and accept every
+            # duplicate. Refuse loudly instead (ADVICE r04): pass a
+            # DirOps routed through the store's SDK / Hadoop FileSystem.
+            raise ValueError(
+                f"out_dir {out_dir!r} is not a local path; supply "
+                "dir_ops implementing DirOps for its filesystem "
+                "(the default LocalDirOps only understands local paths)"
+            )
         self.spark = spark
         self.docs_path = os.path.join(out_dir, "docs")
         self.bands_path = os.path.join(out_dir, "bands")
         self.min_tokens = min_tokens
+        self.ops: DirOps = dir_ops or LocalDirOps()
+        self._queries: list[StreamingQuery] = []
 
     # --- the per-batch fold (also the replay unit) -----------------------
 
     def _index_before(self, batch_id: int) -> DataFrame | None:
-        if not os.path.isdir(self.bands_path):
+        if not self.ops.exists(self.bands_path):
             return None
         idx = (
             self.spark.read.schema(_BANDS_READ_SCHEMA)
@@ -132,30 +150,32 @@ class StreamingCorpusDedup:
             .distinct()
         )
         banded_ids = bands.select("doc_id").distinct()
-        if pairs.limit(1).count() > 0:
-            edges = pairs.unionByName(  # min_label_components wants symmetry
-                pairs.select(
-                    F.col("doc_b").alias("doc_a"),
-                    F.col("doc_a").alias("doc_b"),
-                )
+        # No emptiness pre-probe (saves one Spark job per micro-batch):
+        # the CC fixpoint converges on an empty edge set in one round,
+        # and every downstream step below degenerates correctly — empty
+        # comp means keep_in_graph is empty and isolated = banded - hit,
+        # exactly the no-collision survivor set.
+        edges = pairs.unionByName(  # min_label_components wants symmetry
+            pairs.select(
+                F.col("doc_b").alias("doc_a"),
+                F.col("doc_a").alias("doc_b"),
             )
-            comp = min_label_components(edges)  # (id, label=min id)
-            hit_labels = (
-                comp.join(hit, comp["id"] == hit["doc_id"])
-                .select("label")
-                .distinct()
-            )
-            keep_in_graph = (
-                comp.join(F.broadcast(hit_labels), "label", "left_anti")
-                .where(F.col("id") == F.col("label"))
-                .select(F.col("id").alias("doc_id"))
-            )
-            isolated = banded_ids.join(
-                comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
-            ).join(hit, "doc_id", "left_anti")
-            survivors = keep_in_graph.unionByName(isolated)
-        else:
-            survivors = banded_ids.join(hit, "doc_id", "left_anti")
+        )
+        comp = min_label_components(edges)  # (id, label=min id)
+        hit_labels = (
+            comp.join(hit, comp["id"] == hit["doc_id"])
+            .select("label")
+            .distinct()
+        )
+        keep_in_graph = (
+            comp.join(F.broadcast(hit_labels), "label", "left_anti")
+            .where(F.col("id") == F.col("label"))
+            .select(F.col("id").alias("doc_id"))
+        )
+        isolated = banded_ids.join(
+            comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+        ).join(hit, "doc_id", "left_anti")
+        survivors = keep_in_graph.unionByName(isolated)
         # Shingle-less docs have no bands: always accepted.
         bandless = docs.select("doc_id").join(
             bands.select("doc_id").distinct(), "doc_id", "left_anti"
@@ -189,7 +209,13 @@ class StreamingCorpusDedup:
             writer = writer.trigger(availableNow=True)
         elif trigger_interval:
             writer = writer.trigger(processingTime=trigger_interval)
-        return writer.start()
+        q = writer.start()
+        # Tracked so compact_index can refuse to run concurrently with
+        # an active ingestion query (ADVICE r04) instead of relying on
+        # caller discipline alone.
+        self._queries = [x for x in self._queries if x.isActive]
+        self._queries.append(q)
+        return q
 
     def ingest_available(
         self, docs_stream: DataFrame, checkpoint: str, timeout_s: float = 300.0
@@ -216,21 +242,41 @@ class StreamingCorpusDedup:
 
         Crash safety needs no commit protocol here: the fold is written
         BEFORE the old dirs are removed, and duplicate band rows (fold
-        written, crash before removal) are harmless — the index is only
-        ever consumed by semi-joins, for which membership is idempotent.
-        Run it only AFTER the ingestion query has committed its
-        checkpoint (e.g. after ``ingest_available`` returns), never
-        concurrently with one: a not-yet-checkpointed batch's bands,
-        once folded into the base, would make that batch's replay
-        self-collide and drop its documents (the per-batch layout
-        exists precisely so replays exclude their own bands).
-        """
-        if not os.path.isdir(self.bands_path):
-            return
-        import shutil
+        written, crash before removal — or a partially promoted fold on
+        an object store, where promote is per-object copy, not rename)
+        are harmless — the index is only ever consumed by semi-joins,
+        for which membership is idempotent. Run it only AFTER the
+        ingestion query has committed its checkpoint (e.g. after
+        ``ingest_available`` returns), never concurrently with one: a
+        not-yet-checkpointed batch's bands, once folded into the base,
+        would make that batch's replay self-collide and drop its
+        documents (the per-batch layout exists precisely so replays
+        exclude their own bands). Queries started through :meth:`start`
+        are tracked and enforce this — compact_index raises while any
+        is active.
 
+        All directory maintenance goes through the :class:`DirOps`
+        seam, so the index survives the same object-store swap as the
+        event store's commit point (r04 brief item 2): LocalDirOps for
+        POSIX trees, ObjectStoreDirOps-shaped implementations for flat
+        namespaces.
+        """
+        active = [q for q in self._queries if q.isActive]
+        if active:
+            raise RuntimeError(
+                "compact_index must not run while an ingestion query "
+                f"started by this object is active ({len(active)} "
+                "running): a not-yet-checkpointed batch's bands folded "
+                "into the base would make its replay self-collide and "
+                "drop its documents; stop the query (or let "
+                "ingest_available return) first"
+            )
+        if not self.ops.exists(self.bands_path):
+            return
         dirs = [
-            d for d in os.listdir(self.bands_path) if d.startswith("batch=")
+            d
+            for d in self.ops.list_subdirs(self.bands_path)
+            if d.startswith("batch=")
         ]
         ids = [int(d.split("=")[1]) for d in dirs]
         if len([i for i in ids if i >= 0]) == 0 and len(ids) <= 1:
@@ -249,15 +295,17 @@ class StreamingCorpusDedup:
         # remove the superseded dirs: a crash between the two steps
         # leaves duplicate band rows, which the semi-join consumer
         # cannot observe — the old base is never deleted before its
-        # replacement is live.
+        # replacement is live. promote may itself be non-atomic
+        # (object-store copy+delete): a partial fold next to intact old
+        # dirs is still just duplicates.
         new_id = min([i for i in ids if i < 0], default=0) - 1
-        os.rename(tmp, os.path.join(self.bands_path, f"batch={new_id}"))
+        self.ops.promote(tmp, os.path.join(self.bands_path, f"batch={new_id}"))
         for d in dirs:
-            shutil.rmtree(os.path.join(self.bands_path, d), ignore_errors=True)
+            self.ops.remove(os.path.join(self.bands_path, d))
 
     def corpus(self) -> DataFrame:
         """The accepted corpus so far (doc_id, text, batch)."""
-        if not os.path.isdir(self.docs_path):
+        if not self.ops.exists(self.docs_path):
             return self.spark.createDataFrame([], _DOCS_READ_SCHEMA)
         return (
             self.spark.read.schema(_DOCS_READ_SCHEMA)
