@@ -163,10 +163,30 @@ def minhash_wide_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recall-audit sample target: the exact-jaccard ground truth is computed
+# over pairs from a deterministic ~RECALL_SAMPLE_DOCS-doc sample, so the
+# audit is O(sample^2) — constant — at every scale (r04 brief item 3;
+# previously all-pairs, which capped it at gate scale). Sampling uses
+# the shared multiplicative-hash convention (pipeline.py:24-29) with an
+# adaptive threshold: hash(doc_id) < (2^32 * target) // n_docs, exact
+# integer arithmetic in both engines, all docs when n_docs <= target.
+RECALL_SAMPLE_DOCS = 1000
+_KNUTH = 2654435761
+_RING = 1 << 32
+
+
 @REG.add(
     "minhash_wide_recall",
     oracle=f"""
         WITH {_SQL_WIDE_MINS},
+        thr AS (
+            SELECT {_RING * RECALL_SAMPLE_DOCS} // count(*) AS t
+            FROM documents
+        ),
+        samp AS (
+            SELECT doc_id FROM documents, thr
+            WHERE (doc_id * {_KNUTH}) % {_RING} < thr.t
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
@@ -175,6 +195,7 @@ def minhash_wide_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sets AS (
             SELECT doc_id, list_distinct(s) AS ss FROM sh
+            WHERE doc_id IN (SELECT doc_id FROM samp)
         ),
         truth AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -189,17 +210,26 @@ def minhash_wide_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                      JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
                     AS BIGINT) AS n_true_covered
     """,
-    doc="LSH quality audit: exact all-pairs jaccard >= 0.8 (the true near-dup "
-    "set, exact-baseline) vs the 16x4 band candidates. n_true_covered == n_true "
-    "means the sketch missed nothing on this corpus (asserted in pytest). The "
-    "exact baseline is O(N^2) and exists only as the audit; the band join is "
-    "the production path.",
+    doc="LSH quality audit: exact jaccard >= 0.8 ground truth over a "
+    f"deterministic ~{RECALL_SAMPLE_DOCS}-doc hash sample's pairs vs the 16x4 "
+    "band candidates. n_true_covered == n_true means the sketch missed nothing "
+    "on the sampled truth (asserted in pytest). Sampling bounds the exact "
+    "baseline at O(sample^2) regardless of corpus size, so the audit itself "
+    "runs at any SF; the band join remains the production path and "
+    "n_candidates counts it in full.",
 )
 def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_wide_candidates(spark, sf_dir)
-    d = with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    docs = load(spark, sf_dir, "documents")
+    # Adaptive sample threshold: one count() to the driver (a scalar),
+    # then a literal predicate — same exact integer arithmetic as the
+    # oracle's thr CTE.
+    n_docs = docs.count()
+    thr = (_RING * RECALL_SAMPLE_DOCS) // max(n_docs, 1)
+    d = with_shingles(docs, "doc_id")
     sets = (
         d.where(F.col("n_toks") >= SHINGLE_K)
+        .where((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_RING) < F.lit(thr))
         .select("doc_id", F.array_distinct("shingles").alias("ss"))
         # Barrier: without it Catalyst inlines the shingle construction
         # into the per-pair jaccard predicate and re-tokenizes each doc
