@@ -4,6 +4,7 @@ from sierradb_spark.streaming.subscribe import (
     PartitionMatcher,
     StreamMatcher,
     Subscription,
+    compact_subscription_sink,
     read_subscription_sink,
 )
 from sierradb_spark.streaming.windowed import (
@@ -19,6 +20,7 @@ __all__ = [
     "StreamMatcher",
     "PartitionMatcher",
     "Subscription",
+    "compact_subscription_sink",
     "read_subscription_sink",
     "dedup_stream",
     "interval_join_streams",

@@ -113,6 +113,17 @@ def sink_schema():
     )
 
 
+def _sink_read_schema():
+    """sink_schema + the ``commit`` layout column (the ``commit=<n>``
+    directory each delivery batch writes into; negative = a compaction
+    fold)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        sink_schema().fields + [T.StructField("commit", T.LongType(), True)]
+    )
+
+
 def read_subscription_sink(
     spark, sink_path: str, after_commit: int | None = None
 ) -> DataFrame:
@@ -124,23 +135,97 @@ def read_subscription_sink(
     partition_sequence) reconstructs the callback form's delivery order
     (keys are unique and monotone per partition).
 
-    Sink writes are at-least-once (a crash between the parquet append
-    and the cursor save replays the batch, appending the same rows
-    again); (partition_id, partition_sequence) is unique per event, so
-    the reader dedupes on it — exactly-once reads over an
-    at-least-once sink, the standard Kafka-consumer contract.
+    The sink layout is one ``commit=<n>`` directory per delivered
+    commit (overwrite semantics — a replayed micro-batch rewrites its
+    own directory byte-identically instead of appending duplicates)
+    plus at most a few negative-id fold directories from
+    :func:`compact_subscription_sink`. Event identity (partition_id,
+    partition_sequence) is unique, so the reader dedupes on it — this
+    makes every remaining duplicate window (a fold published but its
+    source dirs not yet swept, a replayed commit whose rows were
+    already folded) invisible to consumers: exactly-once reads over an
+    at-least-once layout, the standard Kafka-consumer contract.
 
     A sink whose subscription has not yet matched anything has no
     directory at all (the producer side legally starts on an empty
     store); that reads as an empty result, not an error."""
     if not os.path.isdir(sink_path):
         return spark.createDataFrame([], sink_schema())
-    df = spark.read.parquet(sink_path)
+    df = (
+        spark.read.schema(_sink_read_schema())
+        .option("basePath", sink_path)
+        .parquet(sink_path)
+        .drop("commit")
+    )
     if after_commit is not None:
         df = df.where(F.col("delivery_commit") > int(after_commit))
     return df.dropDuplicates(["partition_id", "partition_sequence"]).orderBy(
         "partition_id", "partition_sequence"
     )
+
+
+def compact_subscription_sink(
+    spark,
+    sink_path: str,
+    dir_ops=None,
+    retain_after: int | None = None,
+) -> None:
+    """Fold a subscription sink's per-commit directories into one base
+    directory, optionally applying retention (r04 brief item 5).
+
+    A long-running subscription appends one small ``commit=<n>``
+    directory per trigger forever; folding rewrites the whole table —
+    event-identity-deduped, sorted by (partition_id, partition_sequence)
+    for row-group locality — under a FRESH negative commit id, then
+    removes every superseded directory. Same fold-before-delete
+    protocol as the corpus band index (streaming/corpus.py), through
+    the same :class:`~sierradb_spark.eventstore.commit_backend.DirOps`
+    seam (object-store safe: promote may be per-object copy+delete).
+    A crash anywhere leaves duplicates, never loss, and
+    :func:`read_subscription_sink`'s event-identity dedup makes
+    duplicates unobservable; the next fold heals them.
+
+    ``retain_after``: drop rows with ``delivery_commit <= retain_after``
+    during the fold — retention for consumers that have all processed
+    past that commit (the sink-side analogue of the store's
+    ``compact(retain_seconds)``).
+
+    Run it only while the subscription's sink query is NOT active: the
+    fold reads whatever directories exist, and folding a commit whose
+    streaming checkpoint has not yet committed would otherwise race its
+    replay's overwrite (the replay restores the directory, the reader
+    dedups, but the sweep below could then remove rows the fold never
+    saw — stop the query first, as with the corpus index)."""
+    from sierradb_spark.eventstore.commit_backend import LocalDirOps
+
+    ops = dir_ops or LocalDirOps()
+    if not ops.exists(sink_path):
+        return
+    dirs = [
+        d for d in ops.list_subdirs(sink_path) if d.startswith("commit=")
+    ]
+    ids = [int(d.split("=")[1]) for d in dirs]
+    if retain_after is None and len([i for i in ids if i >= 0]) == 0 and len(ids) <= 1:
+        return  # nothing to fold
+    df = (
+        spark.read.schema(_sink_read_schema())
+        .option("basePath", sink_path)
+        .parquet(sink_path)
+        .drop("commit")
+        .dropDuplicates(["partition_id", "partition_sequence"])
+    )
+    if retain_after is not None:
+        df = df.where(F.col("delivery_commit") > int(retain_after))
+    tmp = os.path.join(sink_path, ".fold-tmp")
+    (
+        df.sortWithinPartitions("partition_id", "partition_sequence")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    new_id = min([i for i in ids if i < 0], default=0) - 1
+    ops.promote(tmp, os.path.join(sink_path, f"commit={new_id}"))
+    for d in dirs:
+        ops.remove(os.path.join(sink_path, d))
 
 
 class Subscription:
@@ -452,14 +537,22 @@ class Subscription:
 
         The reference's analogue is one push socket per subscriber
         (subscription.rs:441-460); a shared sink table is the Spark-first
-        shape for the same fan-out."""
+        shape for the same fan-out.
+
+        Layout: one ``commit=<n>`` directory per delivered commit,
+        written with OVERWRITE semantics — a replayed micro-batch
+        (crash between the sink write and the checkpoint commit)
+        rewrites its own directory byte-identically instead of
+        appending duplicate part files. Read with
+        :func:`read_subscription_sink`; fold/retain with
+        :func:`compact_subscription_sink`."""
 
         def emit(matched: DataFrame, commit: int) -> None:
             (
                 matched.withColumn("delivery_commit", F.lit(commit))
                 .sortWithinPartitions("partition_id", "partition_sequence")
-                .write.mode("append")
-                .parquet(sink_path)
+                .write.mode("overwrite")
+                .parquet(os.path.join(sink_path, f"commit={commit}"))
             )
 
         process = self._make_processor(checkpoint, emit)

@@ -259,11 +259,9 @@ def test_subscription_sink_matrix_matches_callback(store, spark, tmp_path, windo
     sink = str(tmp_path / f"sink-{window}")
     sub2 = Subscription(store, PartitionMatcher(), max_files_per_trigger=window)
     sub2.catchup_to_sink(sink, str(tmp_path / f"sk-{window}"))
-    got = (
-        spark.read.parquet(sink)
-        .orderBy("partition_id", "partition_sequence")
-        .collect()
-    )
+    from sierradb_spark.streaming import read_subscription_sink
+
+    got = read_subscription_sink(spark, sink).collect()
     _assert_ordered_complete(store, got, n)
     key = lambda r: (r["partition_id"], r["partition_sequence"], r["event_name"])
     assert [key(r) for r in got] == sorted(key(r) for r in delivered)
@@ -274,13 +272,11 @@ def test_subscription_sink_matrix_matches_callback(store, spark, tmp_path, windo
     consumed_through = max(r["delivery_commit"] for r in got)
     store.append([AppendRequest("sink-late", "Late", payload=b"z")])
     sub2.catchup_to_sink(sink, str(tmp_path / f"sk-{window}"))
-    after = spark.read.parquet(sink)
+    after = read_subscription_sink(spark, sink)
     assert after.count() == n + 1
     assert after.where(F.col("event_name") == "Late").count() == 1
     # sink-side resume: a consumer that processed through commit C reads
     # exactly the deliveries after C
-    from sierradb_spark.streaming import read_subscription_sink
-
     fresh = read_subscription_sink(spark, sink, after_commit=consumed_through)
     assert [r["event_name"] for r in fresh.collect()] == ["Late"]
 
@@ -292,7 +288,9 @@ def test_subscription_sink_matcher_filters(store, spark, tmp_path):
     sink = str(tmp_path / "sink")
     sub = Subscription(store, StreamMatcher(("stream-0", "stream-1")))
     sub.catchup_to_sink(sink, str(tmp_path / "ckpt"))
-    got = spark.read.parquet(sink)
+    from sierradb_spark.streaming import read_subscription_sink
+
+    got = read_subscription_sink(spark, sink)
     assert set(
         r["stream_id"] for r in got.select("stream_id").distinct().collect()
     ) <= {"stream-0", "stream-1"}
@@ -545,7 +543,6 @@ def test_sink_reader_dedupes_replayed_append(store, spark, tmp_path):
     """Sink writes are at-least-once (crash between parquet append and
     cursor save); the reader dedupes on (partition_id,
     partition_sequence) so consumers get exactly-once reads."""
-    import glob as _glob
     import shutil as _shutil
 
     from sierradb_spark.streaming import read_subscription_sink
@@ -555,10 +552,17 @@ def test_sink_reader_dedupes_replayed_append(store, spark, tmp_path):
     Subscription(store, PartitionMatcher()).catchup_to_sink(
         sink, str(tmp_path / "ckpt")
     )
-    # simulate the replayed append: duplicate one of the sink files
-    [f] = _glob.glob(sink + "/part-*.parquet")[:1]
-    _shutil.copy(f, f.replace("part-", "part-replay-"))
-    raw = spark.read.parquet(sink)
+    # simulate the duplicate window: a fold was published (negative id)
+    # but its source commit dir was not yet swept — both hold the rows
+    [d] = [x for x in os.listdir(sink) if x.startswith("commit=")][:1]
+    _shutil.copytree(os.path.join(sink, d), os.path.join(sink, "commit=-1"))
+    from sierradb_spark.streaming.subscribe import _sink_read_schema
+
+    raw = (
+        spark.read.schema(_sink_read_schema())
+        .option("basePath", sink)
+        .parquet(sink)
+    )
     assert raw.count() > 20  # duplicates really exist on disk
     got = read_subscription_sink(spark, sink).collect()
     _assert_ordered_complete(store, got, 20)
@@ -694,10 +698,11 @@ def test_read_subscription_sink_missing_dir_is_empty(spark, tmp_path):
 
 
 def test_sink_crash_between_append_and_cursor_save_dedupes(store, spark, tmp_path):
-    """The documented at-least-once window: a crash AFTER the sink
-    parquet append but BEFORE the cursor save replays the batch on
-    restart, appending the same rows twice — read_subscription_sink
-    must still return each event exactly once."""
+    """A crash AFTER the sink write but BEFORE the cursor save replays
+    the batch on restart. With the commit=<n> overwrite layout the
+    replay rewrites its own directory — the sink holds NO duplicate
+    rows at all (stronger than the old at-least-once append), and
+    read_subscription_sink returns each event exactly once."""
     from sierradb_spark.streaming import read_subscription_sink
 
     _fill(store, n=20, batches=1)
@@ -724,7 +729,118 @@ def test_sink_crash_between_append_and_cursor_save_dedupes(store, spark, tmp_pat
 
     _shutil.rmtree(ckpt, ignore_errors=False)
     sub2.catchup_to_sink(sink, ckpt)
-    raw = spark.read.parquet(sink)
-    assert raw.count() > 20  # duplicates really landed on disk
+    from sierradb_spark.streaming.subscribe import _sink_read_schema
+
+    raw = (
+        spark.read.schema(_sink_read_schema())
+        .option("basePath", sink)
+        .parquet(sink)
+    )
+    assert raw.count() == 20  # replay overwrote its dir: zero duplicates
     got = read_subscription_sink(spark, sink).collect()
     _assert_ordered_complete(store, got, 20)
+
+
+@pytest.mark.parametrize("ops_name", ["local", "object_store"])
+def test_sink_compaction_preserves_content_and_sweeps(
+    store, spark, tmp_path, ops_name
+):
+    """r04 brief item 5: compact_subscription_sink folds the per-commit
+    directories into one base dir that serves IDENTICAL ordered content,
+    sweeps the superseded dirs, and keeps folding idempotently — on both
+    storage backends (POSIX rename and object-store copy+delete)."""
+    from sierradb_spark.eventstore.commit_backend import (
+        LocalDirOps,
+        ObjectStoreDirOps,
+    )
+    from sierradb_spark.streaming import (
+        compact_subscription_sink,
+        read_subscription_sink,
+    )
+
+    ops = LocalDirOps() if ops_name == "local" else ObjectStoreDirOps()
+    n = _fill(store, n=40, batches=4)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sub = Subscription(store, PartitionMatcher(), max_files_per_trigger=1)
+    sub.catchup_to_sink(sink, ckpt)
+    before = read_subscription_sink(spark, sink).collect()
+    _assert_ordered_complete(store, before, n)
+    assert len([d for d in os.listdir(sink) if d.startswith("commit=")]) > 1
+
+    compact_subscription_sink(spark, sink, dir_ops=ops)
+    dirs = [d for d in ops.list_subdirs(sink) if d.startswith("commit=")]
+    assert dirs == ["commit=-1"]  # folded to one base dir, old swept
+    after = read_subscription_sink(spark, sink).collect()
+    key = lambda r: (r["partition_id"], r["partition_sequence"], r["event_name"])
+    assert [key(r) for r in after] == [key(r) for r in before]
+
+    # the fold is a normal table: a later live tail appends next to it
+    store.append([AppendRequest("post-fold", "Late", payload=b"z")])
+    sub.catchup_to_sink(sink, ckpt)
+    tailed = read_subscription_sink(spark, sink)
+    assert tailed.count() == n + 1
+    assert tailed.where(F.col("event_name") == "Late").count() == 1
+
+    # idempotent refold (fresh negative id each time)
+    compact_subscription_sink(spark, sink, dir_ops=ops)
+    compact_subscription_sink(spark, sink, dir_ops=ops)
+    assert read_subscription_sink(spark, sink).count() == n + 1
+
+
+def test_sink_compaction_retention_drops_consumed_commits(
+    store, spark, tmp_path
+):
+    """retain_after: rows delivered at or before the given commit are
+    dropped during the fold — retention for sinks whose consumers have
+    all advanced past it."""
+    from sierradb_spark.streaming import (
+        compact_subscription_sink,
+        read_subscription_sink,
+    )
+
+    _fill(store, n=30, batches=3)
+    sink = str(tmp_path / "sink")
+    sub = Subscription(store, PartitionMatcher(), max_files_per_trigger=1)
+    sub.catchup_to_sink(sink, str(tmp_path / "ckpt"))
+    all_rows = read_subscription_sink(spark, sink).collect()
+    commits = sorted({r["delivery_commit"] for r in all_rows})
+    assert len(commits) >= 3
+    cut = commits[1]
+    compact_subscription_sink(spark, sink, retain_after=cut)
+    kept = read_subscription_sink(spark, sink).collect()
+    want = [r for r in all_rows if r["delivery_commit"] > cut]
+    key = lambda r: (r["partition_id"], r["partition_sequence"])
+    assert sorted(key(r) for r in kept) == sorted(key(r) for r in want)
+    # resume semantics still line up: after_commit=cut reads the same set
+    resumed = read_subscription_sink(spark, sink, after_commit=cut).collect()
+    assert sorted(key(r) for r in resumed) == sorted(key(r) for r in want)
+
+
+def test_sink_replay_overwrite_is_idempotent(store, spark, tmp_path):
+    """A replayed sink micro-batch (crash between the sink write and
+    the streaming checkpoint commit) rewrites its own commit=<n>
+    directory instead of appending duplicates: re-running emit for the
+    same delivered batch leaves the table byte-count identical."""
+    from sierradb_spark.streaming import read_subscription_sink
+
+    n = _fill(store, n=20, batches=1)
+    sink = str(tmp_path / "sink")
+    sub = Subscription(store, PartitionMatcher())
+    sub.catchup_to_sink(sink, str(tmp_path / "ckpt"))
+    got = read_subscription_sink(spark, sink)
+    assert got.count() == n
+    [d] = [x for x in os.listdir(sink) if x.startswith("commit=")]
+    commit = int(d.split("=")[1])
+    # replay: same matched rows, same commit -> overwrite, not append
+    matched = store.events().withColumn(
+        "delivery_commit", F.lit(commit)
+    )
+    (
+        matched.sortWithinPartitions("partition_id", "partition_sequence")
+        .write.mode("overwrite")
+        .parquet(os.path.join(sink, d))
+    )
+    assert read_subscription_sink(spark, sink).count() == n
+    raw = spark.read.parquet(os.path.join(sink, d))
+    assert raw.count() == n  # the directory itself holds no duplicates
