@@ -32,6 +32,7 @@ acknowledgement is the subscription's durable delivery cursor
 from __future__ import annotations
 
 import time
+import uuid as _uuid
 from typing import Any
 
 from sierradb_spark.eventstore.store import AppendRequest, EventStore
@@ -218,7 +219,15 @@ def execute_command(store: EventStore, cmd: Any, *args: Any) -> Any:
         opts, rest = _parse_append_opts(a[1:], {"AS_OF"})
         if rest:
             raise CommandError(f"unexpected arguments: {rest}")
-        return _event_rows(store.get(_s(a[0]), as_of=_as_of(opts)))
+        eid = _s(a[0])
+        try:
+            _uuid.UUID(eid)
+        except ValueError:
+            # The reference rejects an unparseable id at the protocol
+            # layer before any lookup; mirror that as a CommandError
+            # rather than leaking the uuid module's ValueError.
+            raise CommandError(f"EGET: {eid!r} is not a UUID")
+        return _event_rows(store.get(eid, as_of=_as_of(opts)))
     if name in ("ESCAN", "EPSCAN"):
         if len(a) < 3:
             raise CommandError(f"{name} requires <target> <start> <end>")

@@ -1229,6 +1229,18 @@ class EventStore:
         time-travel contract as :meth:`events` (valid back to the last
         compaction; raises :class:`SnapshotExpiredError` beyond the
         ``compact(retain_seconds)`` retention window).
+
+        Foreign/corrupt ids: an id whose embedded hash points at the
+        wrong partition CANNOT name a stored event — the append path
+        rejects any event_id that does not embed its partition_key's
+        hash (the same validation the reference applies,
+        database.rs:879-884), so "stored event_id embeds its partition's
+        hash" is a table invariant and pruning by the embedded hash can
+        never hide a real event. Such an id therefore returns EMPTY,
+        exactly like any other unknown id (the reference's EGET
+        not-found), rather than raising — the pruned single-partition
+        scan is the not-found proof, not a shortcut past one. Pinned by
+        test_eget_foreign_hash_id_is_clean_miss.
         """
         phash = ids.uuid_to_partition_hash(event_id)
         pid = ids.partition_id_for_hash(phash, self.config.num_partitions)

@@ -180,6 +180,63 @@ def test_eget_miss_and_unknown_stream(store):
     assert store.scan("nope").count() == 0
 
 
+def test_eget_foreign_hash_id_is_clean_miss(store, spark):
+    """r04 brief item 7: EGET semantics for an id whose embedded hash
+    is foreign/corrupt. The append path rejects any event_id that does
+    not embed its partition_key's hash (database.rs:879-884 parity;
+    test_durability covers the raise), so a stored event_id ALWAYS
+    embeds its partition's hash — pruning by the embedded hash can
+    never hide a real event, and a foreign id is a clean empty miss
+    (reference not-found), never an error."""
+    # populate several partitions so the foreign id can point at a
+    # partition that actually holds (other streams') data
+    store.append(
+        [AppendRequest(f"fh-{i}", "E") for i in range(12) for _ in range(2)]
+    )
+    real = store.scan("fh-0").collect()[0]["event_id"]
+    real_pid = ids.partition_id_for_hash(
+        ids.uuid_to_partition_hash(real), store.config.num_partitions
+    )
+    populated = {
+        r["partition_id"] for r in store.watermarks().collect()
+    }
+    other_pid = next(p for p in sorted(populated) if p != real_pid)
+    # forge an id embedding a hash that maps to other_pid: no event
+    # with this id exists anywhere, and its embedded hash points away
+    # from every partition holding fh-0's data
+    foreign = str(
+        ids.uuid_v7_with_partition_hash(
+            other_pid, timestamp_ms=1, rand12=0, rand46=0
+        )
+    )
+    df = store.get(foreign)
+    assert df.count() == 0  # empty, no exception
+    # and the miss is still a PRUNED single-partition scan: the plan
+    # filters on the foreign id's partition, not a full-table pass
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(rf"partition_id#\d+ = {other_pid}\b", plan), plan
+    # an id pointing at a NEVER-POPULATED partition short-circuits on
+    # the watermark table: no scan at all (empty relation)
+    unpop = next(
+        h for h in range(store.config.num_partitions, 1 << 16)
+        if ids.partition_id_for_hash(h, store.config.num_partitions)
+        not in populated
+    )
+    cold = str(
+        ids.uuid_v7_with_partition_hash(unpop, timestamp_ms=1, rand12=0, rand46=0)
+    )
+    assert store.get(cold).count() == 0
+    # the command adapter rejects an unparseable id as a CommandError
+    from sierradb_spark.commands import CommandError, execute_command
+
+    with pytest.raises(CommandError, match="not a UUID"):
+        execute_command(store, "EGET", "not-a-uuid")
+    # while a well-formed foreign id goes through the same clean miss
+    assert execute_command(store, "EGET", foreign) == []
+
+
 def test_scan_ranges_and_limits(store):
     reqs = [AppendRequest("r1", f"E{i}") for i in range(10)]
     store.append(reqs)
