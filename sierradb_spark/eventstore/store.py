@@ -32,7 +32,8 @@ compare-and-swap on the commit number (os.link fails on collision), so
 a racing second writer loses with :class:`ConcurrentWriteError` and its
 staged files stay invisible. Readers are unrestricted. On a production
 cluster, swap this module's manifest log for Delta/Iceberg commits —
-the semantics are identical.
+the semantics are identical (docs/DELTA_EQUIVALENCE.md maps every
+durability test onto the Delta protocol mechanism that carries it).
 
 Scale notes (100 TB):
 - Events are hive-partitioned by ``partition_id`` and sorted within
