@@ -264,10 +264,11 @@ _PQ_SD = 16  # dims per subspace (full dim 64)
 _PQ_K = 16  # centroids per subspace (4-bit codes)
 
 
-@REG.add(
-    "pq_adc_recall",
-    oracle=f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+# Shared oracle CTE chain: subspace split -> deterministic 1-round
+# Lloyd codebooks -> per-vector PQ reconstruction. Appended after a
+# "v(vec_id, emb)" CTE; yields recon(vec_id, rv). Used by the PQ-ADC
+# recall audit and the IVF-PQ composite query below.
+_SQL_PQ_RECON = f"""
         sub AS (
             SELECT v.vec_id, js.j,
                    v.emb[(js.j * {_PQ_SD} + 1):(js.j * {_PQ_SD} + {_PQ_SD})]
@@ -327,60 +328,19 @@ _PQ_K = 16  # centroids per subspace (4-bit codes)
             SELECT a.vec_id, flatten(list(c.cent ORDER BY a.j)) AS rv
             FROM a2 a JOIN c1 c ON c.j = a.j AND c.cid = a.cid
             GROUP BY a.vec_id
-        ),
-        q AS (SELECT emb AS qv FROM v WHERE vec_id = 0),
-        adc AS (
-            SELECT r.vec_id,
-                   list_dot_product(q.qv, q.qv)
-                   - 2 * list_dot_product(q.qv, r.rv)
-                   + list_dot_product(r.rv, r.rv) AS ad
-            FROM recon r, q WHERE r.vec_id <> 0
-        ),
-        topa AS (
-            SELECT vec_id FROM adc
-            ORDER BY round(ad, 6) ASC, vec_id ASC LIMIT 10
-        ),
-        exact AS (
-            SELECT v.vec_id,
-                   list_dot_product(v.emb, v.emb)
-                   - 2 * list_dot_product(v.emb, q.qv)
-                   + list_dot_product(q.qv, q.qv) AS xd
-            FROM v, q WHERE v.vec_id <> 0
-        ),
-        topx AS (
-            SELECT vec_id FROM exact
-            ORDER BY round(xd, 6) ASC, vec_id ASC LIMIT 10
-        ),
-        err AS (
-            SELECT round(avg((list_dot_product(v.emb, v.emb)
-                              - 2 * list_dot_product(v.emb, r.rv)
-                              + list_dot_product(r.rv, r.rv))
-                             / {_PQ_M * _PQ_SD}), 6) AS recon_mse
-            FROM v JOIN recon r USING (vec_id)
         )
-        SELECT CAST({_PQ_M} AS INT) AS n_subspaces,
-               CAST({_PQ_K} AS INT) AS n_centroids,
-               CAST((SELECT count(*) FROM topa JOIN topx USING (vec_id))
-                    AS BIGINT) AS overlap_at_10,
-               (SELECT recon_mse FROM err) AS recon_mse
-    """,
-    doc=f"Product quantization audit: {_PQ_M} subspaces x {_PQ_K} centroids "
-    "(4-bit codes, 64x smaller than float32), per-subspace codebooks "
-    "trained by deterministic Lloyd's (init = lowest vec_ids, one update "
-    "round, centroids rounded to 9 decimals so both engines quantize "
-    "identically); L2 top-10 on the reconstructed vectors vs the exact "
-    "top-10, plus the mean per-dim reconstruction error. The "
-    "reconstruction-distance form is mathematically identical to the "
-    "ADC lookup-table sum a production scorer uses — the LUT is just "
-    "this computation factored per subspace. Codebooks are O(m*k*d/m) "
-    "doubles — broadcast; assignment passes never shuffle the corpus.",
-)
-def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-    from sierradb_spark.functions.similarity import dot_col, _dvec
+"""
 
-    e = load(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", _dvec("embedding").alias("emb"))
+
+def _pq_reconstruction(v: DataFrame) -> DataFrame:
+    """PQ-reconstructed vectors recon(vec_id, rv) from v(vec_id, emb):
+    subspace split -> deterministic 1-round Lloyd codebooks (init =
+    lowest vec_ids, centroids rounded to 9 decimals) -> per-vector
+    reconstruction. The Spark twin of _SQL_PQ_RECON; shared by the
+    PQ-ADC recall audit and the IVF-PQ composite query."""
+    from pyspark.sql import Window
+    from sierradb_spark.functions.similarity import dot_col
+
     sub = v.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("j"),
@@ -443,6 +403,67 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # read by adc + err
     )
+    return recon
+
+
+@REG.add(
+    "pq_adc_recall",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        {_SQL_PQ_RECON},
+        q AS (SELECT emb AS qv FROM v WHERE vec_id = 0),
+        adc AS (
+            SELECT r.vec_id,
+                   list_dot_product(q.qv, q.qv)
+                   - 2 * list_dot_product(q.qv, r.rv)
+                   + list_dot_product(r.rv, r.rv) AS ad
+            FROM recon r, q WHERE r.vec_id <> 0
+        ),
+        topa AS (
+            SELECT vec_id FROM adc
+            ORDER BY round(ad, 6) ASC, vec_id ASC LIMIT 10
+        ),
+        exact AS (
+            SELECT v.vec_id,
+                   list_dot_product(v.emb, v.emb)
+                   - 2 * list_dot_product(v.emb, q.qv)
+                   + list_dot_product(q.qv, q.qv) AS xd
+            FROM v, q WHERE v.vec_id <> 0
+        ),
+        topx AS (
+            SELECT vec_id FROM exact
+            ORDER BY round(xd, 6) ASC, vec_id ASC LIMIT 10
+        ),
+        err AS (
+            SELECT round(avg((list_dot_product(v.emb, v.emb)
+                              - 2 * list_dot_product(v.emb, r.rv)
+                              + list_dot_product(r.rv, r.rv))
+                             / {_PQ_M * _PQ_SD}), 6) AS recon_mse
+            FROM v JOIN recon r USING (vec_id)
+        )
+        SELECT CAST({_PQ_M} AS INT) AS n_subspaces,
+               CAST({_PQ_K} AS INT) AS n_centroids,
+               CAST((SELECT count(*) FROM topa JOIN topx USING (vec_id))
+                    AS BIGINT) AS overlap_at_10,
+               (SELECT recon_mse FROM err) AS recon_mse
+    """,
+    doc=f"Product quantization audit: {_PQ_M} subspaces x {_PQ_K} centroids "
+    "(4-bit codes, 64x smaller than float32), per-subspace codebooks "
+    "trained by deterministic Lloyd's (init = lowest vec_ids, one update "
+    "round, centroids rounded to 9 decimals so both engines quantize "
+    "identically); L2 top-10 on the reconstructed vectors vs the exact "
+    "top-10, plus the mean per-dim reconstruction error. The "
+    "reconstruction-distance form is mathematically identical to the "
+    "ADC lookup-table sum a production scorer uses — the LUT is just "
+    "this computation factored per subspace. Codebooks are O(m*k*d/m) "
+    "doubles — broadcast; assignment passes never shuffle the corpus.",
+)
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.similarity import dot_col, _dvec
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding").alias("emb"))
+    recon = _pq_reconstruction(v)
     q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
     adc = (
         recon.where(F.col("vec_id") != 0)
@@ -500,4 +521,107 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PQ_K).cast("int").alias("n_centroids"),
             "overlap_at_10",
         ).crossJoin(err)
+    )
+
+
+@REG.add(
+    "ivf_pq_adc_topk",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        {_SQL_PQ_RECON},
+        q AS (SELECT emb AS qv FROM v WHERE vec_id = 0),
+        comp AS (
+            SELECT e.label, t.i, avg(e.embedding[t.i]::DOUBLE) AS c
+            FROM embeddings e, range(1, 65) t(i)
+            GROUP BY e.label, t.i
+        ),
+        cent AS (
+            SELECT label, list(c ORDER BY i) AS cv FROM comp GROUP BY label
+        ),
+        best AS (
+            SELECT cent.label
+            FROM cent, q
+            ORDER BY list_dot_product(cent.cv, q.qv)
+                     / nullif(sqrt(list_dot_product(cent.cv, cent.cv))
+                              * sqrt(list_dot_product(q.qv, q.qv)), 0) DESC,
+                     cent.label ASC
+            LIMIT 2
+        ),
+        cand AS (
+            SELECT e.vec_id, e.label FROM embeddings e
+            JOIN best USING (label) WHERE e.vec_id <> 0
+        )
+        SELECT c.vec_id, c.label,
+               round(list_dot_product(q.qv, q.qv)
+                     - 2 * list_dot_product(q.qv, r.rv)
+                     + list_dot_product(r.rv, r.rv), 6) AS adc_dist,
+               round({_sql_cos('v.emb', 'q.qv')}, 4) AS cosine
+        FROM cand c
+        JOIN recon r ON r.vec_id = c.vec_id
+        JOIN v ON v.vec_id = c.vec_id, q
+        ORDER BY adc_dist ASC, c.vec_id ASC
+        LIMIT 10
+    """,
+    doc="IVF-PQ: the composite every production vector store actually "
+    "runs at scale — coarse routing (probe the query's 2 nearest cells; "
+    "cells = labels here, the partition column of the materialized "
+    "index) restricts the scan, then PQ-ADC distance (the shared "
+    "1-round-Lloyd codebooks) ranks ONLY the probed cells' vectors, "
+    "with the exact cosine reported alongside for audit. Probing is "
+    "partition pruning; codebooks are broadcast-sized; the top-10 is "
+    "TakeOrderedAndProject over candidates, never the corpus.",
+)
+def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.similarity import (
+        _dvec,
+        cosine_col,
+        dot_col,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding").alias("emb"))
+    q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    # coarse quantizer: per-cell centroids (one partial-agg pass), route
+    # the query to its 2 nearest cells — identical to _ivf_topk's router
+    comp = (
+        e.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("col").alias("c"))
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    best = (
+        cent.crossJoin(F.broadcast(q))
+        .select("label", cosine_col(F.col("cv"), F.col("qv")).alias("ccos"))
+        .orderBy(F.col("ccos").desc(), F.col("label").asc())
+        .limit(2)
+        .select("label")
+    )
+    cand = (
+        e.join(F.broadcast(best), "label")  # probe = partition pruning
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "label", _dvec("embedding").alias("emb"))
+    )
+    recon = _pq_reconstruction(v)
+    adc = (
+        dot_col(F.col("qv"), F.col("qv"))
+        - 2 * dot_col(F.col("qv"), F.col("rv"))
+        + dot_col(F.col("rv"), F.col("rv"))
+    )
+    return (
+        cand.join(recon, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(adc, 6).alias("adc_dist"),
+            F.round(cosine_col(F.col("emb"), F.col("qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
     )

@@ -16,6 +16,7 @@ from sierradb_spark.operators import (
     relational4,
     sketches,
     stats,
+    timeseries,
     windows,
 )
 from sierradb_spark.functions import (
@@ -57,6 +58,7 @@ for mod in (
     relational2,
     relational3,
     relational4,
+    timeseries,
     scrub,
     text3,
     quantize,
@@ -80,37 +82,43 @@ _FRONT_50 = [
     "eget_point_lookup", "escan_stream_range", "escan_reverse_limit",
     "epscan_partition_range", "esver_stream_heads", "epseq_partition_heads",
     "watermark_gated_scan",
-    # text analysis + PII (6)
+    # text analysis + PII (4)
     "text_token_stats", "text_quality_by_lang", "lang_id_heuristic",
-    "bpe_token_stats", "winnow_fingerprints", "pii_redacted_corpus",
-    # exact dedup (2)
-    "dedup_exact_stats", "dedup_exact_keep_first",
+    "pii_redacted_corpus",
+    # exact dedup (1)
+    "dedup_exact_stats",
     # production-width sketch dedup (6)
     "minhash_wide_bands", "minhash_wide_candidates", "minhash_wide_recall",
     "simhash64_signatures", "simhash64_hamming_candidates",
     "embedding_near_dup_bucketed",
-    # similarity / ANN (7)
-    "embedding_norms", "similarity_topk_cosine", "knn_label_recall",
-    "label_centroid_summary", "ivf_probe1_topk", "lsh_bucket_candidates",
-    "ivf_probe2_topk",
-    # multimodal (5)
+    # similarity / ANN (5)
+    "embedding_norms", "similarity_topk_cosine",
+    "ivf_probe1_topk", "lsh_bucket_candidates", "ivf_probe2_topk",
+    # multimodal (3)
     "multimodal_decode_metadata", "multimodal_metadata_only",
-    "multimodal_byte_features", "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    # curation pipeline + quality + chunk/semantic dedup (15)
-    "train_shard_assignment",
+    "multimodal_byte_features",
+    # curation pipeline + quality + chunk/semantic dedup (9)
     "near_dup_components", "sequence_packing",
     "chunk_dedup_survivors", "doc_repetition_gopher", "dedup_keep_best_quality",
-    "quality_filter_funnel", "word_entropy_by_lang", "repetition_ratio_stats",
-    "stratified_sample_by_lang", "token_bucket_histogram", "semdedup_survivors",
-    "dedup_survivor_corpus",
+    "quality_filter_funnel", "semdedup_survivors",
+    "dedup_survivor_corpus", "benchmark_contamination",
     # round-3 flagships: clustering + quantized-ANN audit
     "kmeans_embedding_clusters", "sq8_quantized_recall",
-    # round-4 flagships: exact-substring span dedup (the displaced
-    # deterministic_doc_sample / text_normalize_stats remain behind the
-    # window; their machinery — hash sampling, text stats — is already
-    # exercised by stratified_sample_by_lang and the text/quality rows)
+    # round-4 flagships: exact-substring span dedup
     "repeated_span_stats", "substring_scrubbed_corpus",
+    # round-5 rotation (r04 brief item 4): never-driver-checked
+    # flagships promoted for driver evidence...
+    "url_canonical_dedup", "pq_adc_recall", "matryoshka_truncation_recall",
+    "heaps_law_vocab_growth", "zipf_law_fit", "triangle_count_near_dup",
+    # ...plus the round-5 additions: hypertable gapfill, SCD-2 history,
+    # sequence mining, watermark-delay diagnostic, IVF-PQ composite.
+    # (Displaced rows — bpe/winnow/entropy/repetition/token-histogram
+    # text+quality stats, keep-first exact dedup, knn/centroid
+    # similarity audits, resize/frame multimodal plumbing, shard/
+    # stratified hash routing — all carry green driver evidence from
+    # CORRECTNESS_r01-r04 and stay oracle-checked behind the window.)
+    "gapfill_hourly_rollup", "scd2_entity_history", "event_type_trigrams",
+    "late_arrival_stats", "ivf_pq_adc_topk",
 ]
 REGISTRY.reorder_front(_FRONT_50)
 

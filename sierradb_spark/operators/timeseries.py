@@ -1,0 +1,251 @@
+"""Time-series / temporal-state operators over the events table.
+
+The reference is an event store; the temporal queries its users run
+daily beyond plain scans are continuous aggregates ("hypertable
+rollups"), temporal state reconstruction, sequence mining, and
+event-time disorder diagnostics. Each is expressed as built-in
+DataFrame algebra (no UDFs) with an exact DuckDB oracle.
+
+Scale shapes: every query here shuffles once on its natural key
+(event_type or user_id); time grids are generated from one global
+bounds aggregate (2 timestamps to the driver) and are |types| x |buckets|
+rows — broadcast-sized regardless of corpus size; windows are always
+key-partitioned (no global WindowExec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sierradb_spark.registry import Registry, load
+
+REG = Registry()
+
+
+@REG.add(
+    "gapfill_hourly_rollup",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS hour_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        hours AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        grid AS (
+            SELECT t.event_type, h.hour
+            FROM hours h, (SELECT DISTINCT event_type FROM events) t
+        )
+        SELECT g.event_type, g.hour,
+               coalesce(a.n_events, 0) AS n_events,
+               a.hour_value,
+               last_value(a.hour_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM grid g LEFT JOIN hourly a USING (event_type, hour)
+    """,
+    doc="Hypertable-style continuous aggregate with gap filling: hourly "
+    "count/sum per event type over a DENSE hour grid (empty buckets "
+    "materialized as zero-count rows) with last-observation-carried-"
+    "forward interpolation of the hourly value — the "
+    "time_bucket_gapfill + locf() query of timescale-like stores. The "
+    "grid is generated from ONE bounds aggregate (two timestamps to "
+    "the driver) and is |types| x |hours| rows — broadcast-sized at any "
+    "corpus size; the LOCF window is type-partitioned, never global.",
+)
+def gapfill_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(
+        "event_type", hour.alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("hour_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "hour_value",
+            F.last("hour_value", ignorenulls=True).over(w).alias(
+                "filled_value"
+            ),
+        )
+    )
+
+
+@REG.add(
+    "scd2_entity_history",
+    oracle="""
+        SELECT user_id,
+               event_type AS state,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD type-2 history from the event log: every event opens a "
+    "state interval [valid_from, valid_to) closed by the user's next "
+    "event (NULL valid_to = current state), with a per-user version "
+    "counter — the temporal-table reconstruction a warehouse derives "
+    "from an event-sourced entity. One user-partitioned window serves "
+    "lead, row_number, and the is_current flag; the shuffle key is the "
+    "natural entity key, so at 100 TB this is one exchange.",
+)
+def scd2_entity_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@REG.add(
+    "event_type_trigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS t1,
+                   lead(event_type, 1) OVER w AS t2,
+                   lead(event_type, 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE t3 IS NOT NULL
+        GROUP BY t1, t2, t3
+        ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC
+        LIMIT 25
+    """,
+    doc="Behavioral sequence mining: the 25 most frequent event-type "
+    "trigrams over per-user event-time order — the pattern table "
+    "feeding next-event prediction and anomaly screens. One "
+    "user-partitioned window (two leads share it), one aggregate; the "
+    "top-25 is TakeOrderedAndProject, never a global sort of the "
+    "pattern space.",
+)
+def event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("n").desc(),
+            F.col("t1").asc(),
+            F.col("t2").asc(),
+            F.col("t3").asc(),
+        )
+        .limit(25)
+    )
+
+
+@REG.add(
+    "late_arrival_stats",
+    oracle="""
+        WITH arr AS (
+            SELECT event_type, ts,
+                   max(ts) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS high
+            FROM events
+        ),
+        late AS (
+            SELECT event_type,
+                   CASE WHEN high IS NULL OR ts >= high THEN 0.0
+                        ELSE date_diff('microsecond', ts, high) / 1000000.0
+                   END AS late_s
+            FROM arr
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (WHERE late_s > 0) AS BIGINT) AS n_late,
+               round(count(*) FILTER (WHERE late_s > 0)
+                     / CAST(count(*) AS DOUBLE), 4) AS late_share,
+               round(quantile_cont(late_s, 0.95), 3) AS p95_late_s,
+               round(max(late_s), 3) AS max_late_s
+        FROM late GROUP BY event_type
+    """,
+    doc="Event-time disorder diagnostic: per type, how often an event "
+    "arrives (arrival order = event_id) behind the user's event-time "
+    "high-water mark, and by how much (p95/max seconds) — exactly the "
+    "numbers that size a Structured Streaming watermark delay "
+    "(withWatermark chooses the allowed lateness; p95_late_s is its "
+    "empirical floor). Lateness is keyed per user — the granularity at "
+    "which stateful operators actually hold state — so the window is "
+    "user-partitioned, never global.",
+)
+def late_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("high")
+    )
+    late_s = F.when(
+        F.col("high").isNull() | (F.col("ts") >= F.col("high")), F.lit(0.0)
+    ).otherwise(
+        # cast("timestamp_ltz"): unix_micros rejects TIMESTAMP_NTZ
+        (
+            F.unix_micros(F.col("high").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        )
+        / F.lit(1_000_000.0)
+    )
+    late = arr.select("event_type", late_s.alias("late_s"))
+    return late.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("late_s") > 0, 1)).alias("n_late"),
+        F.round(
+            F.count(F.when(F.col("late_s") > 0, 1))
+            / F.count("*").cast("double"),
+            4,
+        ).alias("late_share"),
+        F.round(F.expr("percentile(late_s, 0.95)"), 3).alias("p95_late_s"),
+        F.round(F.max("late_s"), 3).alias("max_late_s"),
+    )

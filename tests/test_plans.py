@@ -356,3 +356,43 @@ def test_repeated_span_stats_digest_only_shuffle(q):
     f = assert_plan(q("repeated_span_stats"), forbid_nested_loop=True)
     specs = _window_partition_specs(f["plan"])
     assert specs and all(s.startswith("doc_id") for s in specs), specs
+
+
+def test_gapfill_windows_type_partitioned_grid_broadcast(q):
+    # The LOCF window must be event_type-partitioned (never a global
+    # single-reducer window), and the dense hour grid joins back to the
+    # hourly aggregate without a cartesian product: the only
+    # nested-loop is the broadcast of the bounds-derived hour list.
+    from sierradb_spark.plans import plan_features
+
+    f = plan_features(q("gapfill_hourly_rollup"))
+    assert f["cartesian_products"] == 0
+    specs = _window_partition_specs(f["plan"])
+    assert specs and all(s.startswith("event_type") for s in specs), specs
+
+
+def test_scd2_and_trigrams_user_partitioned(q):
+    # Temporal-state reconstruction and sequence mining both run under
+    # user-partitioned windows (entity-keyed shuffles — one exchange),
+    # and the trigram top-25 plans as TakeOrderedAndProject.
+    from sierradb_spark.plans import plan_features
+
+    f = plan_features(q("scd2_entity_history"))
+    specs = _window_partition_specs(f["plan"])
+    assert specs and all(s.startswith("user_id") for s in specs), specs
+    assert_plan(q("scd2_entity_history"), max_shuffles=1)
+
+    f2 = assert_plan(q("event_type_trigrams"), require_top_k=True)
+    specs2 = _window_partition_specs(f2["plan"])
+    assert specs2 and all(s.startswith("user_id") for s in specs2), specs2
+
+
+def test_ivf_pq_composite_broadcast_probe_topk(q):
+    # The IVF-PQ composite: cell routing + query vector + codebooks all
+    # broadcast (candidates join them, never shuffle the corpus by
+    # anything but its keys); final top-10 is TakeOrderedAndProject;
+    # no cartesian product (the 1-row query crossJoins are broadcast
+    # nested loops, which is the allowed shape).
+    f = assert_plan(q("ivf_pq_adc_topk"), require_top_k=True)
+    assert f["cartesian_products"] == 0
+    assert f["broadcast_hash_joins"] >= 2, f["broadcast_hash_joins"]
