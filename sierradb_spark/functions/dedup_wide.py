@@ -733,3 +733,61 @@ def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("retention"),
     )
+
+
+@REG.add(
+    "minhash_verified_pairs",
+    oracle=f"""
+        WITH {_SQL_WIDE_MINS},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
+             AND a.doc_id < b.doc_id
+        ),
+        sets AS (
+            SELECT doc_id, list_distinct(s) AS ss FROM sh
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                     / nullif(len(a.ss) + len(b.ss)
+                              - len(list_intersect(a.ss, b.ss)), 0),
+                     6) AS jaccard
+        FROM cand c
+        JOIN sets a ON a.doc_id = c.doc_a
+        JOIN sets b ON b.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+              / nullif(len(a.ss) + len(b.ss)
+                       - len(list_intersect(a.ss, b.ss)), 0) >= 0.8
+    """,
+    doc="The MinHash pipeline's production final step: exact-jaccard "
+    "VERIFICATION of the band candidates (>= 0.8 kept, score emitted). "
+    "Exact set intersection runs ONLY on colliding pairs — cost scales "
+    "with collisions, never N^2; shingle sets join to the candidate "
+    "list by doc_id equi-key, so at 100 TB the verify pass shuffles "
+    "candidate ids + the colliding docs' shingle sets, not the corpus. "
+    "Together with minhash_wide_candidates this is the end-to-end "
+    "candidates -> verified-pairs dedup a real corpus runs.",
+)
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = minhash_wide_candidates(spark, sf_dir)
+    d = with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    sets = (
+        d.where(F.col("n_toks") >= SHINGLE_K)
+        .select("doc_id", F.array_distinct("shingles").alias("ss"))
+        # Barrier (as in the recall audit): keep the shingle build from
+        # being inlined per-pair into the jaccard predicate.
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter.cast("double") / F.nullif(union, F.lit(0))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -28,6 +28,7 @@ from sierradb_spark.functions import (
     graphs,
     multimodal,
     quantize,
+    retrieval,
     pipeline,
     quality,
     similarity,
@@ -62,6 +63,7 @@ for mod in (
     scrub,
     text3,
     quantize,
+    retrieval,
     graphs,
     clustering,
     stats,
@@ -89,10 +91,11 @@ _FRONT_50 = [
     "dedup_exact_stats",
     # production-width sketch dedup (6)
     "minhash_wide_bands", "minhash_wide_candidates", "minhash_wide_recall",
-    "simhash64_signatures", "simhash64_hamming_candidates",
+    "minhash_verified_pairs",
+    "simhash64_hamming_candidates",
     "embedding_near_dup_bucketed",
-    # similarity / ANN (5)
-    "embedding_norms", "similarity_topk_cosine",
+    # similarity / ANN + retrieval (5)
+    "similarity_topk_cosine", "bm25_top_docs",
     "ivf_probe1_topk", "lsh_bucket_candidates", "ivf_probe2_topk",
     # multimodal (3)
     "multimodal_decode_metadata", "multimodal_metadata_only",
@@ -113,9 +116,10 @@ _FRONT_50 = [
     # ...plus the round-5 additions: hypertable gapfill, SCD-2 history,
     # sequence mining, watermark-delay diagnostic, IVF-PQ composite.
     # (Displaced rows — bpe/winnow/entropy/repetition/token-histogram
-    # text+quality stats, keep-first exact dedup, knn/centroid
-    # similarity audits, resize/frame multimodal plumbing, shard/
-    # stratified hash routing — all carry green driver evidence from
+    # text+quality stats, keep-first exact dedup, knn/centroid/norms
+    # similarity audits, simhash64 signature map (exercised by its
+    # banding row), resize/frame multimodal plumbing, shard/stratified
+    # hash routing — all carry green driver evidence from
     # CORRECTNESS_r01-r04 and stay oracle-checked behind the window.)
     "gapfill_hourly_rollup", "scd2_entity_history", "event_type_trigrams",
     "late_arrival_stats", "ivf_pq_adc_topk",
