@@ -296,6 +296,14 @@ def execute_command(store: EventStore, cmd: Any, *args: Any) -> Any:
     raise CommandError(f"unknown command {name}")
 
 
+def _val(a: list, i: int, kw: str) -> Any:
+    """The value token after keyword a[i]; CommandError when missing
+    (a trailing keyword must not escape as IndexError)."""
+    if i + 1 >= len(a):
+        raise CommandError(f"{kw} requires a value")
+    return a[i + 1]
+
+
 def _parse_esub(store: EventStore, a: list):
     """ESUB <stream> [PARTITION_KEY pk] ... [FROM LATEST|<v>|MAP s=v...]
     [WINDOW n] → unstarted Subscription (esub.rs:23-55)."""
@@ -311,13 +319,13 @@ def _parse_esub(store: EventStore, a: list):
         if tok == "PARTITION_KEY":
             if not streams:
                 raise CommandError("PARTITION_KEY before any stream")
-            pkeys[streams[-1]] = _s(a[i + 1])
+            pkeys[streams[-1]] = _s(_val(a, i, "PARTITION_KEY"))
             i += 2
         elif tok == "WINDOW":
-            window = _int(a[i + 1], "WINDOW")
+            window = _int(_val(a, i, "WINDOW"), "WINDOW")
             i += 2
         elif tok == "FROM":
-            nxt = _s(a[i + 1]).upper()
+            nxt = _s(_val(a, i, "FROM")).upper()
             if nxt == "LATEST":
                 from_spec = "LATEST"
                 i += 2
@@ -326,7 +334,7 @@ def _parse_esub(store: EventStore, a: list):
                 i += 2
                 while i < len(a) and "=" in _s(a[i]):
                     k, _, v = _s(a[i]).partition("=")
-                    m[k] = int(v)
+                    m[k] = _int(v, "FROM MAP version")
                     i += 1
                 from_spec = m
             else:
@@ -365,9 +373,11 @@ def _parse_epsub(store: EventStore, a: list):
         partitions = None
     elif "-" in spec and not spec.lstrip("-").isdigit():
         lo, _, hi = spec.partition("-")
-        partitions = tuple(range(int(lo), int(hi) + 1))
+        partitions = tuple(
+            range(_int(lo, "partition"), _int(hi, "partition") + 1)
+        )
     else:
-        partitions = (int(spec),)
+        partitions = (_int(spec, "partition"),)
     window = None
     from_spec: Any = "LATEST_IMPLICIT"
     default_from = 0
@@ -375,10 +385,10 @@ def _parse_epsub(store: EventStore, a: list):
     while i < len(a):
         tok = _s(a[i]).upper()
         if tok == "WINDOW":
-            window = _int(a[i + 1], "WINDOW")
+            window = _int(_val(a, i, "WINDOW"), "WINDOW")
             i += 2
         elif tok == "FROM":
-            nxt = _s(a[i + 1]).upper()
+            nxt = _s(_val(a, i, "FROM")).upper()
             if nxt == "LATEST":
                 from_spec = "LATEST"
                 i += 2
@@ -387,11 +397,11 @@ def _parse_epsub(store: EventStore, a: list):
                 i += 2
                 while i < len(a) and "=" in _s(a[i]):
                     k, _, v = _s(a[i]).partition("=")
-                    m[int(k)] = int(v)
+                    m[_int(k, "FROM MAP partition")] = _int(v, "FROM MAP sequence")
                     i += 1
                 from_spec = m
                 if i < len(a) and _s(a[i]).upper() == "DEFAULT":
-                    default_from = _int(a[i + 1], "DEFAULT FROM")
+                    default_from = _int(_val(a, i, "DEFAULT"), "DEFAULT FROM")
                     i += 2
             else:
                 from_spec = _int(a[i + 1], "FROM")

@@ -1243,6 +1243,11 @@ class EventStore:
         scan is the not-found proof, not a shortcut past one. Pinned by
         test_eget_foreign_hash_id_is_clean_miss.
         """
+        # Canonicalize first: the stored column is the canonical
+        # lowercase-hyphenated form (the append path writes str(UUID)),
+        # so an uppercase / no-dash / urn:uuid: encoding of a REAL event
+        # must not silently miss on a raw string compare.
+        event_id = str(_uuid.UUID(str(event_id)))
         phash = ids.uuid_to_partition_hash(event_id)
         pid = ids.partition_id_for_hash(phash, self.config.num_partitions)
         state = self._read_state(as_of)

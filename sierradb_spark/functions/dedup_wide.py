@@ -167,12 +167,14 @@ def minhash_wide_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over pairs from a deterministic ~RECALL_SAMPLE_DOCS-doc sample, so the
 # audit is O(sample^2) — constant — at every scale (r04 brief item 3;
 # previously all-pairs, which capped it at gate scale). Sampling uses
-# the shared multiplicative-hash convention (pipeline.py:24-29) with an
-# adaptive threshold: hash(doc_id) < (2^32 * target) // n_docs, exact
-# integer arithmetic in both engines, all docs when n_docs <= target.
+# the shared multiplicative-hash convention — _KNUTH/_RING imported
+# from functions/pipeline.py (which documents the doc_id < 2^31
+# no-overflow precondition) — with an adaptive threshold:
+# hash(doc_id) < (2^32 * target) // n_docs, exact integer arithmetic
+# in both engines, all docs when n_docs <= target.
+from sierradb_spark.functions.pipeline import _KNUTH, _RING, _hash32  # noqa: E402
+
 RECALL_SAMPLE_DOCS = 1000
-_KNUTH = 2654435761
-_RING = 1 << 32
 
 
 @REG.add(
@@ -229,7 +231,7 @@ def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_shingles(docs, "doc_id")
     sets = (
         d.where(F.col("n_toks") >= SHINGLE_K)
-        .where((F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_RING) < F.lit(thr))
+        .where(_hash32(F.col("doc_id")) < F.lit(thr))
         .select("doc_id", F.array_distinct("shingles").alias("ss"))
         # Barrier: without it Catalyst inlines the shingle construction
         # into the per-pair jaccard predicate and re-tokenizes each doc

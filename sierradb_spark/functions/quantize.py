@@ -576,32 +576,15 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dvec,
         cosine_col,
         dot_col,
+        ivf_route,
     )
 
     e = load(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _dvec("embedding").alias("emb"))
     q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
-    # coarse quantizer: per-cell centroids (one partial-agg pass), route
-    # the query to its 2 nearest cells — identical to _ivf_topk's router
-    comp = (
-        e.select(
-            "label", F.posexplode(F.col("embedding").cast("array<double>"))
-        )
-        .groupBy("label", "pos")
-        .agg(F.avg("col").alias("c"))
-    )
-    cent = comp.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("cv")
-    )
-    best = (
-        cent.crossJoin(F.broadcast(q))
-        .select("label", cosine_col(F.col("cv"), F.col("qv")).alias("ccos"))
-        .orderBy(F.col("ccos").desc(), F.col("label").asc())
-        .limit(2)
-        .select("label")
-    )
+    # coarse quantizer: the shared IVF router (similarity.ivf_route),
+    # probing the query's 2 nearest cells
+    best = ivf_route(e, q, nprobe=2)
     cand = (
         e.join(F.broadcast(best), "label")  # probe = partition pruning
         .where(F.col("vec_id") != 0)

@@ -206,13 +206,14 @@ def ivf_probe1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, nprobe=1)
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """IVF top-10 probing the query's ``nprobe`` nearest cells."""
-    e = load(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == 0).select(
-        F.col("embedding").cast("array<double>").alias("qv")
-    )
-    # centroid build: posexplode → per-(label, dim) partial-agg → reassemble
+def ivf_route(e: DataFrame, q: DataFrame, nprobe: int) -> DataFrame:
+    """The IVF coarse router: build per-cell centroids (cells = labels
+    here; one posexplode -> per-(label, dim) partial-agg pass) and
+    return the ``nprobe`` cell labels nearest the broadcast query
+    vector by cosine (deterministic label tie-break). The ONE routing
+    construction — shared by the inline IVF top-k queries and the
+    IVF-PQ composite (functions/quantize.py), so a tie-break or guard
+    fix cannot diverge their probe sets."""
     comp = (
         e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
         .groupBy("label", "pos")
@@ -223,13 +224,22 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("cv")
     )
-    best = (
+    return (
         cent.crossJoin(F.broadcast(q))
         .select("label", cosine_col(F.col("cv"), F.col("qv")).alias("ccos"))
         .orderBy(F.col("ccos").desc(), F.col("label").asc())
         .limit(nprobe)
         .select("label")
     )
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF top-10 probing the query's ``nprobe`` nearest cells."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    best = ivf_route(e, q, nprobe)
     cos = F.round(cosine_col(_dvec("embedding"), F.col("qv")), 4).alias("cosine")
     return (
         e.join(F.broadcast(best), "label")  # probe: only routed cells are scanned

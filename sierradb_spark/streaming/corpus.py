@@ -150,11 +150,18 @@ class StreamingCorpusDedup:
             .distinct()
         )
         banded_ids = bands.select("doc_id").distinct()
-        # No emptiness pre-probe (saves one Spark job per micro-batch):
-        # the CC fixpoint converges on an empty edge set in one round,
-        # and every downstream step below degenerates correctly — empty
-        # comp means keep_in_graph is empty and isolated = banded - hit,
-        # exactly the no-collision survivor set.
+        # No emptiness pre-probe: the CC fixpoint converges on an empty
+        # edge set in one round, and every downstream step degenerates
+        # correctly — empty comp means keep_in_graph is empty and
+        # isolated = banded - hit, exactly the no-collision survivor
+        # set. Cost accounting (r05 review): a collision-bearing batch
+        # runs one FEWER job than with the old pairs.limit(1).count()
+        # probe; a collision-free batch trades the probe (a real
+        # self-join shuffle of the band table) for one empty CC round —
+        # two jobs over EMPTY inputs, which schedule in milliseconds —
+        # so wall-clock improves in both regimes even though the
+        # free-batch job COUNT rises by one. Both regimes are pinned by
+        # test_per_batch_job_count_has_no_pair_probe.
         edges = pairs.unionByName(  # min_label_components wants symmetry
             pairs.select(
                 F.col("doc_b").alias("doc_a"),

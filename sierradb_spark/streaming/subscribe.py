@@ -164,6 +164,14 @@ def read_subscription_sink(
     )
 
 
+# Active start_to_sink queries per (abspath) sink, maintained by
+# start_to_sink and checked by compact_subscription_sink: the fold must
+# not race a writer whose streaming checkpoint has not committed (its
+# replay's overwrite could race the sweep). Guards same-process writers
+# — the same scope as StreamingCorpusDedup's per-object guard.
+_ACTIVE_SINK_QUERIES: dict[str, list] = {}
+
+
 def compact_subscription_sink(
     spark,
     sink_path: str,
@@ -190,14 +198,27 @@ def compact_subscription_sink(
     past that commit (the sink-side analogue of the store's
     ``compact(retain_seconds)``).
 
-    Run it only while the subscription's sink query is NOT active: the
-    fold reads whatever directories exist, and folding a commit whose
+    Must not run while a sink query on this path is active: the fold
+    reads whatever directories exist, and folding a commit whose
     streaming checkpoint has not yet committed would otherwise race its
     replay's overwrite (the replay restores the directory, the reader
     dedups, but the sweep below could then remove rows the fold never
-    saw — stop the query first, as with the corpus index)."""
+    saw). ENFORCED for queries started in this process (raises while
+    any is active — same discipline as the corpus index's
+    compact_index guard); cross-process writers remain the operator's
+    responsibility, as with every single-writer table."""
     from sierradb_spark.eventstore.commit_backend import LocalDirOps
 
+    key = os.path.abspath(sink_path)
+    active = [q for q in _ACTIVE_SINK_QUERIES.get(key, ()) if q.isActive]
+    if active:
+        raise RuntimeError(
+            f"compact_subscription_sink must not run while a sink query "
+            f"on {sink_path!r} is active ({len(active)} running): a "
+            "not-yet-checkpointed commit folded into the base could "
+            "race its replay's overwrite with the sweep; stop the "
+            "query first"
+        )
     ops = dir_ops or LocalDirOps()
     if not ops.exists(sink_path):
         return
@@ -556,9 +577,14 @@ class Subscription:
             )
 
         process = self._make_processor(checkpoint, emit)
-        return self._start_stream(
+        q = self._start_stream(
             process, checkpoint, available_now, trigger_interval
         )
+        key = os.path.abspath(sink_path)
+        live = [x for x in _ACTIVE_SINK_QUERIES.get(key, []) if x.isActive]
+        live.append(q)
+        _ACTIVE_SINK_QUERIES[key] = live
+        return q
 
     def catchup(
         self,

@@ -215,3 +215,40 @@ def test_changes_survives_concurrent_compaction_sweep(store):
             store.changes(0)
     finally:
         store._load_manifest = orig
+
+
+def test_eget_accepts_non_canonical_uuid_encodings(store):
+    """r05 review: a stored event must be found under ANY valid UUID
+    encoding of its id — uppercase, no-dash, urn:uuid:, braced — since
+    the stored column is the canonical lowercase form (the append path
+    writes str(UUID)); a raw string compare would silently return
+    not-found for a real event."""
+    res = ex(store, "EAPPEND", "canon-1", "E0", "PAYLOAD", "p")
+    eid = res["event_id"]
+    for variant in (
+        eid.upper(),
+        eid.replace("-", ""),
+        f"urn:uuid:{eid}",
+        "{" + eid + "}",
+    ):
+        rows = ex(store, "EGET", variant)
+        assert [r["event_id"] for r in rows] == [eid], variant
+
+
+def test_sub_parsers_missing_keyword_values_are_command_errors(store):
+    """r05 review: a trailing keyword with no value in ESUB/EPSUB must
+    raise CommandError, not IndexError (the contract the _int hardening
+    pinned for bad values, extended to missing values)."""
+    ex(store, "EAPPEND", "sub-1", "E0")
+    for args in (
+        ("ESUB", "sub-1", "WINDOW"),
+        ("ESUB", "sub-1", "FROM"),
+        ("ESUB", "sub-1", "PARTITION_KEY"),
+        ("EPSUB", "*", "WINDOW"),
+        ("EPSUB", "*", "FROM"),
+        ("EPSUB", "*", "FROM", "MAP", "0=1", "DEFAULT"),
+        ("EPSUB", "abc"),
+        ("ESUB", "sub-1", "FROM", "MAP", "sub-1=xyz"),
+    ):
+        with pytest.raises(CommandError):
+            ex(store, *args)

@@ -373,22 +373,30 @@ def test_compact_index_refuses_during_active_query(spark, tmp_path, dedup):
 
 
 def test_per_batch_job_count_has_no_pair_probe(spark, tmp_path, dedup):
-    """r04 brief item 6: the empty-graph case falls out of the survivor
-    computation itself — no pairs.limit(1).count() pre-probe job. Pins
-    the per-batch Spark job count for a collision-bearing batch; the
-    probe's removal is what keeps it at this level (it was +1 before)."""
-    sc = spark.sparkContext
-    sc.setJobGroup("corpus-batch", "job-count probe")
-    try:
-        dedup.process_batch(
-            _mk_batch_df(spark, [(1, _BASE), (2, _NEAR), (3, _UNIQ1)]), 0
-        )
-    finally:
-        sc.setJobGroup(None, None)
-    jobs = sc.statusTracker().getJobIdsForGroup("corpus-batch")
-    # Measured at HEAD: 47 jobs for this batch (AQE materializes each
-    # stage as its own job, so checkpoint/CC/write fan out); stable
-    # across runs. The removed pairs.limit(1).count() pre-probe added
-    # one more. Guard with zero headroom — any new per-batch job must
-    # justify itself here.
-    assert len(jobs) <= 47, f"per-batch job count grew to {len(jobs)}"
+    """r04 brief item 6 + r05 review: the empty-graph case falls out of
+    the survivor computation itself — no pairs.limit(1).count()
+    pre-probe job anywhere. Pins the per-batch Spark job count in BOTH
+    regimes: a collision-bearing batch (one fewer job than with the
+    probe) and a collision-free steady-state batch (the empty CC round
+    replaces the probe's band self-join shuffle with two empty-input
+    jobs). The counts are measured-at-HEAD constants with zero
+    headroom: a reintroduced probe moves them by exactly +1, and any
+    Spark/AQE upgrade that shifts stage materialization should update
+    them consciously, not silently."""
+
+    def jobs_for(name, batch_rows, batch_id):
+        sc = spark.sparkContext
+        sc.setJobGroup(name, "job-count probe")
+        try:
+            dedup.process_batch(_mk_batch_df(spark, batch_rows), batch_id)
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(name))
+
+    collision = jobs_for(
+        "corpus-collision", [(1, _BASE), (2, _NEAR), (3, _UNIQ1)], 0
+    )
+    assert collision <= 47, f"collision-batch jobs grew to {collision}"
+    # steady state: index present, no collisions in the batch
+    free = jobs_for("corpus-free", [(4, _UNIQ2)], 1)
+    assert free <= 28, f"collision-free batch jobs grew to {free}"
