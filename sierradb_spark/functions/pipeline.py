@@ -544,3 +544,36 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(w * 1e6 + 0.5) / 1e6).alias("temp_weight"),
         F.floor(w * 10000 + 0.5).cast("bigint").alias("docs_per_10k"),
     )
+
+
+@REG.add(
+    "quality_weighted_sample",
+    oracle=f"""
+        SELECT doc_id, n_chars,
+               round(ln(((doc_id * {_KNUTH}) % {_RING} + 1)
+                        / {_RING + 1}.0) / n_chars, 9) AS sample_key
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY sample_key DESC, doc_id ASC
+        LIMIT 20
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-ES keys): each document draws "
+    "u = (hash(doc_id)+1)/(2^32+1) from the shared multiplicative "
+    "hash and keys on ln(u)/w with w = n_chars, so longer (here: "
+    "higher-weight) documents win proportionally to weight — the "
+    "quality-weighted corpus subsampling step of a data mixture, "
+    "reproducible across engines and runs because the randomness is "
+    "the hash. Top-k by key is TakeOrderedAndProject; no shuffle "
+    "beyond it at any corpus size.",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    u = (_hash32(F.col("doc_id")) + 1) / F.lit(float(_RING + 1))
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.where(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -249,3 +249,41 @@ def late_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(late_s, 0.95)"), 3).alias("p95_late_s"),
         F.round(F.max("late_s"), 3).alias("max_late_s"),
     )
+
+
+@REG.add(
+    "rolling_7d_user_value",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_7d,
+               round(sum(value) OVER w, 4) AS sum_7d
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc="Trailing 7-day rolling aggregate per user over EVENT TIME — a "
+    "RANGE frame (every event within [ts - 7d, ts]), not a ROWS frame, "
+    "so ties and irregular spacing are handled by value: the rolling "
+    "feature shape behind rate limits, spend caps, and behavioral "
+    "features. Spark expresses the interval as a rangeBetween on "
+    "unix_micros (fixed 7*86400s — NTZ time, no DST step), DuckDB as "
+    "RANGE INTERVAL; both engines see identical frames. One "
+    "user-partitioned window, one exchange.",
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 4).alias("sum_7d"),
+    )
