@@ -332,12 +332,14 @@ _SQL_PQ_RECON = f"""
 """
 
 
-def _pq_reconstruction(v: DataFrame) -> DataFrame:
-    """PQ-reconstructed vectors recon(vec_id, rv) from v(vec_id, emb):
-    subspace split -> deterministic 1-round Lloyd codebooks (init =
-    lowest vec_ids, centroids rounded to 9 decimals) -> per-vector
-    reconstruction. The Spark twin of _SQL_PQ_RECON; shared by the
-    PQ-ADC recall audit and the IVF-PQ composite query."""
+def _pq_train_codes(v: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic PQ training + encoding from v(vec_id, emb):
+    subspace split -> 1-round Lloyd codebooks (init = lowest vec_ids,
+    centroids rounded to 9 decimals) -> per-vector code assignments.
+    Returns (codebooks c1(j, cid, cent), codes a2(vec_id, j, cid)) —
+    the Spark twin of _SQL_PQ_RECON's training CTEs; consumed by the
+    reconstruction helper below and by the materialized IVF-PQ index
+    builder (build_ivf_pq_index)."""
     from pyspark.sql import Window
     from sierradb_spark.functions.similarity import dot_col
 
@@ -390,6 +392,14 @@ def _pq_reconstruction(v: DataFrame) -> DataFrame:
     )
     c1 = c1.localCheckpoint(eager=False)  # read by a2, recon
     a2 = assign(c1)
+    return c1, a2
+
+
+def _pq_reconstruction(v: DataFrame) -> DataFrame:
+    """PQ-reconstructed vectors recon(vec_id, rv): codes looked back up
+    in their codebooks and re-flattened. Shared by the PQ-ADC recall
+    audit and the IVF-PQ composite query."""
+    c1, a2 = _pq_train_codes(v)
     recon = (
         a2.join(F.broadcast(c1), ["j", "cid"])
         .groupBy("vec_id")
@@ -607,4 +617,136 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(10)
+    )
+
+
+# --- materialized IVF-PQ index (the 100 TB ANN layout, codes on disk) -------
+
+
+def build_ivf_pq_index(
+    embeddings: DataFrame, path: str, n_seed_dims: int = 4
+) -> None:
+    """Materialize an IVF-PQ index: the :func:`~sierradb_spark.functions.
+    similarity.build_ivf_index` cell layout PLUS per-vector PQ codes and
+    the trained codebooks::
+
+        path/vectors/cell_id=N/*.parquet   (vec_id, label, embedding, codes)
+        path/centroids.parquet             (cell_id -> centroid)
+        path/codebooks.parquet             (j, cid, cent)
+
+    ``codes`` is an m-length int array (4-bit ids here) — 4 bytes per
+    vector instead of 256 for the float64 form. The full embedding is
+    kept alongside for exact rerank, but the ADC query path
+    (:func:`probe_ivf_pq`) never reads it: column pruning keeps the
+    scan at codes width, which is the memory-bandwidth lever a 100 TB
+    vector corpus needs. Training is the shared deterministic 1-round
+    Lloyd (same codebooks as the pq_adc_recall audit).
+    """
+    import os
+
+    from sierradb_spark.functions.similarity import build_ivf_index, _dvec
+
+    spark = embeddings.sparkSession
+    build_ivf_index(embeddings, path, n_seed_dims=n_seed_dims)
+    v = embeddings.select("vec_id", _dvec("embedding").alias("emb"))
+    c1, a2 = _pq_train_codes(v)
+    codes = (
+        a2.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "cid"))),
+                lambda s: s.cid,
+            ).alias("codes")
+        )
+    )
+    vectors_path = os.path.join(path, "vectors")
+    vecs = spark.read.parquet(vectors_path)
+    recoded = vecs.join(codes, "vec_id").select(
+        "vec_id", "label", "embedding", "codes", "cell_id"
+    )
+    # rewrite under a temp dir then swap: the source of the join is the
+    # directory being replaced, so an in-place overwrite would read and
+    # clobber the same files.
+    tmp = os.path.join(path, ".vectors-pq")
+    recoded.write.mode("overwrite").partitionBy("cell_id").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(vectors_path)
+    os.rename(tmp, vectors_path)
+    c1.select("j", "cid", "cent").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+
+
+def probe_ivf_pq(
+    spark: SparkSession,
+    path: str,
+    query_vec: list,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN top-k over a materialized IVF-PQ index via asymmetric
+    distance computation (ADC).
+
+    Routing is driver-side against the tiny centroid table (as in
+    :func:`~sierradb_spark.functions.similarity.probe_ivf`); the scan
+    then reads ONLY the probed cells' partitions and ONLY the
+    ``codes`` column (plus ids) — the embedding column is never
+    touched, so the scan width is the code width. The per-subspace
+    lookup table dist(q_j, centroid(j, cid)) is computed driver-side
+    from the codebooks (m x k doubles) and folded into the plan as
+    literal arrays; the ADC score is then
+    sum_j lut[j][codes[j]] — pure JVM expression, no shuffle, top-k as
+    TakeOrderedAndProject.
+    """
+    import os
+
+    cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
+
+    def cos(cv):
+        import math
+
+        d = sum(a * b for a, b in zip(cv, query_vec))
+        n = (
+            math.sqrt(sum(a * a for a in cv))
+            * math.sqrt(sum(x * x for x in query_vec))
+        )
+        return d / n if n else 0.0
+
+    probed = [
+        int(r["cell_id"])
+        for r in sorted(
+            cents, key=lambda r: (-cos(r["centroid"]), r["cell_id"])
+        )[:nprobe]
+    ]
+    books = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    # LUT[j][cid] = ||q_j - cent||^2, driver-side (m x k floats)
+    lut: dict[int, dict[int, float]] = {}
+    for r in books:
+        j, cid, cent = int(r["j"]), int(r["cid"]), list(r["cent"])
+        qj = query_vec[j * _PQ_SD:(j + 1) * _PQ_SD]
+        lut.setdefault(j, {})[cid] = sum(
+            (a - b) * (a - b) for a, b in zip(qj, cent)
+        )
+    lut_arrays = [
+        F.array(
+            *[
+                F.lit(float(lut[j].get(c, float("inf"))))
+                for c in range(_PQ_K)
+            ]
+        )
+        for j in sorted(lut)
+    ]
+    adc = None
+    for j, arr in enumerate(lut_arrays):
+        term = F.element_at(
+            arr, (F.element_at("codes", j + 1) + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+    vecs = spark.read.parquet(os.path.join(path, "vectors"))
+    return (
+        vecs.where(F.col("cell_id").isin(probed))
+        .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
     )

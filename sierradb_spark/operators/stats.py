@@ -83,3 +83,157 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr(v, t), 6).alias("time_corr"),
         F.round(F.avg(v), 4).alias("avg_value"),
     )
+
+
+@REG.add(
+    "event_value_cusum",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   avg(value) AS v
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        params AS (
+            SELECT event_type, avg(v) AS mu, stddev_pop(v) AS sigma
+            FROM daily GROUP BY event_type
+        ),
+        z AS (
+            SELECT d.event_type, d.day,
+                   (d.v - p.mu) / nullif(p.sigma, 0) AS z
+            FROM daily d JOIN params p USING (event_type)
+        ),
+        cum1 AS (
+            SELECT event_type, day,
+                   sum(z) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS c
+            FROM z
+        ),
+        cum AS (
+            SELECT event_type, day, c,
+                   min(c) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS floor_c
+            FROM cum1
+        ),
+        drawup AS (
+            SELECT event_type, day, c - floor_c AS s FROM cum
+        ),
+        best AS (
+            SELECT event_type, day, s,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY s DESC, day ASC
+                   ) AS rn
+            FROM drawup
+        )
+        SELECT b.event_type,
+               CAST((SELECT count(*) FROM daily d
+                     WHERE d.event_type = b.event_type) AS BIGINT) AS n_days,
+               round(b.s, 6) AS cusum_max,
+               b.day AS cusum_day
+        FROM best b WHERE b.rn = 1
+    """,
+    doc="CUSUM upward-shift detection per event type: daily means are "
+    "z-scored against the type's own (mu, sigma), and the detection "
+    "statistic is the maximum drawup of the cumulative z — "
+    "max_d (C_d - min_{j<=d} C_j), algebraically the k=0 one-sided "
+    "CUSUM without the non-SQL recursive max(0, .) fold. A level shift "
+    "mid-series produces a large cusum_max at the shift's end "
+    "(cusum_day); a stable series stays near sqrt(n). Two stacked "
+    "type-partitioned windows (running sum, running min) and one "
+    "top-1-per-type window — three passes over |types| x |days| rows, "
+    "never the event table.",
+)
+def event_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("v"))
+    params = daily.groupBy("event_type").agg(
+        F.avg("v").alias("mu"),
+        F.stddev_pop("v").alias("sigma"),
+        F.count("*").alias("n_days"),
+    )
+    z = daily.join(F.broadcast(params), "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        ((F.col("v") - F.col("mu")) / F.nullif("sigma", F.lit(0))).alias("z"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = z.withColumn("c", F.sum("z").over(w)).withColumn(
+        "floor_c", F.min("c").over(w)
+    )
+    drawup = cum.select(
+        "event_type", "day", "n_days", (F.col("c") - F.col("floor_c")).alias("s")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("s").desc(), F.col("day").asc()
+    )
+    return (
+        drawup.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("s", 6).alias("cusum_max"),
+            F.col("day").alias("cusum_day"),
+        )
+    )
+
+
+@REG.add(
+    "value_equidepth_histogram",
+    oracle="""
+        WITH tiled AS (
+            SELECT event_type, value,
+                   ntile(8) OVER (
+                       PARTITION BY event_type
+                       ORDER BY value, event_id
+                   ) AS bucket
+            FROM events
+        )
+        SELECT event_type, CAST(bucket AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 4) AS lo,
+               round(max(value), 4) AS hi
+        FROM tiled GROUP BY event_type, bucket
+    """,
+    doc="Equi-depth histogram (8 buckets) of value per event type — the "
+    "quantile-boundary statistics an optimizer or drift monitor keeps "
+    "(equal COUNT per bucket, not equal width; skew shows as narrow "
+    "hot buckets). ntile over a type-partitioned window with an "
+    "event_id tie-break makes boundary assignment deterministic in "
+    "both engines; one exchange on the partition key, then a "
+    "co-partitioned aggregate.",
+)
+def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .select(
+            "event_type",
+            F.col("bucket").cast("int").alias("bucket"),
+            "n",
+            "lo",
+            "hi",
+        )
+    )

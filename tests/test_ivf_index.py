@@ -83,3 +83,97 @@ def test_index_is_complete_partitioning(spark, sf_dir, index):
     src = load(spark, sf_dir, "embeddings")
     assert vecs.count() == src.count()
     assert vecs.select("vec_id").distinct().count() == src.count()
+
+
+# --- IVF-PQ: codes on disk, ADC probing -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, sf_dir, tmp_path_factory):
+    from sierradb_spark.functions.quantize import build_ivf_pq_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    build_ivf_pq_index(load(spark, sf_dir, "embeddings"), path)
+    return path
+
+
+def test_ivf_pq_layout_complete(spark, sf_dir, pq_index):
+    """Every vector keeps its row, gains an m-length code array, and the
+    codebooks hold m x k centroids of the subspace width."""
+    from sierradb_spark.functions.quantize import _PQ_K, _PQ_M, _PQ_SD
+
+    vecs = spark.read.parquet(pq_index + "/vectors")
+    n = load(spark, sf_dir, "embeddings").count()
+    assert vecs.count() == n
+    assert vecs.where(F.size("codes") != _PQ_M).count() == 0
+    assert (
+        vecs.where(
+            (F.array_min("codes") < 0) | (F.array_max("codes") >= _PQ_K)
+        ).count()
+        == 0
+    )
+    books = spark.read.parquet(pq_index + "/codebooks")
+    assert books.count() <= _PQ_M * _PQ_K
+    assert books.where(F.size("cent") != _PQ_SD).count() == 0
+
+
+def test_ivf_pq_adc_scan_prunes_cells_and_columns(spark, sf_dir, pq_index):
+    """The ADC probe must (a) reach the scan as a PARTITION filter on
+    cell_id, and (b) read ONLY ids + codes — the embedding column stays
+    out of ReadSchema entirely (the memory-bandwidth win of PQ)."""
+    import re
+
+    from sierradb_spark.functions.quantize import probe_ivf_pq
+
+    qv = _query_vec(spark, sf_dir)
+    df = probe_ivf_pq(spark, pq_index, qv, k=10, nprobe=1)
+    f = plan_features(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", f["plan"])
+    assert m and "cell_id" in m.group(1), f["plan"][:1500]
+    rs = re.search(r"ReadSchema: ([^\n]*)", f["plan"])
+    assert rs and "codes" in rs.group(1), f["plan"][:1500]
+    assert "embedding" not in rs.group(1), rs.group(1)
+    assert f["top_k"] >= 1
+
+
+def test_ivf_pq_adc_equals_reconstruction_form(spark, sf_dir, pq_index):
+    """The on-disk codes + driver LUT must reproduce the registry
+    audit's ADC exactly: sum_j ||q_j - cent(j, code_j)||^2 over the
+    stored codes IS the reconstruction distance ||q - recon||^2 the
+    pq_adc_recall query computes (the LUT is that computation factored
+    per subspace), so a full probe's top-10 must match the
+    reconstruction-path top-10 vec-for-vec. (How well either tracks
+    EXACT neighbors is the registry audit's reported overlap_at_10 —
+    deliberately small on this unclusterable synthetic corpus — not an
+    index property.)"""
+    from sierradb_spark.functions.quantize import (
+        _pq_reconstruction,
+        probe_ivf_pq,
+    )
+    from sierradb_spark.functions.similarity import dot_col, _dvec
+
+    qv = _query_vec(spark, sf_dir)
+    n_cells = spark.read.parquet(pq_index + "/centroids").count()
+    got = [
+        r["vec_id"]
+        for r in probe_ivf_pq(
+            spark, pq_index, qv, k=10, nprobe=n_cells
+        ).collect()
+    ]
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _dvec("embedding").alias("emb"))
+    recon = _pq_reconstruction(v)
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    ad = (
+        dot_col(qarr, qarr)
+        - 2 * dot_col(qarr, F.col("rv"))
+        + dot_col(F.col("rv"), F.col("rv"))
+    )
+    want = [
+        r["vec_id"]
+        for r in recon.select("vec_id", F.round(ad, 6).alias("ad"))
+        .orderBy(F.col("ad").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    assert got == want, (got, want)
