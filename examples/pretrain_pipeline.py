@@ -72,13 +72,16 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
     n2 = exact.count()
 
     # 2b. NEAR dedup at production width: 64-hash MinHash LSH candidates
-    #     (never N^2) -> connected components -> keep the min doc_id per
-    #     component, drop the rest. The candidate pairs come from the
-    #     same registry operator the correctness gate hash-checks.
-    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+    #     (never N^2) -> exact-jaccard VERIFICATION of the colliding
+    #     pairs (>= 0.8 kept — false-positive collisions must not merge
+    #     unrelated docs into one component) -> connected components ->
+    #     keep the min doc_id per component, drop the rest. Both stages
+    #     are the same registry operators the correctness gate
+    #     hash-checks (minhash_wide_candidates, minhash_verified_pairs).
+    from sierradb_spark.functions.dedup_wide import minhash_verified_pairs
     from sierradb_spark.functions.pipeline import min_label_components
 
-    cand = minhash_wide_candidates(spark, sf_dir)
+    cand = minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = cand.union(
         cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
