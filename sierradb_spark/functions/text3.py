@@ -516,3 +516,106 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return growth.where(F.col("vocab") > 0).select(
         F.col("n_docs").cast("int").alias("n_docs"), "vocab"
     )
+
+
+@REG.add(
+    "trigram_interpolated_surprisal",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, {_SQL_WORDS} AS toks FROM documents
+        ),
+        tg AS (
+            SELECT doc_id, lang,
+                   unnest(toks[1:len(toks) - 2]) AS w1,
+                   unnest(toks[2:len(toks) - 1]) AS w2,
+                   unnest(toks[3:len(toks)]) AS w3
+            FROM t WHERE len(toks) >= 3
+        ),
+        c123 AS (SELECT w1, w2, w3, count(*) AS c FROM tg GROUP BY w1, w2, w3),
+        c12 AS (SELECT w1, w2, count(*) AS c FROM tg GROUP BY w1, w2),
+        c23 AS (SELECT w2, w3, count(*) AS c FROM tg GROUP BY w2, w3),
+        c2 AS (SELECT w2, count(*) AS c FROM tg GROUP BY w2),
+        c3 AS (SELECT w3, count(*) AS c FROM tg GROUP BY w3),
+        n AS (SELECT count(*)::DOUBLE AS total FROM tg),
+        s AS (
+            SELECT tg.doc_id, tg.lang,
+                   count(*) AS n_trigrams,
+                   avg(-log2(
+                       0.6 * (c123.c / CAST(c12.c AS DOUBLE))
+                     + 0.3 * (c23.c / CAST(c2.c AS DOUBLE))
+                     + 0.1 * (c3.c / n.total)
+                   )) AS sur
+            FROM tg
+            JOIN c123 USING (w1, w2, w3)
+            JOIN c12 USING (w1, w2)
+            JOIN c23 USING (w2, w3)
+            JOIN c2 USING (w2)
+            JOIN c3 USING (w3), n
+            GROUP BY tg.doc_id, tg.lang
+        )
+        SELECT doc_id, lang, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+               round(sur, 4) AS avg_surprisal
+        FROM s
+    """,
+    doc="Per-document surprisal under an interpolated TRIGRAM LM "
+    "(lambda = 0.6/0.3/0.1 over trigram/bigram/unigram MLE, all "
+    "estimated from the corpus's trigram table so every observed "
+    "trigram has non-zero mass at each order — Jelinek-Mercer "
+    "interpolation without a tuning loop). The top rung of the "
+    "cheap-perplexity ladder (unigram -> bigram -> this): text that "
+    "locally imitates corpus word order still scores high when its "
+    "longer context is unusual — the standard KenLM-shaped quality "
+    "filter. Trigrams come from zipping three array slices (no "
+    "self-join); five count tables are token-keyed partial-combine "
+    "aggregates joined back on their grams; documents with <3 tokens "
+    "drop out by construction.",
+)
+def trigram_interpolated_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", _toks().alias("toks"))
+    n = F.size("toks")
+    tg = (
+        t.where(n >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, n - 2).alias("w1"),
+                    F.slice(F.col("toks"), 2, n - 2).alias("w2"),
+                    F.slice(F.col("toks"), 3, n - 2).alias("w3"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+            F.col("p.w3").alias("w3"),
+        )
+    )
+    c123 = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    c12 = tg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c23 = tg.groupBy("w2", "w3").agg(F.count("*").alias("c23"))
+    c2 = tg.groupBy("w2").agg(F.count("*").alias("c2"))
+    c3 = tg.groupBy("w3").agg(F.count("*").alias("c3"))
+    total = tg.agg(F.count("*").cast("double").alias("total"))
+    p = (
+        0.6 * (F.col("c123") / F.col("c12").cast("double"))
+        + 0.3 * (F.col("c23") / F.col("c2").cast("double"))
+        + 0.1 * (F.col("c3") / F.col("total"))
+    )
+    return (
+        tg.join(c123, ["w1", "w2", "w3"])
+        .join(c12, ["w1", "w2"])
+        .join(c23, ["w2", "w3"])
+        .join(c2, ["w2"])
+        .join(c3, ["w3"])
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg(-F.log2(p)), 4).alias("avg_surprisal"),
+        )
+    )
