@@ -778,7 +778,20 @@ class EventStore:
                 phash = ids.uuid_to_partition_hash(pkey)
                 pid = ids.partition_id_for_hash(phash, self.config.num_partitions)
                 txn_pids.add(pid)
-                eid = r.event_id or str(
+                # Canonicalize a caller-supplied id: the stored column
+                # must hold the canonical lowercase-hyphenated form or
+                # get()'s canonicalized lookup could never find it
+                # (uppercase / no-dash / urn: encodings parse fine).
+                if r.event_id:
+                    try:
+                        eid = str(_uuid.UUID(str(r.event_id)))
+                    except ValueError:
+                        raise ValueError(
+                            f"event_id {r.event_id!r} is not a UUID"
+                        )
+                else:
+                    eid = None
+                eid = eid or str(
                     ids.uuid_v7_with_partition_hash(
                         phash,
                         timestamp_ms=(

@@ -640,14 +640,17 @@ def build_ivf_pq_index(
     (:func:`probe_ivf_pq`) never reads it: column pruning keeps the
     scan at codes width, which is the memory-bandwidth lever a 100 TB
     vector corpus needs. Training is the shared deterministic 1-round
-    Lloyd (same codebooks as the pq_adc_recall audit).
+    Lloyd (same codebooks as the pq_adc_recall audit). Codes are
+    attached BEFORE the one partitioned write of the vector table
+    (cell assignment shared with build_ivf_index via
+    _ivf_assignments) — no read-back/rewrite, no directory swap.
     """
     import os
 
-    from sierradb_spark.functions.similarity import build_ivf_index, _dvec
+    from sierradb_spark.functions.similarity import _dvec, _ivf_assignments
 
     spark = embeddings.sparkSession
-    build_ivf_index(embeddings, path, n_seed_dims=n_seed_dims)
+    assigned, cent_rows = _ivf_assignments(embeddings, n_seed_dims=n_seed_dims)
     v = embeddings.select("vec_id", _dvec("embedding").alias("emb"))
     c1, a2 = _pq_train_codes(v)
     codes = (
@@ -659,20 +662,18 @@ def build_ivf_pq_index(
             ).alias("codes")
         )
     )
-    vectors_path = os.path.join(path, "vectors")
-    vecs = spark.read.parquet(vectors_path)
-    recoded = vecs.join(codes, "vec_id").select(
-        "vec_id", "label", "embedding", "codes", "cell_id"
+    # ONE partitioned write of the vector table (codes attached before
+    # the write — no read-back/rewrite, no directory swap to crash in).
+    (
+        assigned.join(codes, "vec_id")
+        .select("vec_id", "label", "embedding", "codes", "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(os.path.join(path, "vectors"))
     )
-    # rewrite under a temp dir then swap: the source of the join is the
-    # directory being replaced, so an in-place overwrite would read and
-    # clobber the same files.
-    tmp = os.path.join(path, ".vectors-pq")
-    recoded.write.mode("overwrite").partitionBy("cell_id").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(vectors_path)
-    os.rename(tmp, vectors_path)
+    spark.createDataFrame(
+        cent_rows, "cell_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     c1.select("j", "cid", "cent").coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "codebooks")
     )
@@ -701,24 +702,10 @@ def probe_ivf_pq(
     """
     import os
 
+    from sierradb_spark.functions.similarity import route_probed_cells
+
     cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
-
-    def cos(cv):
-        import math
-
-        d = sum(a * b for a, b in zip(cv, query_vec))
-        n = (
-            math.sqrt(sum(a * a for a in cv))
-            * math.sqrt(sum(x * x for x in query_vec))
-        )
-        return d / n if n else 0.0
-
-    probed = [
-        int(r["cell_id"])
-        for r in sorted(
-            cents, key=lambda r: (-cos(r["centroid"]), r["cell_id"])
-        )[:nprobe]
-    ]
+    probed = route_probed_cells(cents, query_vec, nprobe)
     books = spark.read.parquet(os.path.join(path, "codebooks")).collect()
     # LUT[j][cid] = ||q_j - cent||^2, driver-side (m x k floats)
     lut: dict[int, dict[int, float]] = {}

@@ -276,6 +276,23 @@ def build_ivf_index(
     import os
 
     spark = embeddings.sparkSession
+    assigned, cent_rows = _ivf_assignments(embeddings, n_seed_dims)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    spark.createDataFrame(
+        cent_rows, "cell_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def _ivf_assignments(
+    embeddings: DataFrame, n_seed_dims: int = 4
+) -> "tuple[DataFrame, list]":
+    """Cell assignment for the materialized indexes: returns the
+    embeddings frame with its ``cell_id`` column (unwritten — callers
+    attach further columns, e.g. PQ codes, and write ONCE) plus the
+    dense centroid rows. Shared by :func:`build_ivf_index` and
+    :func:`~sierradb_spark.functions.quantize.build_ivf_pq_index`."""
     v = F.col("embedding").cast("array<double>")
 
     def seed_bucket(col: Column) -> Column:
@@ -329,12 +346,31 @@ def build_ivf_index(
     assigned = embeddings.select(
         "vec_id", "label", "embedding", cell.alias("cell_id")
     )
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
-        os.path.join(path, "vectors")
-    )
-    spark.createDataFrame(
-        cent_rows, "cell_id int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    return assigned, cent_rows
+
+
+def route_probed_cells(cent_rows, query_vec: list, nprobe: int) -> list:
+    """Driver-side IVF routing over a collected centroid table: the
+    ``nprobe`` cell_ids nearest the query by cosine (deterministic
+    cell_id tie-break). The ONE routing construction for materialized
+    indexes — shared by :func:`probe_ivf` and
+    :func:`~sierradb_spark.functions.quantize.probe_ivf_pq` (the
+    inline-query twin is :func:`ivf_route`)."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def cos(cv):
+        d = sum(a * b for a, b in zip(cv, query_vec))
+        n = math.sqrt(sum(a * a for a in cv)) * qn
+        return d / n if n else 0.0
+
+    return [
+        int(r["cell_id"])
+        for r in sorted(
+            cent_rows, key=lambda r: (-cos(r["centroid"]), r["cell_id"])
+        )[:nprobe]
+    ]
 
 
 def probe_ivf(
@@ -353,18 +389,7 @@ def probe_ivf(
 
     cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
     qn = math.sqrt(sum(x * x for x in query_vec))
-
-    def cos(cv):
-        d = sum(a * b for a, b in zip(cv, query_vec))
-        n = math.sqrt(sum(a * a for a in cv)) * qn
-        return d / n if n else 0.0
-
-    probed = [
-        int(r["cell_id"])
-        for r in sorted(cents, key=lambda r: (-cos(r["centroid"]), r["cell_id"]))[
-            :nprobe
-        ]
-    ]
+    probed = route_probed_cells(cents, query_vec, nprobe)
     vecs = spark.read.parquet(os.path.join(path, "vectors"))
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
     cosc = dot_col(F.col("embedding").cast("array<double>"), qarr) / F.nullif(

@@ -106,7 +106,32 @@ def enrich_requests(
         phash, (F.col("timestamp_ns") / 1_000_000).cast("long")
     )
     if user_event_id:
-        df = df.withColumn("event_id", F.coalesce(F.col("event_id"), gen_eid))
+        # Canonicalize caller ids to the lowercase-hyphenated form the
+        # store's lookups compare against (uuid_hash_col parses
+        # uppercase/no-dash encodings fine, so without this a valid-hash
+        # non-canonical id would pass validation yet be unreachable via
+        # EGET). Anything that is not 32 hex chars after stripping
+        # urn:uuid:/braces/dashes is left as-is for the validation
+        # below to reject.
+        h32 = F.lower(
+            F.regexp_replace(
+                F.regexp_replace(F.col("event_id"), r"^(?i)urn:uuid:", ""),
+                r"[{}\-]",
+                "",
+            )
+        )
+        canon = F.when(
+            h32.rlike("^[0-9a-f]{32}$"),
+            F.concat_ws(
+                "-",
+                F.substring(h32, 1, 8),
+                F.substring(h32, 9, 4),
+                F.substring(h32, 13, 4),
+                F.substring(h32, 17, 4),
+                F.substring(h32, 21, 12),
+            ),
+        ).otherwise(F.col("event_id"))
+        df = df.withColumn("event_id", F.coalesce(canon, gen_eid))
     else:
         df = df.withColumn("event_id", gen_eid)
     user_txn_id = "txn_id" in cols

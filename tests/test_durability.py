@@ -490,7 +490,10 @@ def test_malformed_user_event_id_rejected(spark, store):
     NULL-propagating comparison (DF path) or a UUID-parse crash
     (Python path)."""
     # Python API: request-level validation error, clear message
-    with pytest.raises(ValueError, match="does not embed partition hash"):
+    # (unparseable ids fail UUID canonicalization; well-formed ids with
+    # a foreign hash fail the embed check — both are InvalidEventId
+    # parity, database.rs:879-884)
+    with pytest.raises(ValueError, match="not a UUID"):
         store.append([AppendRequest("mal", "E", event_id="abc")])
     assert store.events().count() == 0
     # DataFrame/streaming path: row-wise rejection, batch continues

@@ -296,3 +296,54 @@ def test_time_travel_snapshots(store):
     store.compact()
     assert len(store.commits()) == 1
     assert store.events().count() == 6
+
+
+def test_append_stores_canonical_event_id_both_paths(store, spark):
+    """r05 review: a caller-supplied event_id in ANY valid UUID encoding
+    is stored in canonical lowercase-hyphenated form on BOTH append
+    surfaces (row path and DataFrame path), so get() — which
+    canonicalizes its lookup — always finds it. Garbage ids still
+    raise/reject."""
+    pkey = str(ids.partition_key_for_stream("canon-row"))
+    phash = ids.uuid_to_partition_hash(pkey)
+    eid = str(
+        ids.uuid_v7_with_partition_hash(
+            phash, timestamp_ms=5, rand12=1, rand46=1
+        )
+    )
+    # row path: uppercase encoding in, canonical out, EGET finds it
+    [res] = store.append(
+        [AppendRequest("canon-row", "E0", event_id=eid.upper())]
+    )
+    assert res.accepted and res.event_id == eid
+    assert [r["event_id"] for r in store.get(eid.upper()).collect()] == [eid]
+    with pytest.raises(ValueError, match="not a UUID"):
+        store.append([AppendRequest("canon-row", "E1", event_id="garbage")])
+
+    # DataFrame path: no-dash encoding in, canonical out
+    pkey2 = str(ids.partition_key_for_stream("canon-df"))
+    eid2 = str(
+        ids.uuid_v7_with_partition_hash(
+            ids.uuid_to_partition_hash(pkey2),
+            timestamp_ms=6, rand12=2, rand46=2,
+        )
+    )
+    wrong_hash = (ids.uuid_to_partition_hash(pkey2) + 1) % (1 << 16)
+    foreign_eid = str(
+        ids.uuid_v7_with_partition_hash(
+            wrong_hash, timestamp_ms=6, rand12=2, rand46=2
+        )
+    )
+    df = spark.createDataFrame(
+        [
+            ("canon-df", "D0", eid2.replace("-", "").upper()),
+            ("canon-df", "D1", "urn:uuid:" + foreign_eid),
+        ],
+        "stream_id string, event_name string, event_id string",
+    )
+    res2 = store.append_df(df)
+    ok = {r["event_name"]: r for r in res2.collect()}
+    assert ok["D0"]["accepted"] and ok["D0"]["event_id"] == eid2
+    # D1's mutated id embeds the wrong hash -> rejected, not stored
+    assert not ok["D1"]["accepted"]
+    assert [r["event_id"] for r in store.get(eid2).collect()] == [eid2]
