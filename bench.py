@@ -176,6 +176,50 @@ def main() -> int:
             f"compactions={compact_secs}",
             file=sys.stderr,
         )
+        # Streaming corpus dedup throughput: fold the documents table
+        # through StreamingCorpusDedup in deterministic micro-batches
+        # (doc_id % n), compacting the band index midway — the
+        # incremental near-dup-free corpus build measured end to end
+        # (band signatures + index anti-join + CC + idempotent writes).
+        # Own JSON section, like sustained ingest: a throughput probe,
+        # not a headline query.
+        from sierradb_spark.registry import load as load_table
+        from sierradb_spark.streaming.corpus import StreamingCorpusDedup
+
+        n_cbatches = max(
+            2, int(os.environ.get("SPARK_GRAFT_CORPUS_BATCHES", "6"))
+        )
+        docs_all = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        dd = StreamingCorpusDedup(spark, os.path.join(scratch, "corpus"))
+        batch_secs: list[float] = []
+        n_docs_total = 0
+        for b in range(n_cbatches):
+            batch = docs_all.where(F.col("doc_id") % n_cbatches == b)
+            n_docs_total += batch.count()
+            tb = time.perf_counter()
+            dd.process_batch(batch, b)
+            batch_secs.append(round(time.perf_counter() - tb, 3))
+            if b == n_cbatches // 2:
+                dd.compact_index()
+        accepted = dd.corpus().count()
+        corpus_total = round(sum(batch_secs), 3)
+        corpus_dedup = {
+            "batches": n_cbatches,
+            "docs_total": n_docs_total,
+            "accepted": accepted,
+            "batch_seconds": batch_secs,
+            "total_seconds": corpus_total,
+            "docs_per_second": round(n_docs_total / corpus_total, 1),
+        }
+        print(
+            f"# corpus_dedup: {n_docs_total} docs in {n_cbatches} batches "
+            f"-> {accepted} accepted, {corpus_total}s "
+            f"({corpus_dedup['docs_per_second']} docs/s) "
+            f"batches={batch_secs}",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -189,6 +233,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sustained_ingest": sustained,
+                "corpus_dedup": corpus_dedup,
             }
         )
     )
