@@ -1,0 +1,378 @@
+"""Mergeable membership / count sketches and containment scoring.
+
+Cross-shard dedup at 100 TB cannot join every new shard against every
+old shard's raw digests; the production shapes are:
+
+- a BLOOM FILTER over the already-ingested chunk-digest universe
+  (mergeable bit-OR across shards, ~1 byte/element at 1% FP), probed by
+  each incoming shard — implemented here as a distinct bit-position set
+  with k=3 md5-derived hash functions, plus the false-positive audit
+  that tells you whether the configured m/k fits the corpus;
+- a COUNT-MIN SKETCH for heavy-hitter detection over unbounded token
+  streams (mergeable cell-wise addition), with the classic min-over-rows
+  point estimate and an overestimate audit against exact counts;
+- CONTAINMENT scoring C(A,B) = |A ∩ B| / |A| over chunk sets for LSH
+  candidate pairs — resemblance (Jaccard) misses the "document B is a
+  quote-wrapper around document A" case; containment is the Broder
+  measure that catches partial duplication.
+
+Everything is deterministic (md5-slice hashing, the repo's portable
+convention) so DuckDB oracles replicate bit-for-bit. The sketch tables
+themselves are fixed-size (65536 bits / 4x512 cells) regardless of
+corpus size — the whole point — and always sit on the broadcast side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sierradb_spark.registry import Registry
+from sierradb_spark.functions.scrub import _chunk_table, _SQL_CHUNK_TABLE
+from sierradb_spark.functions.dedup_wide import (
+    _SQL_WIDE_MINS,
+    minhash_wide_candidates,
+)
+
+REG = Registry()
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership audit
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 65536
+_BLOOM_K = 3
+
+
+def _bloom_pos(digest: Column, j: int) -> Column:
+    """Hash-function j: md5 of the digest with a salt, first 8 hex chars
+    as an integer, mod the bit-array size. Same recipe in the oracle."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(digest, F.lit(f"#{j}"))), 1, 8), 16, 10)
+        .cast("long")
+        % _BLOOM_BITS
+    )
+
+
+def _sql_bloom_pos(expr: str, j: int) -> str:
+    return (
+        f"('0x' || substr(md5({expr} || '#{j}'), 1, 8))::UBIGINT % {_BLOOM_BITS}"
+    )
+
+
+_SQL_BLOOM = f"""
+    WITH chunks AS MATERIALIZED ({_SQL_CHUNK_TABLE}),
+    base AS MATERIALIZED (
+        SELECT DISTINCT digest FROM chunks WHERE doc_id % 2 = 0
+    ),
+    bloom AS MATERIALIZED (
+        SELECT DISTINCT pos FROM (
+            {" UNION ALL ".join(f"SELECT {_sql_bloom_pos('digest', j)} AS pos FROM base" for j in range(_BLOOM_K))}
+        )
+    ),
+    probe AS MATERIALIZED (
+        SELECT DISTINCT digest FROM chunks WHERE doc_id % 2 = 1
+    ),
+    probe_hits AS (
+        SELECT p.digest,
+               {" + ".join(f"(CASE WHEN EXISTS (SELECT 1 FROM bloom b WHERE b.pos = {_sql_bloom_pos('p.digest', j)}) THEN 1 ELSE 0 END)" for j in range(_BLOOM_K))}
+                   AS k_hits,
+               (EXISTS (SELECT 1 FROM base s WHERE s.digest = p.digest))
+                   AS actually
+        FROM probe p
+    )
+    SELECT CAST((SELECT count(*) FROM probe) AS BIGINT) AS probed_digests,
+           CAST(sum(CASE WHEN k_hits = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS maybe_seen,
+           CAST(sum(CASE WHEN actually THEN 1 ELSE 0 END) AS BIGINT)
+               AS actually_seen,
+           CAST(sum(CASE WHEN k_hits = {_BLOOM_K} AND NOT actually
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+           round(sum(CASE WHEN k_hits = {_BLOOM_K} AND NOT actually
+                          THEN 1 ELSE 0 END)
+                 / greatest(sum(CASE WHEN NOT actually THEN 1 ELSE 0 END),
+                            1)::DOUBLE, 6) AS fp_rate,
+           CAST((SELECT count(*) FROM bloom) AS BIGINT) AS bloom_bits_set,
+           round((SELECT count(*) FROM bloom) / {_BLOOM_BITS}.0, 6)
+               AS bloom_fill
+    FROM probe_hits
+"""
+
+
+@REG.add(
+    "bloom_membership_audit",
+    oracle=_SQL_BLOOM,
+    doc=f"Cross-shard Bloom-filter dedup audit: build an m={_BLOOM_BITS}-bit, "
+    f"k={_BLOOM_K}-hash Bloom filter over the already-ingested shard's chunk "
+    "digests (even doc_ids), probe the incoming shard (odd doc_ids), and "
+    "report maybe-seen vs actually-seen counts, the realized false-positive "
+    "rate, and the filter fill factor. No false negatives by construction "
+    "(every actually-seen digest set its own bits). Scale shape: the filter "
+    "is a FIXED-size distinct bit-position set (<= m rows, broadcast to the "
+    "probe side) and is mergeable across shards by union — the incoming "
+    "corpus never joins against raw historical digests, which is the entire "
+    "point at 100 TB.",
+)
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = _chunk_table(spark, sf_dir).localCheckpoint(eager=True)
+    base = (
+        chunks.filter(F.col("doc_id") % 2 == 0).select("digest").distinct()
+    )
+    bloom = (
+        base.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("digest"), j) for j in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # pin: probed by k joins + counted
+    )
+    probe = (
+        chunks.filter(F.col("doc_id") % 2 == 1).select("digest").distinct()
+    )
+    # One row per (digest, hash j); a row survives the broadcast semi
+    # join iff its bit is set, so all-k-bits-set == k surviving rows.
+    probe_pos = probe.select(
+        "digest",
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col("digest"), j) for j in range(_BLOOM_K)])
+        ).alias("j", "pos"),
+    )
+    k_hits = (
+        probe_pos.join(F.broadcast(bloom), "pos")
+        .groupBy("digest")
+        .agg(F.count("*").alias("k_hits"))
+    )
+    flags = (
+        probe.join(k_hits, "digest", "left")
+        .join(base.withColumn("actually", F.lit(True)), "digest", "left")
+        .select(
+            "digest",
+            (F.coalesce(F.col("k_hits"), F.lit(0)) == _BLOOM_K).alias("maybe"),
+            F.coalesce(F.col("actually"), F.lit(False)).alias("actually"),
+        )
+    )
+    n_bits = bloom.count()
+    return flags.agg(
+        F.count("*").alias("probed_digests"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("maybe_seen"),
+        F.sum(F.when(F.col("actually"), 1).otherwise(0)).alias("actually_seen"),
+        F.sum(F.when(F.col("maybe") & ~F.col("actually"), 1).otherwise(0)).alias(
+            "false_positives"
+        ),
+        F.round(
+            F.sum(F.when(F.col("maybe") & ~F.col("actually"), 1).otherwise(0))
+            / F.greatest(
+                F.sum(F.when(~F.col("actually"), 1).otherwise(0)), F.lit(1)
+            ).cast("double"),
+            6,
+        ).alias("fp_rate"),
+        F.lit(n_bits).cast("long").alias("bloom_bits_set"),
+        F.round(F.lit(n_bits) / F.lit(float(_BLOOM_BITS)), 6).alias("bloom_fill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+_TOP_HH = 20
+
+
+def _cms_bucket(word: Column, r: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(word, F.lit(f"@{r}"))), 1, 8), 16, 10)
+        .cast("long")
+        % _CMS_W
+    )
+
+
+def _sql_cms_bucket(expr: str, r: int) -> str:
+    return f"('0x' || substr(md5({expr} || '@{r}'), 1, 8))::UBIGINT % {_CMS_W}"
+
+
+_SQL_CMS = f"""
+    WITH words AS MATERIALIZED (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    cells AS MATERIALIZED (
+        SELECT r, bucket, count(*) AS c FROM (
+            {" UNION ALL ".join(f"SELECT {r} AS r, {_sql_cms_bucket('word', r)} AS bucket FROM words" for r in range(_CMS_D))}
+        ) GROUP BY r, bucket
+    ),
+    exact AS (SELECT word, count(*) AS exact_count FROM words GROUP BY word),
+    est AS (
+        SELECT e.word, e.exact_count,
+               least({", ".join(f"(SELECT c FROM cells WHERE r = {r} AND bucket = {_sql_cms_bucket('e.word', r)})" for r in range(_CMS_D))})
+                   AS est_count
+        FROM exact e
+    )
+    SELECT word, CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(est_count - exact_count AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY est_count DESC, word
+    LIMIT {_TOP_HH}
+"""
+
+
+@REG.add(
+    "cms_heavy_hitters",
+    oracle=_SQL_CMS,
+    doc=f"Count-min sketch heavy hitters: a {_CMS_D}x{_CMS_W} CMS over the "
+    "corpus word stream (md5-salted row hashes), point estimates as the "
+    f"min over rows, and the top-{_TOP_HH} tokens by estimate with the exact "
+    "count and CMS overestimate alongside (the classic epsilon*N error "
+    "audit). Scale shape: the sketch is a fixed "
+    f"{_CMS_D * _CMS_W}-cell table built by one map-side-combining "
+    "aggregate (mergeable cell-wise across shards/streams) and broadcast to "
+    "the candidate set; the token stream is scanned once per row salt and "
+    "never shuffles raw text. The exact-count column is the AUDIT side — a "
+    "production heavy-hitter pass keeps only the sketch and a candidate "
+    "sample.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.registry import load
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .localCheckpoint(eager=True)  # pin: d row-salt passes + exact pass
+    )
+    cells = (
+        words.select(
+            F.posexplode(
+                F.array(*[_cms_bucket(F.col("word"), r) for r in range(_CMS_D)])
+            ).alias("r", "bucket")
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = words.groupBy("word").agg(F.count("*").alias("exact_count"))
+    probe = exact.select(
+        "word",
+        "exact_count",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("word"), r) for r in range(_CMS_D)])
+        ).alias("r", "bucket"),
+    )
+    return (
+        probe.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+        .select(
+            "word",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), "word")
+        .limit(_TOP_HH)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment (partial-duplicate) scoring for LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+_SQL_CONTAINMENT = f"""
+        WITH {_SQL_WIDE_MINS},
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
+             AND a.doc_id < b.doc_id
+        ),
+        cset AS MATERIALIZED (
+            SELECT DISTINCT doc_id, digest FROM ({_SQL_CHUNK_TABLE})
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM cset GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN cset ca ON ca.doc_id = c.doc_a
+            JOIN cset cb ON cb.doc_id = c.doc_b AND cb.digest = ca.digest
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+               round(coalesce(i.n_inter, 0) / sa.n::DOUBLE, 6)
+                   AS containment_a,
+               round(coalesce(i.n_inter, 0) / sb.n::DOUBLE, 6)
+                   AS containment_b,
+               round(coalesce(i.n_inter, 0)
+                     / (sa.n + sb.n - coalesce(i.n_inter, 0))::DOUBLE, 6)
+                   AS jaccard_chunks
+        FROM cand c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+"""
+
+
+@REG.add(
+    "containment_partial_dup",
+    oracle=_SQL_CONTAINMENT,
+    doc="Broder containment C(A,B) = |chunks(A) n chunks(B)| / |chunks(A)| "
+    "(both directions, plus chunk-level Jaccard) for every production-"
+    "width MinHash LSH candidate pair — resemblance misses the 'B embeds "
+    "all of A inside extra boilerplate' case; high containment_a with "
+    "low jaccard is exactly that signature. Scale shape: pairwise work "
+    "is confined to LSH candidates (collision-scaled, never N^2); the "
+    "chunk-set join moves 16-byte digests keyed by doc_id, and the "
+    "per-doc size table rides broadcast.",
+)
+def containment_partial_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = minhash_wide_candidates(spark, sf_dir)
+    cset = (
+        _chunk_table(spark, sf_dir)
+        .select("doc_id", "digest")
+        .distinct()
+        .localCheckpoint(eager=True)  # pin: sizes + two intersect joins
+    )
+    sizes = cset.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ca, cb = cset.alias("ca"), cset.alias("cb")
+    inter = (
+        cand.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(
+            cb,
+            (F.col("cb.doc_id") == F.col("doc_b"))
+            & (F.col("cb.digest") == F.col("ca.digest")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    return (
+        cand.join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_a")),
+            F.col("doc_id") == F.col("doc_a"),
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_b")),
+            F.col("doc_id") == F.col("doc_b"),
+        )
+        .drop("doc_id")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            ni.cast("long").alias("n_inter"),
+            F.round(ni / F.col("n_a").cast("double"), 6).alias("containment_a"),
+            F.round(ni / F.col("n_b").cast("double"), 6).alias("containment_b"),
+            F.round(
+                ni / (F.col("n_a") + F.col("n_b") - ni).cast("double"), 6
+            ).alias("jaccard_chunks"),
+        )
+    )

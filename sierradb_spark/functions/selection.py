@@ -1,0 +1,316 @@
+"""Data-selection / mixture diagnostics for pretraining corpora.
+
+Three selection primitives a 100 TB curation pipeline runs before
+committing a training mix:
+
+- DSIR importance weights (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): hashed-bigram n-gram
+  features, importance weight = log p_target(doc)/p_raw(doc) under two
+  bag-of-features unigram models. The feature space is a FIXED hash
+  range (1024 buckets here), so both model tables are tiny broadcast
+  joins no matter how large the corpus is.
+- Per-source KL divergence of the unigram distribution vs the corpus
+  mixture — the "which domains are outliers" diagnostic behind
+  DoReMi-style reweighting.
+- Tokenizer vocabulary coverage / OOV rate per language for a
+  frequency-derived vocab — the cheap proxy for "does this tokenizer
+  fit this language slice".
+
+All three are single corpus scans plus small-side (<= a few thousand
+rows) broadcast joins; nothing here shuffles document text.
+
+Reference parity note: the reference engine (sierradb) has no data-
+selection surface; these follow the published method descriptions and
+the repo-wide oracle conventions (md5-slice portable hashing, identical
+float rounding on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sierradb_spark.registry import Registry, load
+
+REG = Registry()
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-bigram importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+# Additive smoothing mass per bucket. 0.5 (Jeffreys) keeps unseen
+# buckets finite without drowning the signal at sf0.001's tiny counts.
+_DSIR_ALPHA = 0.5
+# Target distribution: the English slice. DSIR scores every RAW
+# (non-target) document by how much more likely its features are under
+# the target model than under the raw model; resampling by these
+# weights shifts the mix toward the target domain.
+_DSIR_TARGET = "lang = 'en'"
+
+# word bigrams -> md5 -> first 8 hex chars -> bucket. Same recipe both
+# engines (the repo-wide portable-hash convention; see dedup_wide.py).
+_SPARK_GRAMS = """
+    CASE WHEN size(split(trim(text), '\\\\s+')) < 2 THEN array()
+         ELSE transform(
+             sequence(1, size(split(trim(text), '\\\\s+')) - 1),
+             i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ',
+                         element_at(split(trim(text), '\\\\s+'), i + 1)))
+    END
+"""
+
+_SQL_GRAMS = """
+    list_transform(
+        range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)),
+        i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+             regexp_split_to_array(trim(text), '\\s+')[i + 1])
+"""
+
+_SQL_DSIR = f"""
+    WITH grams AS MATERIALIZED (
+        SELECT doc_id, ({_DSIR_TARGET}) AS is_target,
+               ('0x' || substr(md5(unnest({_SQL_GRAMS})), 1, 8))::UBIGINT
+                   % {_DSIR_BUCKETS} AS bucket
+        FROM documents
+    ),
+    model AS (
+        SELECT bucket,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+               sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS c_r
+        FROM grams GROUP BY bucket
+    ),
+    totals AS (
+        SELECT sum(c_t)::DOUBLE AS n_t, sum(c_r)::DOUBLE AS n_r FROM model
+    ),
+    ratio AS (
+        SELECT bucket,
+               ln((c_t + {_DSIR_ALPHA}) / (n_t + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))
+               - ln((c_r + {_DSIR_ALPHA}) / (n_r + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))
+                   AS log_ratio
+        FROM model, totals
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           round(sum(r.log_ratio), 6) AS dsir_log_weight
+    FROM grams g JOIN ratio r ON g.bucket = r.bucket
+    WHERE NOT g.is_target
+    GROUP BY g.doc_id
+"""
+
+
+def _gram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(_DSIR_TARGET).alias("is_target"),
+        F.explode(F.expr(_SPARK_GRAMS)).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+
+
+@REG.add(
+    "dsir_importance_weights",
+    oracle=_SQL_DSIR,
+    doc="DSIR data selection: hashed word-bigram features (md5 -> "
+    f"{_DSIR_BUCKETS} buckets), additive-smoothed bag-of-features models for "
+    "the target slice (English) and the raw remainder, and per-raw-document "
+    "log importance weight sum(log p_t(b) - log p_r(b)) over its bigrams. "
+    "Resampling the raw pool by exp(weight) shifts the mixture toward the "
+    "target domain (Xie et al. 2023). Scale shape: the two models live in "
+    f"ONE {_DSIR_BUCKETS}-row table built in a single pass (conditional "
+    "aggregation, map-side combine on a fixed-cardinality key) and broadcast "
+    "back over the gram stream; document text never shuffles, and the "
+    "feature space is fixed no matter the corpus size.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _gram_buckets(spark, sf_dir)
+    model = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("c_r"),
+    )
+    # Bucket-count totals are one tiny aggregate; cross-join the 1-row
+    # totals onto the 1024-row model (both broadcast).
+    totals = model.agg(
+        F.sum("c_t").cast("double").alias("n_t"),
+        F.sum("c_r").cast("double").alias("n_r"),
+    )
+    ratio = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + _DSIR_ALPHA) / (F.col("n_t") + _DSIR_ALPHA * _DSIR_BUCKETS))
+            - F.log((F.col("c_r") + _DSIR_ALPHA) / (F.col("n_r") + _DSIR_ALPHA * _DSIR_BUCKETS))
+        ).alias("log_ratio"),
+    )
+    return (
+        grams.filter(~F.col("is_target"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("log_ratio"), 6).alias("dsir_log_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram KL divergence vs the corpus mixture
+# ---------------------------------------------------------------------------
+
+# Bound the vocabulary to the top-V corpus words so the source x vocab
+# grid stays O(sources * V) at any corpus size. (At the synthetic SFs
+# the whole vocab fits under the cap; the cap is the scale path.)
+_KL_TOP_V = 1000
+_KL_ALPHA = 0.5
+
+_SQL_KL = f"""
+    WITH words AS MATERIALIZED (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS MATERIALIZED (
+        SELECT word, count(*) AS c_corpus FROM words
+        GROUP BY word ORDER BY c_corpus DESC, word LIMIT {_KL_TOP_V}
+    ),
+    src AS (SELECT source, count(*) AS n_src FROM words GROUP BY source),
+    corpus_total AS (SELECT sum(c_corpus)::DOUBLE AS n_corpus FROM vocab),
+    grid AS (
+        SELECT s.source, s.n_src, v.word, v.c_corpus,
+               coalesce(c.cnt, 0) AS c_src
+        FROM src s CROSS JOIN vocab v
+        LEFT JOIN (SELECT source, word, count(*) AS cnt FROM words
+                   JOIN vocab USING (word) GROUP BY source, word) c
+          ON c.source = s.source AND c.word = v.word
+    ),
+    nv AS (SELECT count(*)::DOUBLE AS v FROM vocab)
+    SELECT source,
+           CAST(max(n_src) AS BIGINT) AS n_tokens,
+           round(sum(
+               ((c_src + {_KL_ALPHA}) / (n_src + {_KL_ALPHA} * v))
+               * ln(((c_src + {_KL_ALPHA}) / (n_src + {_KL_ALPHA} * v))
+                    / ((c_corpus + {_KL_ALPHA}) / (n_corpus + {_KL_ALPHA} * v)))
+           ), 6) AS kl_vs_corpus
+    FROM grid, corpus_total, nv
+    GROUP BY source
+"""
+
+
+@REG.add(
+    "kl_source_divergence",
+    oracle=_SQL_KL,
+    doc="Per-source KL divergence of the (smoothed) unigram distribution "
+    f"against the corpus mixture, over the top-{_KL_TOP_V} corpus vocabulary "
+    "— the domain-outlier diagnostic behind DoReMi-style mixture reweighting. "
+    "Scale shape: the vocab is capped (top-V by corpus count), so the "
+    "source x vocab grid is O(sources * V) rows built by crossing two "
+    "broadcast-sized aggregates; the only corpus-sized pass is the word "
+    "explode, and the smoothed zero counts come from the grid's left join, "
+    "never from materializing absent words per document.",
+)
+def kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .localCheckpoint(eager=True)  # pin: read for vocab, totals, grid
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("c_corpus"))
+        .orderBy(F.desc("c_corpus"), "word")
+        .limit(_KL_TOP_V)
+    )
+    src = words.groupBy("source").agg(F.count("*").alias("n_src"))
+    counts = (
+        words.join(F.broadcast(vocab.select("word")), "word")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_corpus = vocab.agg(F.sum("c_corpus").cast("double").alias("n_corpus"))
+    nv = vocab.agg(F.count("*").cast("double").alias("v"))
+    grid = (
+        src.crossJoin(F.broadcast(vocab))
+        .join(counts, ["source", "word"], "left")
+        .withColumn("c_src", F.coalesce(F.col("cnt"), F.lit(0)))
+        .crossJoin(F.broadcast(n_corpus))
+        .crossJoin(F.broadcast(nv))
+    )
+    p_s = (F.col("c_src") + _KL_ALPHA) / (F.col("n_src") + _KL_ALPHA * F.col("v"))
+    p_c = (F.col("c_corpus") + _KL_ALPHA) / (F.col("n_corpus") + _KL_ALPHA * F.col("v"))
+    return grid.groupBy("source").agg(
+        F.max("n_src").cast("long").alias("n_tokens"),
+        F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_vs_corpus"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage / OOV rate per language
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 100
+
+_SQL_OOV = f"""
+    WITH pieces AS MATERIALIZED (
+        SELECT lang, unnest(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS piece
+        FROM documents
+    ),
+    vocab AS (
+        SELECT piece FROM pieces GROUP BY piece
+        ORDER BY count(*) DESC, piece LIMIT {_VOCAB_SIZE}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pieces,
+           CAST(sum(CASE WHEN v.piece IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(sum(CASE WHEN v.piece IS NULL THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS oov_rate
+    FROM pieces p LEFT JOIN vocab v ON p.piece = v.piece
+    GROUP BY lang
+"""
+
+
+@REG.add(
+    "tokenizer_oov_by_lang",
+    oracle=_SQL_OOV,
+    doc=f"Tokenizer-fit diagnostic: derive a top-{_VOCAB_SIZE} vocabulary "
+    "from the corpus's BPE-ish pre-token stream (same regex as "
+    "bpe_token_stats), then report per-language piece counts and the "
+    "out-of-vocabulary rate — the slice-level signal for 'this tokenizer "
+    "under-serves language X'. Scale shape: the vocab is a top-K aggregate "
+    "(broadcast back as a left join); one corpus scan.",
+)
+def tokenizer_oov_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.text import BPE_PATTERN
+
+    d = load(spark, sf_dir, "documents")
+    pieces = d.select(
+        "lang",
+        F.explode(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("piece"),
+    ).localCheckpoint(eager=True)  # pin: vocab pass + coverage pass
+    vocab = (
+        pieces.groupBy("piece")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "piece")
+        .limit(_VOCAB_SIZE)
+        .select("piece", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        pieces.join(F.broadcast(vocab), "piece", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_pieces"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

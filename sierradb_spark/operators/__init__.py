@@ -29,6 +29,8 @@ from sierradb_spark.functions import (
     multimodal,
     quantize,
     retrieval,
+    selection,
+    membership,
     pipeline,
     quality,
     similarity,
@@ -64,6 +66,8 @@ for mod in (
     text3,
     quantize,
     retrieval,
+    selection,
+    membership,
     graphs,
     clustering,
     stats,
