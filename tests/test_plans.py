@@ -396,3 +396,57 @@ def test_ivf_pq_composite_broadcast_probe_topk(q):
     f = assert_plan(q("ivf_pq_adc_topk"), require_top_k=True)
     assert f["cartesian_products"] == 0
     assert f["broadcast_hash_joins"] >= 2, f["broadcast_hash_joins"]
+
+
+def test_dsir_model_broadcast_no_gram_text_in_aggregates(q):
+    """DSIR: the 1024-bucket log-ratio model joins back as a broadcast;
+    the scoring aggregate shuffles (doc_id, bucket)-shaped rows only —
+    the raw bigram string must be hashed away before any exchange."""
+    f = assert_plan(q("dsir_importance_weights"), require_broadcast_joins=1)
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", f["plan"])
+    assert exchanges, f["plan"][:1500]
+    assert all("gram#" not in e for e in exchanges), exchanges
+
+
+def test_kl_grid_rides_broadcasts(q):
+    # vocab cap + grid: the corpus-sized side is the word explode; the
+    # vocab, totals and grid joins are all broadcast-sized.
+    f = assert_plan(q("kl_source_divergence"), require_broadcast_joins=2)
+    assert f["cartesian_products"] == 0
+
+
+def test_tokenizer_oov_vocab_broadcast(q):
+    assert_plan(q("tokenizer_oov_by_lang"), require_broadcast_joins=1)
+
+
+def test_bloom_probe_broadcasts_fixed_size_filter(q):
+    """The Bloom bit-set (<= 65536 rows, fixed regardless of corpus
+    size) must sit on the broadcast side of the probe join — the
+    incoming shard never shuffles against historical digests."""
+    f = assert_plan(q("bloom_membership_audit"), require_broadcast_joins=1)
+    assert f["cartesian_products"] == 0
+
+
+def test_cms_sketch_broadcast_topk(q):
+    # The 4x512-cell sketch is broadcast to the candidate probe; the
+    # final top-20 plans as TakeOrderedAndProject, never a full sort.
+    assert_plan(
+        q("cms_heavy_hitters"),
+        require_broadcast_joins=1,
+        require_top_k=True,
+        forbid_nested_loop=True,
+    )
+
+
+def test_containment_equi_joins_sizes_broadcast(q):
+    """Containment scoring: every join is an equi-join (band join for
+    candidates, digest join for intersections, doc_id joins for sizes)
+    — no nested-loop pair enumeration anywhere — and the per-doc size
+    table rides broadcast."""
+    assert_plan(
+        q("containment_partial_dup"),
+        require_broadcast_joins=2,
+        forbid_nested_loop=True,
+    )
