@@ -221,3 +221,114 @@ def triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities
+# ---------------------------------------------------------------------------
+
+_LP_ITERS = 5
+
+
+def _sql_label_prop() -> str:
+    """Unrolled synchronous label propagation: each round every node
+    takes the most frequent label among its neighbors (ties -> smallest
+    label), which is deterministic — the classic LPA pathology (random
+    tie-breaks) is removed so both engines converge identically."""
+    ctes = [
+        """
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
+             AND a.doc_id < b.doc_id
+        ),
+        edges AS MATERIALIZED (
+            SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM cand
+        ),
+        lp0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)
+        """
+    ]
+    for i in range(_LP_ITERS):
+        ctes.append(
+            f"""
+        lp{i + 1} AS (
+            SELECT node, label FROM (
+                SELECT e.u AS node, l.label,
+                       row_number() OVER (
+                           PARTITION BY e.u
+                           ORDER BY count(*) DESC, l.label) AS rn
+                FROM edges e JOIN lp{i} l ON l.node = e.v
+                GROUP BY e.u, l.label
+            ) WHERE rn = 1
+        )
+        """
+        )
+    return (
+        "WITH "
+        + _SQL_WIDE_MINS
+        + ","
+        + ",".join(ctes)
+        + f"""
+        SELECT label AS community,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(min(node) AS BIGINT) AS min_member,
+               CAST(max(node) AS BIGINT) AS max_member
+        FROM lp{_LP_ITERS}
+        GROUP BY label
+        """
+    )
+
+
+@REG.add(
+    "label_prop_communities",
+    oracle=_sql_label_prop(),
+    doc=f"Synchronous label-propagation community detection ({_LP_ITERS} "
+    "rounds, most-frequent-neighbor label, deterministic min-label "
+    "tie-break) over the production-width MinHash near-duplicate graph. "
+    "Connected components answers reachability; LPA splits a component "
+    "into densely-linked template families, which is the granularity "
+    "boilerplate downweighting actually wants. Scale shape: each round "
+    "is one broadcast join of the O(near-dup nodes) label vector onto "
+    "the collision-scaled edge list plus one (node,label) aggregate; "
+    "the fixed round count keeps the plan static and the oracle "
+    "expressible as unrolled SQL.",
+)
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+
+    cand = minhash_wide_candidates(spark, sf_dir)
+    edges = (
+        cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint(eager=True)  # read once per round + seed
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("c"), "label")
+    for _ in range(_LP_ITERS):
+        labels = (
+            edges.join(F.broadcast(labels), F.col("v") == F.col("node"))
+            .groupBy("u", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+        )
+    return labels.groupBy("label").agg(
+        F.count("*").alias("n_members"),
+        F.min("node").alias("min_member"),
+        F.max("node").alias("max_member"),
+    ).select(
+        F.col("label").alias("community"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("min_member").cast("long").alias("min_member"),
+        F.col("max_member").cast("long").alias("max_member"),
+    )

@@ -1,0 +1,234 @@
+"""Spectral diagnostics over the embedding corpus.
+
+Before building ANN indexes or quantizers over a 100 TB vector corpus
+you profile its geometry: per-dimension moments (dead / dominant
+dimensions break SQ8 and PQ codebook training) and the dominant
+principal component (anisotropy — embedding models notoriously
+concentrate variance in a few directions; whitening or centering
+decisions hang off this).
+
+The top PC comes from power iteration: v_{k+1} = normalize(E^T E v_k),
+computed as two corpus-shaped passes per round (per-doc projection
+s_i = e_i . v, then per-dimension weighted sum). The iterate is rounded
+to 9 decimals each round ON BOTH ENGINES (the k-means/PQ centroid
+convention — see functions/clustering.py) so cross-engine float drift
+cannot compound across rounds; per-doc dot products use the sequential
+fold that matches DuckDB's list_dot_product exactly.
+
+Scale shape: the iterate v is DIMS doubles — broadcast-trivial; each
+round shuffles only (dim, partial-sum) pairs after map-side combine.
+The driver holds v between rounds (O(dims), like the k-means
+centroids), never any per-document data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sierradb_spark.registry import Registry, load
+from sierradb_spark.functions.similarity import _dvec, dot_col
+
+REG = Registry()
+
+_DIMS = 64
+_PC_ITERS = 4
+
+# ---------------------------------------------------------------------------
+# Per-dimension moments
+# ---------------------------------------------------------------------------
+
+_SQL_DIM_STATS = """
+    SELECT i - 1 AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(x) / count(*), 6) AS mean,
+           round(sum(x * x) / count(*)
+                 - (sum(x) / count(*)) * (sum(x) / count(*)), 6) AS var_pop,
+           round(min(x), 6) AS min_val,
+           round(max(x), 6) AS max_val
+    FROM (
+        SELECT unnest(embedding::DOUBLE[]) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    )
+    GROUP BY i - 1
+"""
+
+
+@REG.add(
+    "embedding_dim_stats",
+    oracle=_SQL_DIM_STATS,
+    doc="Per-dimension moment profile of the embedding corpus (mean, "
+    "population variance via the explicit sum formula so both engines "
+    "compute the identical expression, min/max) — the pre-flight check "
+    "for SQ8 ranges, PQ subspace balance, and dead-dimension pruning. "
+    "Scale shape: one scan, posexplode to (dim, value), map-side-combined "
+    "aggregate on a DIMS-cardinality key; nothing else moves.",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    d = e.select(F.posexplode(_dvec("embedding")).alias("dim", "x"))
+    n = F.count("*")
+    return d.groupBy("dim").agg(
+        n.alias("n"),
+        F.round(F.sum("x") / n, 6).alias("mean"),
+        F.round(
+            F.sum(F.col("x") * F.col("x")) / n
+            - (F.sum("x") / n) * (F.sum("x") / n),
+            6,
+        ).alias("var_pop"),
+        F.round(F.min("x"), 6).alias("min_val"),
+        F.round(F.max("x"), 6).alias("max_val"),
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        "mean",
+        "var_pop",
+        "min_val",
+        "max_val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration dominant principal component
+# ---------------------------------------------------------------------------
+
+
+def _sql_top_pc() -> str:
+    # v0 = ones/sqrt(DIMS) = exactly 0.125 for 64 dims; each round:
+    # project, per-dim weighted sum, L2-normalize, round to 9.
+    assert _DIMS == 64  # 1/sqrt(64) must stay exactly representable
+    ctes = [
+        f"""
+        dims AS MATERIALIZED (
+            SELECT vec_id, i - 1 AS dim, x FROM (
+                SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM embeddings
+            )
+        ),
+        v0 AS (SELECT i AS dim, 0.125 AS val
+               FROM generate_series(0, {_DIMS - 1}) t(i))
+        """
+    ]
+    for k in range(_PC_ITERS):
+        ctes.append(
+            f"""
+        s{k} AS MATERIALIZED (
+            SELECT vec_id,
+                   list_dot_product(embedding::DOUBLE[],
+                       (SELECT list(val ORDER BY dim) FROM v{k})) AS s
+            FROM embeddings
+        ),
+        u{k} AS MATERIALIZED (
+            SELECT d.dim, sum(d.x * s{k}.s) AS u
+            FROM dims d JOIN s{k} ON s{k}.vec_id = d.vec_id
+            GROUP BY d.dim
+        ),
+        v{k + 1} AS (
+            SELECT dim,
+                   round(u / sqrt((SELECT sum(u * u) FROM u{k})), 9) AS val
+            FROM u{k}
+        )
+        """
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+        SELECT dim::BIGINT AS dim, val AS loading FROM v{_PC_ITERS}
+        """
+    )
+
+
+@REG.add(
+    "embedding_top_pc_power",
+    oracle=_sql_top_pc(),
+    doc=f"Dominant principal component of the (uncentered) embedding "
+    f"second-moment matrix by {_PC_ITERS} rounds of power iteration from "
+    "the deterministic ones/sqrt(dims) start, iterate L2-normalized and "
+    "rounded to 9 decimals per round on both engines (the k-means "
+    "convention that stops cross-engine float drift compounding). The "
+    "anisotropy / common-direction diagnostic that motivates centering "
+    "before cosine ANN. Scale shape: per round, one broadcast of the "
+    "64-double iterate, one projection scan (sequential-fold dot), one "
+    "map-side-combined (dim, sum) aggregate; the driver holds O(dims) "
+    "state only.",
+)
+def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("emb"))
+        .localCheckpoint(eager=True)  # scanned twice per round
+    )
+    dims = e.select("vec_id", F.posexplode("emb").alias("dim", "x"))
+    v = [0.125] * _DIMS
+    for _ in range(_PC_ITERS):
+        v_lit = F.array(*[F.lit(x) for x in v])
+        s = e.select("vec_id", dot_col(F.col("emb"), v_lit).alias("s"))
+        u_rows = (
+            dims.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("x") * F.col("s")).alias("u"))
+            .collect()  # O(dims) driver state, as in k-means
+        )
+        u = [0.0] * _DIMS
+        for r in u_rows:
+            u[r["dim"]] = r["u"]
+        norm = sum(x * x for x in u) ** 0.5
+        v = [round(x / norm, 9) for x in u]
+    out = [(d, v[d]) for d in range(_DIMS)]
+    return spark.createDataFrame(out, "dim bigint, loading double")
+
+
+# ---------------------------------------------------------------------------
+# Anisotropy score: top-PC variance share
+# ---------------------------------------------------------------------------
+
+_SQL_ANISOTROPY = f"""
+    WITH pc AS MATERIALIZED ({_sql_top_pc()}),
+    proj AS (
+        SELECT list_dot_product(embedding::DOUBLE[],
+                   (SELECT list(loading ORDER BY dim) FROM pc)) AS s,
+               list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq
+        FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(sum(s * s) / count(*), 6) AS top_pc_energy,
+           round(sum(sq) / count(*), 6) AS total_energy,
+           round(sum(s * s) / sum(sq), 6) AS top_pc_share
+    FROM proj
+"""
+
+
+@REG.add(
+    "embedding_anisotropy",
+    oracle=_SQL_ANISOTROPY,
+    doc="Anisotropy audit: share of total embedding energy captured by "
+    "the power-iteration dominant component (mean squared projection / "
+    "mean squared norm). Isotropic corpora score ~1/dims; a large share "
+    "means a common direction dominates cosine similarity and centering "
+    "will change ANN neighborhoods. One extra corpus scan over the "
+    "broadcast 64-double component.",
+)
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pc = embedding_top_pc_power(spark, sf_dir).collect()
+    v = [0.0] * _DIMS
+    for r in pc:
+        v[r["dim"]] = r["loading"]
+    v_lit = F.array(*[F.lit(x) for x in v])
+    e = load(spark, sf_dir, "embeddings").select(_dvec("embedding").alias("emb"))
+    proj = e.select(
+        dot_col(F.col("emb"), v_lit).alias("s"),
+        dot_col(F.col("emb"), F.col("emb")).alias("sq"),
+    )
+    return proj.agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum(F.col("s") * F.col("s")) / F.count("*"), 6).alias(
+            "top_pc_energy"
+        ),
+        F.round(F.sum("sq") / F.count("*"), 6).alias("total_energy"),
+        F.round(F.sum(F.col("s") * F.col("s")) / F.sum("sq"), 6).alias(
+            "top_pc_share"
+        ),
+    )

@@ -31,6 +31,7 @@ from sierradb_spark.functions import (
     retrieval,
     selection,
     membership,
+    spectral,
     pipeline,
     quality,
     similarity,
@@ -68,6 +69,7 @@ for mod in (
     retrieval,
     selection,
     membership,
+    spectral,
     graphs,
     clustering,
     stats,

@@ -173,3 +173,133 @@ def frequent_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic portable HyperLogLog (m=256 registers, md5-derived hash)
+# ---------------------------------------------------------------------------
+#
+# approx_distinct_users above uses each engine's NATIVE estimator (so the
+# oracle can only compare tolerance booleans). This one implements HLL
+# itself from the md5 hash both engines share: identical registers ->
+# identical estimate -> the estimate hash-matches digit-for-digit, giving
+# the strongest possible cross-engine evidence that the sketch math is
+# right. m=256 (b=8): standard error 1.04/sqrt(256) = 6.5%.
+#
+# rho(w) over the low 24 hash bits is computed with length(bin(w)):
+# both engines render integers as minimal binary strings, so
+# 25 - length(bin(w)) == 24 - floor(log2 w) exactly, with w = 0 -> 25.
+
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+
+_SQL_HLL = f"""
+    WITH regs AS (
+        SELECT event_type, h // 16777216 AS j,
+               max(CASE WHEN h % 16777216 = 0 THEN 25
+                        ELSE 25 - length(bin(h % 16777216)) END) AS m_j
+        FROM (SELECT event_type,
+                     ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT AS h
+              FROM events)
+        GROUP BY event_type, h // 16777216
+    ),
+    agg AS (
+        SELECT event_type,
+               sum(power(2.0, -m_j)) + ({_HLL_M} - count(*)) AS s,
+               {_HLL_M} - count(*) AS v
+        FROM regs GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type,
+               CASE WHEN {_HLL_ALPHA!r}::DOUBLE * {_HLL_M * _HLL_M} / s <= {2.5 * _HLL_M}
+                         AND v > 0
+                    THEN {_HLL_M} * ln({_HLL_M} / v::DOUBLE)
+                    ELSE {_HLL_ALPHA!r}::DOUBLE * {_HLL_M * _HLL_M} / s END AS e
+        FROM agg
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT x.event_type,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           round(e.e, 4) AS hll_estimate,
+           round(abs(e.e - x.exact_distinct) / x.exact_distinct, 6)
+               AS rel_error,
+           abs(e.e - x.exact_distinct) / x.exact_distinct < 0.195
+               AS within_3_sigma
+    FROM exact x JOIN est e ON e.event_type = x.event_type
+"""
+
+
+@REG.add(
+    "hll_distinct_audit",
+    oracle=_SQL_HLL,
+    doc=f"From-scratch HyperLogLog (m={_HLL_M} registers, b=8, md5-derived "
+    "32-bit hash, small-range linear-counting correction) for distinct users "
+    "per event type, audited against the exact count with the 3-sigma "
+    "(19.5%) bound of the m=256 configuration. Unlike approx_distinct_users "
+    "(engine-native sketches, tolerance-boolean oracle), the registers here "
+    "are deterministic and IDENTICAL across engines, so the estimate itself "
+    "hash-matches. Scale shape: the register table is "
+    f"O(groups x {_HLL_M}) regardless of stream size, built by one "
+    "map-side-combining max aggregate — and registers merge across "
+    "shards/streams by element-wise max, which is what you ship to "
+    "1000 executors.",
+)
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    hashed = e.select("event_type", h)
+    w = F.col("h") % 16777216
+    regs = (
+        hashed.select(
+            "event_type",
+            (F.col("h") / F.lit(16777216)).cast("long").alias("j"),
+            F.when(w == 0, F.lit(25)).otherwise(
+                F.lit(25) - F.length(F.bin(w))
+            ).alias("rho"),
+        )
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+            + (F.lit(_HLL_M) - F.count("*"))
+        ).alias("s"),
+        (F.lit(_HLL_M) - F.count("*")).alias("v"),
+    )
+    e_raw = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("s")
+    est = agg.select(
+        "event_type",
+        F.when(
+            (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v") > 0),
+            F.lit(_HLL_M) * F.log(F.lit(_HLL_M) / F.col("v").cast("double")),
+        )
+        .otherwise(e_raw)
+        .alias("e"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.round("e", 4).alias("hll_estimate"),
+        F.round(
+            F.abs(F.col("e") - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_error"),
+        (
+            F.abs(F.col("e") - F.col("exact_distinct")) / F.col("exact_distinct")
+            < 0.195
+        ).alias("within_3_sigma"),
+    )

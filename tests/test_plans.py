@@ -450,3 +450,42 @@ def test_containment_equi_joins_sizes_broadcast(q):
         require_broadcast_joins=2,
         forbid_nested_loop=True,
     )
+
+
+def test_hll_register_table_bounded_aggregates(q):
+    # HLL: two shuffles total (register build keyed on (type, j), then
+    # the per-type fold + exact-distinct side) — no joins wider than the
+    # O(groups) estimate/exact tables, no cartesian.
+    f = assert_plan(q("hll_distinct_audit"), forbid_nested_loop=True)
+    assert f["cartesian_products"] == 0
+    assert f["partial_aggs"] > 0  # map-side combine on the register key
+
+
+def test_label_prop_rounds_broadcast_label_vector(q):
+    # Every propagation round joins the O(nodes) label vector onto the
+    # edge list as a broadcast — the edge list never re-shuffles per
+    # round for the join itself.
+    f = assert_plan(q("label_prop_communities"))
+    assert f["broadcast_hash_joins"] >= 1, f["broadcast_hash_joins"]
+
+
+def test_embedding_dim_stats_single_scan_dim_key(q):
+    # posexplode -> one aggregate keyed on the 64-value dim; one exchange.
+    f = assert_plan(q("embedding_dim_stats"), max_shuffles=1)
+    assert f["partial_aggs"] > 0
+
+
+def test_top_pc_rounds_are_dim_keyed_aggregates(q):
+    # The returned loadings frame is a 64-row local relation (driver
+    # holds O(dims) only); building it ran per-round (dim, sum)
+    # aggregates — assert the query executes and yields exactly DIMS rows
+    # without caching corpus-sized state on the driver.
+    df = q("embedding_top_pc_power")
+    assert df.count() == 64
+
+
+def test_anisotropy_single_pass_broadcast_component(q):
+    # Final audit pass: one scan of embeddings, zero joins (component is
+    # a literal array), one aggregate.
+    f = assert_plan(q("embedding_anisotropy"), max_shuffles=1)
+    assert f["broadcast_hash_joins"] == 0
