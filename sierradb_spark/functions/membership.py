@@ -376,3 +376,101 @@ def containment_partial_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_chunks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source chunk-overlap matrix
+# ---------------------------------------------------------------------------
+
+_SQL_SOURCE_OVERLAP = f"""
+    WITH cs AS MATERIALIZED (
+        SELECT DISTINCT d.source, c.digest
+        FROM ({_SQL_CHUNK_TABLE}) c
+        JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM cs GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM cs a JOIN cs b
+          ON a.digest = b.digest AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           round(i.n_shared / least(sa.n, sb.n)::DOUBLE, 6)
+               AS overlap_coef,
+           round(i.n_shared / (sa.n + sb.n - i.n_shared)::DOUBLE, 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+@REG.add(
+    "source_overlap_matrix",
+    oracle=_SQL_SOURCE_OVERLAP,
+    doc="Pairwise source-to-source content overlap: distinct chunk "
+    "digests per source, intersected via a digest equi-join (source_a < "
+    "source_b), reported as the Szymkiewicz-Simpson overlap coefficient "
+    "and Jaccard — the 'which crawls/dumps duplicate each other' matrix "
+    "that drives mixture weights and ingestion-order dedup planning. "
+    "Only pairs that actually SHARE a digest appear (the join produces "
+    "them; disjoint pairs would be all-zero rows). Scale shape: the "
+    "digest equi-join shuffles 16-byte digests once; per-source sizes "
+    "ride broadcast; no pair enumeration beyond real collisions.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    cs = (
+        _chunk_table(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("source", "digest")
+        .distinct()
+        .localCheckpoint(eager=True)  # sizes + self-join reuse
+    )
+    sizes = cs.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = cs.alias("a"), cs.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_a")),
+            F.col("source") == F.col("source_a"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_b")),
+            F.col("source") == F.col("source_b"),
+        )
+        .drop("source")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("overlap_coef"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -232,3 +232,127 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_pc_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distance-distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+# Deterministic +-1/sqrt(k) sign matrix from md5 — generated with
+# hashlib here and reproduced by md5() in the oracle builder below, so
+# both engines project with the SAME literal matrix and the dot products
+# (sequential fold == list_dot_product) agree bit-for-bit.
+import hashlib as _hashlib  # noqa: E402
+
+
+def _jl_row(p: int) -> list[float]:
+    scale = 1.0 / _JL_K ** 0.5
+    return [
+        scale
+        if int(_hashlib.md5(f"jl:{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -scale
+        for d in range(_DIMS)
+    ]
+
+
+_JL_R = [_jl_row(p) for p in range(_JL_K)]
+
+# Pair sample: the shared multiplicative-hash doc-sampling convention
+# (see functions/pipeline.py) — vectors whose 32-bit Knuth hash falls
+# under the threshold join pairwise, so the audit is O(sample^2) at any
+# corpus size.
+from sierradb_spark.functions.pipeline import _KNUTH, _RING  # noqa: E402
+
+_JL_SAMPLE_THRESHOLD = (1 << 32) // 12  # ~1/12 of vectors
+
+
+def _sql_jl() -> str:
+    def lits(row: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in row) + "]"
+
+    proj_cols = ", ".join(
+        f"list_dot_product(embedding::DOUBLE[], {lits(_JL_R[p])}::DOUBLE[]) AS y{p}"
+        for p in range(_JL_K)
+    )
+    y_dist = " + ".join(f"(a.y{p} - b.y{p}) * (a.y{p} - b.y{p})" for p in range(_JL_K))
+    return f"""
+        WITH sample AS MATERIALIZED (
+            SELECT vec_id, embedding, {proj_cols}
+            FROM embeddings
+            WHERE (vec_id * {_KNUTH}) % {_RING} < {_JL_SAMPLE_THRESHOLD}
+        ),
+        pairs AS (
+            SELECT (list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                    + list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    - 2 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+                       AS d_orig,
+                   ({y_dist}) AS d_proj
+            FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(d_proj / d_orig), 6) AS mean_distortion,
+               round(min(d_proj / d_orig), 6) AS min_distortion,
+               round(max(d_proj / d_orig), 6) AS max_distortion,
+               round(sum(CASE WHEN d_proj / d_orig BETWEEN 0.5 AND 1.5
+                              THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+                   AS frac_within_pm50
+        FROM pairs
+    """
+
+
+@REG.add(
+    "jl_projection_distortion",
+    oracle=_sql_jl(),
+    doc=f"Johnson-Lindenstrauss audit: project {_DIMS}-d embeddings to "
+    f"{_JL_K}-d with a deterministic md5-derived sign matrix "
+    "(+-1/sqrt(k)), then measure squared-distance distortion "
+    "d_proj^2/d_orig^2 over all pairs of a deterministic hash sample — "
+    "the acceptance test before using cheap projected distances as an "
+    "ANN pre-filter. Scale shape: projection is a per-row map (k "
+    "sequential-fold dots against broadcast literal rows); the pairwise "
+    "audit is confined to the O(sample^2) hash sample like the MinHash "
+    "recall ground truth; full-corpus projection would write a column, "
+    "never shuffle.",
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    sample = e.filter(
+        (F.col("vec_id") * _KNUTH) % _RING < _JL_SAMPLE_THRESHOLD
+    ).select(
+        "vec_id",
+        _dvec("embedding").alias("emb"),
+        *[
+            dot_col(_dvec("embedding"), F.array(*[F.lit(x) for x in _JL_R[p]])).alias(
+                f"y{p}"
+            )
+            for p in range(_JL_K)
+        ],
+    )
+    a, b = sample.alias("a"), sample.alias("b")
+    d_orig = (
+        dot_col(F.col("a.emb"), F.col("a.emb"))
+        + dot_col(F.col("b.emb"), F.col("b.emb"))
+        - 2 * dot_col(F.col("a.emb"), F.col("b.emb"))
+    )
+    d_proj = None
+    for p in range(_JL_K):
+        term = (F.col(f"a.y{p}") - F.col(f"b.y{p}")) * (
+            F.col(f"a.y{p}") - F.col(f"b.y{p}")
+        )
+        d_proj = term if d_proj is None else d_proj + term
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        d_orig.alias("d_orig"), d_proj.alias("d_proj")
+    )
+    r = F.col("d_proj") / F.col("d_orig")
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(r), 6).alias("mean_distortion"),
+        F.round(F.min(r), 6).alias("min_distortion"),
+        F.round(F.max(r), 6).alias("max_distortion"),
+        F.round(
+            F.sum(F.when((r >= 0.5) & (r <= 1.5), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("frac_within_pm50"),
+    )

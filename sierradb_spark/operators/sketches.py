@@ -303,3 +303,221 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.195
         ).alias("within_3_sigma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: distinct + set-operation estimates
+# ---------------------------------------------------------------------------
+#
+# The theta-sketch family's simplest member: keep the k smallest 32-bit
+# hashes of the distinct keys. Distinct estimate = (k-1) * 2^32 / h_(k);
+# merged sketches estimate |A u B|; the fraction of the merged top-k
+# present in BOTH input sketches estimates Jaccard, hence |A n B| by
+# multiplication — the standard trick for distinct-INTERSECTION
+# estimation, which HLL alone cannot do. All rank/integer arithmetic on
+# the shared md5 hash, so both engines' sketches are identical and the
+# estimates hash-match exactly.
+
+_KMV_K = 64
+
+_SQL_KMV = f"""
+    WITH du AS MATERIALIZED (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::UBIGINT AS h
+        FROM events
+    ),
+    sk AS MATERIALIZED (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM du
+        ) WHERE rn <= {_KMV_K}
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM du) a
+        JOIN (SELECT DISTINCT event_type FROM du) b
+          ON a.event_type < b.event_type
+    ),
+    merged AS MATERIALIZED (
+        SELECT type_a, type_b, h, rn FROM (
+            SELECT p.type_a, p.type_b, u.h,
+                   row_number() OVER (PARTITION BY p.type_a, p.type_b
+                                      ORDER BY u.h) AS rn
+            FROM pairs p
+            JOIN (SELECT DISTINCT s.event_type, s.h FROM sk s) u
+              ON u.event_type IN (p.type_a, p.type_b)
+            GROUP BY p.type_a, p.type_b, u.h
+        ) WHERE rn <= {_KMV_K}
+    ),
+    both_flags AS (
+        SELECT m.type_a, m.type_b, m.h, m.rn,
+               (EXISTS (SELECT 1 FROM sk WHERE sk.event_type = m.type_a
+                                           AND sk.h = m.h)
+                AND EXISTS (SELECT 1 FROM sk WHERE sk.event_type = m.type_b
+                                               AND sk.h = m.h)) AS in_both
+        FROM merged m
+    ),
+    est AS (
+        SELECT type_a, type_b,
+               max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth,
+               count(*) AS n_merged,
+               sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS n_both
+        FROM both_flags GROUP BY type_a, type_b
+    ),
+    exact AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(DISTINCT CASE WHEN b.user_id IS NOT NULL
+                                   THEN a.user_id END) AS exact_intersect
+        FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        LEFT JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+          ON b.user_id = a.user_id AND a.event_type < b.event_type
+        WHERE b.event_type IS NOT NULL
+        GROUP BY a.event_type, b.event_type
+    ),
+    exact_u AS (
+        SELECT p.type_a, p.type_b, count(DISTINCT e.user_id) AS exact_union
+        FROM pairs p
+        JOIN events e ON e.event_type IN (p.type_a, p.type_b)
+        GROUP BY p.type_a, p.type_b
+    )
+    SELECT e.type_a, e.type_b,
+           CAST(xu.exact_union AS BIGINT) AS exact_union,
+           round(({_KMV_K} - 1) * 4294967296.0 / e.kth, 4) AS union_est,
+           CAST(coalesce(x.exact_intersect, 0) AS BIGINT) AS exact_intersect,
+           round(e.n_both / {_KMV_K}.0
+                 * (({_KMV_K} - 1) * 4294967296.0 / e.kth), 4)
+               AS intersect_est,
+           round(e.n_both / {_KMV_K}.0, 6) AS jaccard_est
+    FROM est e
+    JOIN exact_u xu ON xu.type_a = e.type_a AND xu.type_b = e.type_b
+    LEFT JOIN exact x ON x.type_a = e.type_a AND x.type_b = e.type_b
+"""
+
+
+@REG.add(
+    "kmv_set_ops",
+    oracle=_SQL_KMV,
+    doc=f"KMV/theta sketch set operations (k={_KMV_K}): per-event-type "
+    "k-minimum-value sketches over md5-hashed user ids, merged pairwise to "
+    "estimate distinct union, Jaccard, and distinct INTERSECTION (the "
+    "operation HLL cannot provide), with exact counts alongside. Identical "
+    "integer sketches on both engines, so estimates hash-match "
+    "digit-for-digit. Scale shape: sketches are O(groups x k) rows built "
+    "with one rank window over distinct hashes; only sketch rows (never "
+    "user ids) join pairwise, and KMV sketches merge across shards by "
+    "union + re-rank.",
+)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    du = (
+        e.select(
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # sketch + type list reuse
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        du.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+        .localCheckpoint(eager=True)  # reused 4 times below
+    )
+    types = du.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    u = sk.select("event_type", "h").distinct()
+    merged = (
+        pairs.join(
+            F.broadcast(u),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    wm = Window.partitionBy("type_a", "type_b").orderBy("h")
+    merged_k = (
+        merged.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    sk_a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("h").alias("h"), F.lit(1).alias("ia")
+    )
+    sk_b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("h").alias("h"), F.lit(1).alias("ib")
+    )
+    flags = (
+        merged_k.join(F.broadcast(sk_a), ["type_a", "h"], "left")
+        .join(F.broadcast(sk_b), ["type_b", "h"], "left")
+        .withColumn(
+            "in_both", F.col("ia").isNotNull() & F.col("ib").isNotNull()
+        )
+    )
+    est = flags.groupBy("type_a", "type_b").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+        F.count("*").alias("n_merged"),
+        F.sum(F.when(F.col("in_both"), 1).otherwise(0)).alias("n_both"),
+    )
+    duu = e.select("event_type", "user_id").distinct()
+    xa, xb = duu.alias("xa"), duu.alias("xb")
+    exact_i = (
+        xa.join(
+            xb,
+            (F.col("xb.user_id") == F.col("xa.user_id"))
+            & (F.col("xa.event_type") < F.col("xb.event_type")),
+        )
+        .groupBy(
+            F.col("xa.event_type").alias("type_a"),
+            F.col("xb.event_type").alias("type_b"),
+        )
+        .agg(F.countDistinct("xa.user_id").alias("exact_intersect"))
+    )
+    exact_u = (
+        pairs.join(
+            e.select("event_type", "user_id"),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("exact_union"))
+    )
+    union_est = (_KMV_K - 1) * 4294967296.0 / F.col("kth")
+    return (
+        est.join(exact_u, ["type_a", "type_b"])
+        .join(exact_i, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.round(union_est, 4).alias("union_est"),
+            F.coalesce(F.col("exact_intersect"), F.lit(0))
+            .cast("long")
+            .alias("exact_intersect"),
+            F.round(F.col("n_both") / float(_KMV_K) * union_est, 4).alias(
+                "intersect_est"
+            ),
+            F.round(F.col("n_both") / float(_KMV_K), 6).alias("jaccard_est"),
+        )
+    )

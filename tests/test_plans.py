@@ -489,3 +489,30 @@ def test_anisotropy_single_pass_broadcast_component(q):
     # a literal array), one aggregate.
     f = assert_plan(q("embedding_anisotropy"), max_shuffles=1)
     assert f["broadcast_hash_joins"] == 0
+
+
+def test_jl_audit_pairs_confined_to_sample(q):
+    # Projection is a per-row map; the only join is the sampled
+    # self-pairing (range condition -> nested loop is expected and the
+    # sample is hash-bounded); the corpus itself never joins.
+    f = assert_plan(q("jl_projection_distortion"))
+    assert f["cartesian_products"] == 0
+    # the sample filter must reach the scan
+    assert any("vec_id" in p for p in f["pushed_filters"]), f["pushed_filters"]
+
+
+def test_kmv_sketch_rows_broadcast(q):
+    # Merged-sketch membership flags join the O(groups x k) sketch as
+    # broadcasts; rank windows are per-type partitioned (no global sort).
+    f = assert_plan(q("kmv_set_ops"))
+    assert f["broadcast_hash_joins"] >= 2, f["broadcast_hash_joins"]
+
+
+def test_source_overlap_digest_equijoin_sizes_broadcast(q):
+    # The self-join must be digest-keyed (equi), never a pair
+    # enumeration; per-source sizes ride broadcast.
+    assert_plan(
+        q("source_overlap_matrix"),
+        require_broadcast_joins=2,
+        forbid_nested_loop=True,
+    )
