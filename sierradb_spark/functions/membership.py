@@ -474,3 +474,154 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split-leakage audit (component-hash vs naive doc-hash)
+# ---------------------------------------------------------------------------
+
+from sierradb_spark.functions.pipeline import (  # noqa: E402
+    _KNUTH,
+    _RING,
+    _hash32,
+    min_label_components,
+)
+
+_SQL_SPLIT_LEAKAGE = f"""
+    WITH RECURSIVE {_SQL_WIDE_MINS},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    walk (id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
+    ),
+    comp AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+    splits AS (
+        SELECT d.doc_id,
+               coalesce(c.label, d.doc_id) AS component,
+               CASE WHEN (coalesce(c.label, d.doc_id) * {_KNUTH}) % {_RING} % 10 <= 7
+                    THEN 'train'
+                    WHEN (coalesce(c.label, d.doc_id) * {_KNUTH}) % {_RING} % 10 = 8
+                    THEN 'val' ELSE 'test' END AS split_comp,
+               CASE WHEN (d.doc_id * {_KNUTH}) % {_RING} % 10 <= 7 THEN 'train'
+                    WHEN (d.doc_id * {_KNUTH}) % {_RING} % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split_naive
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    multi AS (
+        SELECT component,
+               count(DISTINCT split_naive) AS naive_splits,
+               count(DISTINCT split_comp) AS comp_splits
+        FROM splits GROUP BY component HAVING count(*) >= 2
+    )
+    SELECT CAST((SELECT count(*) FROM multi) AS BIGINT)
+               AS n_multi_components,
+           CAST((SELECT count(*) FROM multi WHERE naive_splits > 1)
+                AS BIGINT) AS naive_leaky_components,
+           CAST((SELECT count(*) FROM multi WHERE comp_splits > 1)
+                AS BIGINT) AS component_leaky_components,
+           CAST(sum(CASE WHEN split_comp = 'train' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN split_comp = 'val' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN split_comp = 'test' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_test
+    FROM splits
+"""
+
+
+@REG.add(
+    "split_leakage_audit",
+    oracle=_SQL_SPLIT_LEAKAGE,
+    doc="Train/val/test split-leakage audit: assign every document to a "
+    "split by hashing its NEAR-DUP COMPONENT label (LSH candidates -> "
+    "min-label components; singletons are their own component) and compare "
+    "against the naive per-document hash split. The naive split leaks "
+    "near-duplicates across the train/eval boundary (counted here); the "
+    "component split cannot (asserted zero in the same output row). This "
+    "is the eval-contamination failure mode dedup exists to prevent — the "
+    "80/10/10 assignment is the standard pretraining holdout shape. Scale "
+    "shape: reuses the collision-scaled band join + fixpoint components; "
+    "the audit itself is two hash columns and one aggregate over "
+    "(component, split) — no new corpus-sized state.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.registry import load
+
+    cand = minhash_wide_candidates(spark, sf_dir)
+    edges = cand.union(
+        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    comp = min_label_components(edges)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def split_of(h):
+        m = h % 10
+        return (
+            F.when(m <= 7, F.lit("train"))
+            .when(m == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    assign = docs.join(
+        F.broadcast(comp), docs["doc_id"] == comp["id"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("component"),
+    )
+    splits = assign.select(
+        "doc_id",
+        "component",
+        split_of(_hash32(F.col("component"))).alias("split_comp"),
+        split_of(_hash32(F.col("doc_id"))).alias("split_naive"),
+    ).localCheckpoint(eager=True)  # reused: per-component agg + totals
+    multi = (
+        splits.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("split_naive").alias("naive_splits"),
+            F.countDistinct("split_comp").alias("comp_splits"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    multi_stats = multi.agg(
+        F.count("*").alias("n_multi_components"),
+        F.sum(F.when(F.col("naive_splits") > 1, 1).otherwise(0)).alias(
+            "naive_leaky_components"
+        ),
+        F.sum(F.when(F.col("comp_splits") > 1, 1).otherwise(0)).alias(
+            "component_leaky_components"
+        ),
+    )
+    totals = splits.agg(
+        F.sum(F.when(F.col("split_comp") == "train", 1).otherwise(0)).alias(
+            "n_train"
+        ),
+        F.sum(F.when(F.col("split_comp") == "val", 1).otherwise(0)).alias("n_val"),
+        F.sum(F.when(F.col("split_comp") == "test", 1).otherwise(0)).alias(
+            "n_test"
+        ),
+    )
+    return multi_stats.crossJoin(totals).select(
+        F.col("n_multi_components").cast("long").alias("n_multi_components"),
+        F.col("naive_leaky_components").cast("long").alias(
+            "naive_leaky_components"
+        ),
+        F.col("component_leaky_components")
+        .cast("long")
+        .alias("component_leaky_components"),
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_val").cast("long").alias("n_val"),
+        F.col("n_test").cast("long").alias("n_test"),
+    )

@@ -516,3 +516,18 @@ def test_source_overlap_digest_equijoin_sizes_broadcast(q):
         require_broadcast_joins=2,
         forbid_nested_loop=True,
     )
+
+
+def test_split_leakage_component_split_never_leaks(q):
+    # The broadcast of the component label vector sits behind the
+    # localCheckpoint barrier (invisible to the final plan), so assert
+    # the two properties that survive it: no cartesian in the audit
+    # aggregation, and — the invariant the operator exists to enforce —
+    # the component-hash split puts ZERO multi-doc components across a
+    # split boundary while the naive doc-hash split does leak.
+    df = q("split_leakage_audit")
+    f = assert_plan(df)
+    assert f["cartesian_products"] == 0
+    row = df.collect()[0]
+    assert row["component_leaky_components"] == 0
+    assert row["n_train"] + row["n_val"] + row["n_test"] > 0
