@@ -625,3 +625,145 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_val").cast("long").alias("n_val"),
         F.col("n_test").cast("long").alias("n_test"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup attribution: which sources carry the duplication
+# ---------------------------------------------------------------------------
+
+_SQL_DEDUP_ATTRIBUTION = f"""
+    WITH RECURSIVE {_SQL_WIDE_MINS},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    walk (id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
+    ),
+    comp AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+    near_drops AS (
+        SELECT d.source, count(*) AS near_dup_drops
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+        WHERE c.id <> c.label
+        GROUP BY d.source
+    ),
+    exact_dups AS (
+        SELECT source, count(*) AS exact_dup_docs FROM (
+            SELECT d.source,
+                   row_number() OVER (PARTITION BY md5(d.text)
+                                      ORDER BY d.doc_id) AS rn
+            FROM documents d
+        ) WHERE rn > 1 GROUP BY source
+    ),
+    chunks AS MATERIALIZED ({_SQL_CHUNK_TABLE}),
+    dcounts AS (SELECT digest, count(*) AS c FROM chunks GROUP BY digest),
+    chunk_rates AS (
+        SELECT d.source,
+               count(*) AS n_chunks,
+               sum(CASE WHEN dc.c > 1 THEN 1 ELSE 0 END) AS dup_chunks
+        FROM chunks ch
+        JOIN documents d ON d.doc_id = ch.doc_id
+        JOIN dcounts dc ON dc.digest = ch.digest
+        GROUP BY d.source
+    ),
+    base AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+    SELECT b.source,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(x.exact_dup_docs, 0) AS BIGINT) AS exact_dup_docs,
+           CAST(coalesce(nd.near_dup_drops, 0) AS BIGINT) AS near_dup_drops,
+           CAST(cr.n_chunks AS BIGINT) AS n_chunks,
+           round(cr.dup_chunks / cr.n_chunks::DOUBLE, 6) AS chunk_dup_rate
+    FROM base b
+    LEFT JOIN exact_dups x ON x.source = b.source
+    LEFT JOIN near_drops nd ON nd.source = b.source
+    JOIN chunk_rates cr ON cr.source = b.source
+"""
+
+
+@REG.add(
+    "dedup_attribution_by_source",
+    oracle=_SQL_DEDUP_ATTRIBUTION,
+    doc="Dedup attribution: per source, the exact-duplicate documents a "
+    "keep-first pass would drop, the near-duplicate documents the LSH "
+    "component keep-min policy drops, and the share of 8-word chunks that "
+    "are duplicated ANYWHERE in the corpus — the report that tells a "
+    "curation team which crawls/dumps to deprioritize before paying for "
+    "full dedup at 100 TB. Scale shape: reuses the collision-scaled band "
+    "join + fixpoint components and the digest-count aggregate; "
+    "everything joins back on source (tiny) or digest (16 bytes).",
+)
+def dedup_attribution_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sierradb_spark.registry import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.md5("text").alias("text_hash"))
+        .localCheckpoint(eager=True)  # reused by all four legs
+    )
+    base = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    rn = F.row_number().over(
+        Window.partitionBy("text_hash").orderBy("doc_id")
+    )
+    exact = (
+        docs.withColumn("rn", rn)
+        .filter(F.col("rn") > 1)
+        .groupBy("source")
+        .agg(F.count("*").alias("exact_dup_docs"))
+    )
+    cand = minhash_wide_candidates(spark, sf_dir)
+    edges = cand.union(
+        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    comp = min_label_components(edges)
+    near = (
+        comp.filter(F.col("id") != F.col("label"))
+        .join(docs, F.col("id") == F.col("doc_id"))
+        .groupBy("source")
+        .agg(F.count("*").alias("near_dup_drops"))
+    )
+    chunks = (
+        _chunk_table(spark, sf_dir)
+        .select("doc_id", "digest")
+        .localCheckpoint(eager=True)  # digest counts + per-source join
+    )
+    dcounts = chunks.groupBy("digest").agg(F.count("*").alias("c"))
+    chunk_rates = (
+        chunks.join(dcounts, "digest")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("dup_chunks"),
+        )
+    )
+    return (
+        base.join(F.broadcast(exact), "source", "left")
+        .join(F.broadcast(near), "source", "left")
+        .join(F.broadcast(chunk_rates), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(F.col("exact_dup_docs"), F.lit(0))
+            .cast("long")
+            .alias("exact_dup_docs"),
+            F.coalesce(F.col("near_dup_drops"), F.lit(0))
+            .cast("long")
+            .alias("near_dup_drops"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.round(
+                F.col("dup_chunks") / F.col("n_chunks").cast("double"), 6
+            ).alias("chunk_dup_rate"),
+        )
+    )

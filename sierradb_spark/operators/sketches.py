@@ -232,6 +232,60 @@ _SQL_HLL = f"""
 """
 
 
+def hll_registers_for(df: DataFrame, key: str, value: str) -> DataFrame:
+    """(key, j, m_j) HLL register table for distinct ``value`` per ``key``.
+
+    Registers merge across any partitioning of the input — batches,
+    shards, streams — by groupBy(key, j).max(m_j); that max-merge is
+    idempotent AND commutative, which is what the streaming fold
+    (streaming/sketchstream.py) leans on for crash safety."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(value).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    hashed = df.select(F.col(key).alias("key"), h)
+    w = F.col("h") % 16777216
+    return (
+        hashed.select(
+            "key",
+            (F.col("h") / F.lit(16777216)).cast("long").alias("j"),
+            F.when(w == 0, F.lit(25)).otherwise(
+                F.lit(25) - F.length(F.bin(w))
+            ).alias("rho"),
+        )
+        .groupBy("key", "j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate_from(regs: DataFrame) -> DataFrame:
+    """(key, e) distinct estimates from a (key, j, m_j) register table,
+    with the standard small-range linear-counting correction."""
+    agg = regs.groupBy("key").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+            + (F.lit(_HLL_M) - F.count("*"))
+        ).alias("s"),
+        (F.lit(_HLL_M) - F.count("*")).alias("v"),
+    )
+    e_raw = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("s")
+    return agg.select(
+        "key",
+        F.when(
+            (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v") > 0),
+            F.lit(_HLL_M) * F.log(F.lit(_HLL_M) / F.col("v").cast("double")),
+        )
+        .otherwise(e_raw)
+        .alias("e"),
+    )
+
+
+
 @REG.add(
     "hll_distinct_audit",
     oracle=_SQL_HLL,
@@ -249,45 +303,8 @@ _SQL_HLL = f"""
 )
 def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h")
-    )
-    hashed = e.select("event_type", h)
-    w = F.col("h") % 16777216
-    regs = (
-        hashed.select(
-            "event_type",
-            (F.col("h") / F.lit(16777216)).cast("long").alias("j"),
-            F.when(w == 0, F.lit(25)).otherwise(
-                F.lit(25) - F.length(F.bin(w))
-            ).alias("rho"),
-        )
-        .groupBy("event_type", "j")
-        .agg(F.max("rho").alias("m_j"))
-    )
-    agg = regs.groupBy("event_type").agg(
-        (
-            F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
-            + (F.lit(_HLL_M) - F.count("*"))
-        ).alias("s"),
-        (F.lit(_HLL_M) - F.count("*")).alias("v"),
-    )
-    e_raw = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / F.col("s")
-    est = agg.select(
-        "event_type",
-        F.when(
-            (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v") > 0),
-            F.lit(_HLL_M) * F.log(F.lit(_HLL_M) / F.col("v").cast("double")),
-        )
-        .otherwise(e_raw)
-        .alias("e"),
-    )
+    regs = hll_registers_for(e, "event_type", "user_id")
+    est = hll_estimate_from(regs).withColumnRenamed("key", "event_type")
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
