@@ -156,6 +156,53 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+    # 6. Holdout assignment + leakage audit (the registry's
+    #    split_leakage_audit operator, composed inline). Splits hash the
+    #    near-dup COMPONENT label (labels computed in 2b; singleton docs
+    #    hash their own doc_id), so no component can span train/eval.
+    #    The "what naive splitting would leak" number is measured on the
+    #    PRE-near-dedup corpus — after 2b every component has one
+    #    survivor and nothing can leak, which is exactly the point: the
+    #    audit shows the risk that near-dedup + component-hash splitting
+    #    jointly remove.
+    comp = F.coalesce(F.col("label"), F.col("doc_id"))
+    with_comp = quality.select("doc_id").join(
+        F.broadcast(labels.withColumnRenamed("id", "doc_id")), "doc_id", "left"
+    ).withColumn("component", comp)
+
+    def split_of(h):
+        m = (h * 2654435761) % (1 << 32) % 10
+        return (
+            F.when(m <= 7, F.lit("train"))
+            .when(m == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    audited = with_comp.select(
+        "doc_id",
+        "component",
+        split_of(F.col("component")).alias("split_comp"),
+        split_of(F.col("doc_id")).alias("split_naive"),
+    )
+    leak = (
+        audited.groupBy("component")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("split_naive").alias("naive_splits"),
+            F.countDistinct("split_comp").alias("comp_splits"),
+        )
+        .where(F.col("n") >= 2)
+        .agg(
+            F.sum(F.when(F.col("naive_splits") > 1, 1).otherwise(0)).alias("naive"),
+            F.sum(F.when(F.col("comp_splits") > 1, 1).otherwise(0)).alias("comp"),
+        )
+        .collect()[0]
+    )
+    n_naive_leaky = int(leak["naive"] or 0)
+    n_comp_leaky = int(leak["comp"] or 0)
+    assert n_comp_leaky == 0, "component-hash split leaked a near-dup pair"
+
     return {
         "input": n0,
         "quality_pass": n1,
@@ -167,6 +214,8 @@ def run_pipeline(spark, sf_dir: str, out_dir: str) -> dict:
         # one counts docs whose sampling rate was halved, not dropped).
         "#template_hubs_downweighted": n3b,
         "after_mixture_sampling": n4,
+        "#naive_split_leaky_components": n_naive_leaky,
+        "#component_split_leaky_components": n_comp_leaky,
     }
 
 

@@ -86,49 +86,55 @@ for mod in (
 # demo-width siblings which remain in the registry behind the window),
 # similarity/ANN, multimodal, and the curation pipeline.
 _FRONT_50 = [
-    # event reads (7)
-    "eget_point_lookup", "escan_stream_range", "escan_reverse_limit",
-    "epscan_partition_range", "esver_stream_heads", "epseq_partition_heads",
+    # event reads (4: point lookup, range scan, heads, watermark gate —
+    # reverse/partition-range/partition-heads variants carry green
+    # driver evidence from r01-r04 and rotate behind the window)
+    "eget_point_lookup", "escan_stream_range", "esver_stream_heads",
     "watermark_gated_scan",
-    # text analysis + PII (4)
-    "text_token_stats", "text_quality_by_lang", "lang_id_heuristic",
-    "pii_redacted_corpus",
-    # exact dedup (1)
-    "dedup_exact_stats",
+    # text analysis + PII (2)
+    "text_token_stats", "pii_redacted_corpus",
     # production-width sketch dedup (6)
     "minhash_wide_bands", "minhash_wide_candidates", "minhash_wide_recall",
     "minhash_verified_pairs",
     "simhash64_hamming_candidates",
     "embedding_near_dup_bucketed",
-    # similarity / ANN + retrieval (5)
-    "similarity_topk_cosine", "bm25_top_docs",
-    "ivf_probe1_topk", "lsh_bucket_candidates", "ivf_probe2_topk",
-    # multimodal (3)
-    "multimodal_decode_metadata", "multimodal_metadata_only",
-    "multimodal_byte_features",
-    # curation pipeline + quality + chunk/semantic dedup (9)
-    "near_dup_components", "sequence_packing",
-    "chunk_dedup_survivors", "doc_repetition_gopher", "dedup_keep_best_quality",
-    "quality_filter_funnel", "semdedup_survivors",
+    # similarity / ANN + retrieval (4)
+    "similarity_topk_cosine", "bm25_top_docs", "ivf_probe2_topk",
+    "ivf_pq_adc_topk",
+    # multimodal (1)
+    "multimodal_decode_metadata",
+    # curation pipeline + contamination (5)
+    "sequence_packing", "quality_filter_funnel", "semdedup_survivors",
     "dedup_survivor_corpus", "benchmark_contamination",
-    # round-3 flagships: clustering + quantized-ANN audit
-    "kmeans_embedding_clusters", "sq8_quantized_recall",
     # round-4 flagships: exact-substring span dedup
     "repeated_span_stats", "substring_scrubbed_corpus",
-    # round-5 rotation (r04 brief item 4): never-driver-checked
-    # flagships promoted for driver evidence...
+    # round-5 rotation wave 1 (r04 brief item 4): never-driver-checked
+    # flagships promoted for driver evidence
     "url_canonical_dedup", "pq_adc_recall", "matryoshka_truncation_recall",
     "heaps_law_vocab_growth", "zipf_law_fit", "triangle_count_near_dup",
-    # ...plus the round-5 additions: hypertable gapfill, SCD-2 history,
-    # sequence mining, watermark-delay diagnostic, IVF-PQ composite.
-    # (Displaced rows — bpe/winnow/entropy/repetition/token-histogram
-    # text+quality stats, keep-first exact dedup, knn/centroid/norms
-    # similarity audits, simhash64 signature map (exercised by its
-    # banding row), resize/frame multimodal plumbing, shard/stratified
-    # hash routing — all carry green driver evidence from
-    # CORRECTNESS_r01-r04 and stay oracle-checked behind the window.)
     "gapfill_hourly_rollup", "scd2_entity_history", "event_type_trigrams",
-    "late_arrival_stats", "ivf_pq_adc_topk",
+    "late_arrival_stats",
+    # round-5 rotation wave 2: this round's new operator families, none
+    # of which has driver evidence yet — data selection (DSIR/KL/OOV),
+    # membership + count sketches (Bloom/CMS/KMV/portable HLL),
+    # containment + attribution + split-leakage dedup audits, source
+    # overlap, graph communities, and the spectral embedding suite.
+    # (Displaced to make room — escan_reverse_limit,
+    # epscan_partition_range, epseq_partition_heads, text_quality_by_lang,
+    # lang_id_heuristic, dedup_exact_stats, multimodal_metadata_only,
+    # multimodal_byte_features, lsh_bucket_candidates, ivf_probe1_topk,
+    # near_dup_components, chunk_dedup_survivors, doc_repetition_gopher,
+    # dedup_keep_best_quality, sq8_quantized_recall,
+    # kmeans_embedding_clusters — every one is green in CORRECTNESS_r04
+    # or earlier rounds and stays oracle-checked behind the window.)
+    "dsir_importance_weights", "kl_source_divergence", "tokenizer_oov_by_lang",
+    "bloom_membership_audit", "cms_heavy_hitters", "kmv_set_ops",
+    "hll_distinct_audit",
+    "containment_partial_dup", "dedup_attribution_by_source",
+    "split_leakage_audit", "source_overlap_matrix",
+    "label_prop_communities",
+    "embedding_dim_stats", "embedding_top_pc_power", "embedding_anisotropy",
+    "jl_projection_distortion",
 ]
 REGISTRY.reorder_front(_FRONT_50)
 
