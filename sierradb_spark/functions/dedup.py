@@ -359,6 +359,14 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle cheap). array_intersect/size compute |A∩B| JVM-side.",
 )
 def ngram_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(spark, sf_dir, 0.2)
+
+
+def _jaccard_pairs(
+    spark: SparkSession, sf_dir: str, min_jac: float
+) -> DataFrame:
+    """Source-blocked (doc_a, doc_b, jaccard) pairs with jaccard >=
+    ``min_jac``; jaccard is rounded to 4 decimals (engine-stable)."""
     d = with_shingles(load(spark, sf_dir, "documents"), "doc_id", "source")
     # Materialize the shingle sets: both self-join sides and the
     # post-join Jaccard expressions reference this relation, and project
@@ -390,10 +398,78 @@ def ngram_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(jac >= 0.2)
+        .where(jac >= min_jac)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+# Jaccard thresholds swept by dedup_threshold_sensitivity.
+SENSITIVITY_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+@REG.add(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, source, list_distinct({_SQL_SHINGLES}) AS shingle_set
+            FROM documents
+            WHERE len({_SQL_TOKS}) >= {SHINGLE_K}
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+                         / nullif(len(a.shingle_set) + len(b.shingle_set)
+                                  - len(list_intersect(a.shingle_set, b.shingle_set)), 0),
+                         4) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+        ),
+        thr AS (SELECT unnest([{", ".join(str(t) for t in SENSITIVITY_THRESHOLDS)}]) AS threshold),
+        hits AS (
+            SELECT t.threshold, p.doc_a, p.doc_b
+            FROM pairs p JOIN thr t ON p.jaccard >= t.threshold
+        ),
+        docs AS (
+            SELECT threshold, unnest([doc_a, doc_b]) AS doc_id FROM hits
+        )
+        SELECT h.threshold AS threshold,
+               CAST(h.n_pairs AS BIGINT) AS n_pairs,
+               CAST(d.n_docs AS BIGINT) AS n_docs
+        FROM (SELECT threshold, count(*) AS n_pairs FROM hits GROUP BY threshold) h
+        JOIN (SELECT threshold, count(DISTINCT doc_id) AS n_docs
+              FROM docs GROUP BY threshold) d USING (threshold)
+    """,
+    doc="Dedup-threshold sensitivity sweep: candidate-pair count and "
+    f"flagged-document count at Jaccard thresholds {list(SENSITIVITY_THRESHOLDS)} "
+    "— the curve you read before committing a near-dup threshold at "
+    "scale (a cliff between two thresholds means the corpus has a big "
+    "template family right at that similarity). Pairs are computed ONCE "
+    "at the loosest threshold (source-blocked equi-join, the same "
+    "bounded shape as ngram_jaccard_similar_pairs) and the 7-row "
+    "threshold table is broadcast across them; comparisons use the "
+    "4-decimal rounded score so both engines agree at the boundaries.",
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _jaccard_pairs(spark, sf_dir, min(SENSITIVITY_THRESHOLDS))
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in SENSITIVITY_THRESHOLDS])
+    ).alias("threshold")
+    hits = (
+        pairs.select("doc_a", "doc_b", "jaccard", thr)
+        .where(F.col("jaccard") >= F.col("threshold"))
+        .localCheckpoint(eager=True)  # read by both aggregates below
+    )
+    n_pairs = hits.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    n_docs = (
+        hits.select(
+            "threshold",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, "threshold")

@@ -27,11 +27,11 @@ _SQL_TF = {
     t: f"len(list_filter(toks, x -> lower(x) = '{t}'))" for t in BM25_TERMS
 }
 
-
-@REG.add(
-    "bm25_top_docs",
-    oracle=f"""
-        WITH tok AS (
+# Shared oracle CTEs (tok -> tf -> stats) and the per-document score
+# expression — reused verbatim by the RRF fusion oracle below so both
+# rank on the identical rounded score.
+_SQL_BM25_CTES = f"""
+        tok AS (
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN []
                         ELSE regexp_split_to_array(trim(text), '\\s+')
@@ -49,15 +49,22 @@ _SQL_TF = {
                    {", ".join(f"CAST(count(*) FILTER (WHERE tf_{t} > 0) AS DOUBLE) AS df_{t}" for t in BM25_TERMS)}
             FROM tf
         )
+"""
+
+_SQL_BM25_SCORE = "round(" + " + ".join(
+    f"ln((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1)"
+    f" * (f.tf_{t} * ({BM25_K1} + 1))"
+    f" / (f.tf_{t} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * f.dl / s.avgdl))"
+    for t in BM25_TERMS
+) + ", 6)"
+
+
+@REG.add(
+    "bm25_top_docs",
+    oracle=f"""
+        WITH {_SQL_BM25_CTES}
         SELECT f.doc_id,
-               round(
-                   {" + ".join(
-                       f"ln((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1)"
-                       f" * (f.tf_{t} * ({BM25_K1} + 1))"
-                       f" / (f.tf_{t} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * f.dl / s.avgdl))"
-                       for t in BM25_TERMS
-                   )},
-                   6) AS bm25
+               {_SQL_BM25_SCORE} AS bm25
         FROM tf f, stats s
         ORDER BY bm25 DESC, f.doc_id ASC
         LIMIT 15
@@ -72,6 +79,15 @@ _SQL_TF = {
     "of the dense-vector top-k in functions/similarity.py.",
 )
 def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rounded BM25 score (doc_id, bm25) for BM25_TERMS."""
     d = load(spark, sf_dir, "documents")
     toks = F.when(
         F.length(F.trim("text")) == 0, F.array().cast("array<string>")
@@ -114,9 +130,126 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         score = term if score is None else score + term
+    return tf.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.round(score, 6).alias("bm25")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: BM25 x dense cosine
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard fusion constant (Cormack et al. 2009)
+RRF_LIST_N = 20  # depth of each per-system ranked list
+RRF_TOP = 10
+
+
+def _rank_within(top: DataFrame, score: str, asc_tiebreak: str) -> DataFrame:
+    """Rank a small (<= RRF_LIST_N rows) ranked list WITHOUT a global
+    window: rank(d) = 1 + |rows strictly ahead of d|, via a broadcast
+    theta self-join over the k-row list. Keeps the plan free of
+    partitionless WindowExec at any corpus size (the list is already
+    top-k bounded)."""
+    a, b = top.alias("a"), top.alias("b")
+    ahead = (F.col(f"b.{score}") > F.col(f"a.{score}")) | (
+        (F.col(f"b.{score}") == F.col(f"a.{score}"))
+        & (F.col(f"b.{asc_tiebreak}") < F.col(f"a.{asc_tiebreak}"))
+    )
     return (
-        tf.crossJoin(F.broadcast(stats))
-        .select("doc_id", F.round(score, 6).alias("bm25"))
+        a.join(F.broadcast(b), ahead, "left")
+        .groupBy(F.col(f"a.{asc_tiebreak}").alias("doc_id"))
+        .agg((F.count(F.col(f"b.{asc_tiebreak}")) + 1).cast("int").alias("rank"))
+    )
+
+
+@REG.add(
+    "rrf_hybrid_topk",
+    oracle=f"""
+        WITH {_SQL_BM25_CTES},
+        lex AS (
+            SELECT f.doc_id, {_SQL_BM25_SCORE} AS bm25
+            FROM tf f, stats s WHERE f.doc_id <> 0
+        ),
+        lexr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM lex QUALIFY r <= {RRF_LIST_N}
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        den AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                         / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                  * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])), 0),
+                         4) AS cosine
+            FROM embeddings e, q WHERE e.vec_id <> 0
+        ),
+        denr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+            FROM den QUALIFY r <= {RRF_LIST_N}
+        )
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+               CAST(l.r AS INT) AS lex_rank,
+               CAST(d.r AS INT) AS dense_rank,
+               round(coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + l.r), 0)
+                     + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + d.r), 0),
+                     6) AS rrf
+        FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT {RRF_TOP}
+    """,
+    doc=f"Hybrid retrieval via reciprocal-rank fusion (k={RRF_K}): the "
+    f"BM25 list for {list(BM25_TERMS)} and the dense cosine list for "
+    "the pinned query embedding (vec_id 0, excluded from both lists) "
+    f"are each cut to their top-{RRF_LIST_N}, then fused by "
+    "sum(1/(k+rank)) and re-cut to the final top-10. Both per-system "
+    "lists are TakeOrderedAndProject; ranking within each k-row list "
+    "is a broadcast theta-join (1 + |rows ahead|), NOT a partitionless "
+    "window, so the plan stays bounded at any corpus size. The fusion "
+    "join touches 2k rows total.",
+)
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.similarity import _dvec, cosine_col
+
+    lex_top = (
+        _bm25_scores(spark, sf_dir)
+        .where(F.col("doc_id") != 0)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(15)
+        .limit(RRF_LIST_N)
+        .localCheckpoint(eager=True)  # both sides of the rank self-join
+    )
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    den_top = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_col(_dvec("embedding"), F.col("qv")), 4).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(RRF_LIST_N)
+        .localCheckpoint(eager=True)
+    )
+    lexr = _rank_within(lex_top, "bm25", "doc_id").withColumnRenamed(
+        "rank", "lex_rank"
+    )
+    denr = _rank_within(den_top, "cosine", "doc_id").withColumnRenamed(
+        "rank", "dense_rank"
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (RRF_K + F.col("dense_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lexr.join(denr, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "dense_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOP)
     )

@@ -314,3 +314,125 @@ def tokenizer_oov_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation (temperature sampling with availability caps)
+# ---------------------------------------------------------------------------
+
+# Budget as a fraction of the corpus (scale-free: the same query is
+# meaningful at every sf), temperature alpha = 0.5 (sqrt sampling — the
+# multilingual-mix standard), ONE redistribution round for capped
+# sources (documented approximation of full waterfilling; a second
+# round changes allocations only when the redistribution itself
+# overflows another source).
+_BUDGET_FRAC = 0.6
+_SQL_BUDGET_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+@REG.add(
+    "token_budget_allocation",
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source, CAST(sum({_SQL_BUDGET_TOKS}) AS BIGINT) AS avail
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT sum(sqrt(CAST(avail AS DOUBLE))) AS z,
+                   sum(avail)::DOUBLE AS total
+            FROM per_source
+        ),
+        first AS (
+            SELECT p.source, p.avail,
+                   sqrt(CAST(p.avail AS DOUBLE)) / t.z AS share,
+                   {_BUDGET_FRAC} * t.total * sqrt(CAST(p.avail AS DOUBLE)) / t.z
+                       AS alloc0
+            FROM per_source p, tot t
+        ),
+        lo AS (
+            SELECT coalesce(sum(CASE WHEN alloc0 > avail
+                                     THEN alloc0 - avail END), 0) AS leftover,
+                   coalesce(sum(CASE WHEN alloc0 <= avail
+                                     THEN share END), 0) AS unc_share
+            FROM first
+        )
+        SELECT f.source,
+               f.avail AS avail_tokens,
+               round(f.share, 6) AS share,
+               round(f.alloc0, 4) AS target_alloc,
+               round(CASE WHEN f.alloc0 > f.avail THEN CAST(f.avail AS DOUBLE)
+                          WHEN l.unc_share > 0 THEN least(
+                              CAST(f.avail AS DOUBLE),
+                              f.alloc0 + l.leftover * f.share / l.unc_share)
+                          ELSE f.alloc0 END, 4) AS final_alloc,
+               CAST(CASE WHEN f.alloc0 > f.avail THEN 1 ELSE 0 END AS INT)
+                   AS capped
+        FROM first f, lo l
+    """,
+    doc=f"Token-budget allocation across sources: a {_BUDGET_FRAC:.0%}-"
+    "of-corpus token budget split by temperature sampling (share ~ "
+    "sqrt(available tokens), alpha=0.5), capped at each source's "
+    "available tokens, with capped sources' surplus redistributed "
+    "proportionally to uncapped sources in one round — the schedule a "
+    "mixture loader consumes. Two tiny aggregates (per-source counts, "
+    "then the corpus totals / leftovers) broadcast back over the "
+    "20-row source table; the corpus is scanned once for token counts.",
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    per_source = d.groupBy("source").agg(
+        F.sum(n_toks).alias("avail")
+    )
+    tot = per_source.agg(
+        F.sum(F.sqrt(F.col("avail").cast("double"))).alias("z"),
+        F.sum("avail").cast("double").alias("total"),
+    )
+    share = F.sqrt(F.col("avail").cast("double")) / F.col("z")
+    first = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        share.alias("share"),
+        (F.lit(_BUDGET_FRAC) * F.col("total") * share).alias("alloc0"),
+    )
+    first = first.localCheckpoint(eager=True)  # read by lo AND the final map
+    lo = first.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("alloc0") > F.col("avail"),
+                    F.col("alloc0") - F.col("avail"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("leftover"),
+        F.coalesce(
+            F.sum(F.when(F.col("alloc0") <= F.col("avail"), F.col("share"))),
+            F.lit(0.0),
+        ).alias("unc_share"),
+    )
+    final = (
+        F.when(F.col("alloc0") > F.col("avail"), F.col("avail").cast("double"))
+        .when(
+            F.col("unc_share") > 0,
+            F.least(
+                F.col("avail").cast("double"),
+                F.col("alloc0")
+                + F.col("leftover") * F.col("share") / F.col("unc_share"),
+            ),
+        )
+        .otherwise(F.col("alloc0"))
+    )
+    return first.crossJoin(F.broadcast(lo)).select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.round("share", 6).alias("share"),
+        F.round("alloc0", 4).alias("target_alloc"),
+        F.round(final, 4).alias("final_alloc"),
+        (F.col("alloc0") > F.col("avail")).cast("int").alias("capped"),
+    )

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from sierradb_spark.registry import Registry, load
 from sierradb_spark.functions.text2 import _SQL_WORDS, _toks
 
-from sierradb_spark.functions.text import _SQL_WINNOW_CTES, winnow_fps_df
+from sierradb_spark.functions.text import (
+    BPE_PATTERN,
+    _SQL_WINNOW_CTES,
+    winnow_fps_df,
+)
 
 REG = Registry()
 
@@ -618,4 +622,63 @@ def trigram_interpolated_surprisal(spark: SparkSession, sf_dir: str) -> DataFram
             F.count("*").alias("n_trigrams"),
             F.round(F.avg(-F.log2(p)), 4).alias("avg_surprisal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "tokenizer_fertility_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang,
+                   len({_SQL_WORDS}) AS n_words,
+                   len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_pieces,
+                   length(text) AS n_bytes
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+               round(CAST(sum(n_pieces) AS DOUBLE) / nullif(sum(n_words), 0), 6)
+                   AS fertility,
+               round(CAST(sum(n_bytes) AS DOUBLE) / nullif(sum(n_pieces), 0), 6)
+                   AS bytes_per_piece
+        FROM t GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language: BPE-ish pieces per "
+    "whitespace word (fertility) and bytes per piece — the two numbers "
+    "that turn a byte budget into a token budget and expose languages "
+    "the tokenizer fragments (fertility >> 1 means more compute per "
+    "word for that slice). Token counts reuse the exact regexes of "
+    "bpe_token_stats / text2's word split, so budgets derived here "
+    "agree with every other token-count query in the registry. Single "
+    "scan, all JVM regex, counters only in the shuffle.",
+)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(_toks()).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias(
+            "n_pieces"
+        ),
+        F.length("text").alias("n_bytes"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_pieces").alias("total_pieces"),
+        F.round(
+            F.sum("n_pieces").cast("double") / F.nullif(F.sum("n_words"), F.lit(0)),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.nullif(F.sum("n_pieces"), F.lit(0)),
+            6,
+        ).alias("bytes_per_piece"),
     )

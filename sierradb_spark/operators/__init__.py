@@ -8,6 +8,7 @@ and what ``bench.py`` samples its headline set from.
 from sierradb_spark.registry import Query, Registry, load
 
 from sierradb_spark.operators import (
+    audits,
     event_analytics,
     event_reads,
     relational,
@@ -21,6 +22,7 @@ from sierradb_spark.operators import (
 )
 from sierradb_spark.functions import (
     clustering,
+    entity,
     contamination,
     scrub,
     dedup,
@@ -74,6 +76,8 @@ for mod in (
     clustering,
     stats,
     substring,
+    entity,
+    audits,
 ):
     REGISTRY.merge(mod.REG)
 
