@@ -531,3 +531,92 @@ def test_split_leakage_component_split_never_leaks(q):
     row = df.collect()[0]
     assert row["component_leaky_components"] == 0
     assert row["n_train"] + row["n_val"] + row["n_test"] > 0
+
+
+def test_blocked_er_equi_join_on_block_key(q):
+    """Blocked entity resolution: the name-pair join must be an
+    equi-join on the block key (candidate pairs bounded by block
+    sizes), never a nested-loop over N^2 names; only the three needed
+    customer columns leave the scan."""
+    f = assert_plan(
+        q("blocked_name_match_stats"),
+        forbid_nested_loop=True,
+        max_scan_columns=3,
+    )
+    assert f["sort_merge_joins"] + f["broadcast_hash_joins"] >= 1
+
+
+def test_sorted_neighborhood_no_join_at_all(q):
+    """Sorted-neighborhood ER is a window lead(), not a self-join:
+    O(N*w) comparisons with exactly one shuffle (the block key)."""
+    f = assert_plan(
+        q("sorted_neighborhood_matches"),
+        forbid_nested_loop=True,
+        max_shuffles=2,
+        max_scan_columns=3,
+    )
+    assert f["sort_merge_joins"] == 0 and f["broadcast_hash_joins"] == 0
+
+
+def test_skew_audit_counters_only_single_column_scans(q):
+    """The skew audit reads exactly one column per scanned table and
+    shuffles only (key, count) counters — the audit of a 100 TB table
+    must itself be 100 TB-safe."""
+    f = assert_plan(
+        q("join_key_skew_audit"),
+        forbid_nested_loop=True,
+        max_scan_columns=1,
+    )
+    assert f["partial_aggs"] > 0
+
+
+def test_partition_balance_single_column_scans(q):
+    assert_plan(
+        q("partition_balance_audit"),
+        forbid_nested_loop=True,
+        max_scan_columns=1,
+    )
+
+
+def test_rrf_fusion_bounded_lists_topk(q):
+    """RRF: the fused result re-cuts via TakeOrderedAndProject; the
+    within-list ranking is a bounded broadcast theta-join over the
+    20-row lists (allowed nested-loop — bounded by RRF_LIST_N, not by
+    corpus size), and nothing plans as a cartesian product."""
+    f = assert_plan(q("rrf_hybrid_topk"), require_top_k=True)
+    assert f["cartesian_products"] == 0
+
+
+def test_fertility_two_column_scan_one_shuffle(q):
+    f = assert_plan(
+        q("tokenizer_fertility_stats"),
+        forbid_nested_loop=True,
+        max_shuffles=2,
+        max_scan_columns=2,
+    )
+    assert f["partial_aggs"] > 0
+
+
+def test_threshold_sweep_pairs_source_blocked(spark, sf_dir):
+    """The sensitivity sweep computes pairs ONCE at the loosest
+    threshold through the same source-blocked equi-join as
+    ngram_jaccard_similar_pairs — never a cartesian re-pairing per
+    threshold."""
+    from sierradb_spark.functions.dedup import (
+        SENSITIVITY_THRESHOLDS,
+        _jaccard_pairs,
+    )
+
+    f = assert_plan(
+        _jaccard_pairs(spark, sf_dir, min(SENSITIVITY_THRESHOLDS)),
+        forbid_nested_loop=True,
+    )
+    assert f["sort_merge_joins"] + f["broadcast_hash_joins"] >= 1
+
+
+def test_token_budget_totals_ride_broadcasts(q):
+    """Both fold-back joins (corpus totals, leftover pool) are 1-row
+    broadcasts over the source table — no shuffle of the allocation
+    rows themselves."""
+    f = assert_plan(q("token_budget_allocation"))
+    assert f["nested_loop_joins"] <= 2  # the two 1-row broadcast folds
