@@ -1,116 +1,135 @@
-"""Bucketed-table co-located joins: the shuffle-free join evidence.
+"""Bucketed co-located joins: the shuffle-free fact-fact join strategy.
 
-At 100 TB the biggest single lever on a repeated fact-fact join is not
-running the shuffle at all: write both tables bucketed (and sorted) by
-the join key, and Spark's scan reports a compatible HashPartitioning,
-so EnsureRequirements inserts ZERO exchanges — the join runs
-bucket-against-bucket. These tests materialize bucketed copies of
-orders/lineitem (tiny at the test sf) and assert the property on the
-actual physical plan, plus the negative control: the same join over
-plain parquet DOES shuffle both sides.
+At 100 TB the one join that cannot broadcast is fact-to-fact
+(lineitem x orders). Pre-bucketing both tables on the join key makes
+that join exchange-free forever after: each bucket pair joins locally
+(the Spark analogue of the reference's partition-aligned storage, where
+a partition's events and indexes live together by construction,
+bucket.rs:57-83). This test pins the contract: bucketed tables of the
+same bucket count join with ZERO Exchange operators in the plan.
 """
 
 from __future__ import annotations
 
 import pytest
 
-from pyspark.sql import functions as F
-
 from sierradb_spark.plans import plan_features
-from sierradb_spark.registry import load
-
-N_BUCKETS = 8
 
 
 @pytest.fixture(scope="module")
-def bucketed(spark, sf_dir):
-    spark.sql("DROP TABLE IF EXISTS bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+def bucketed(spark, sf_dir, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     (
-        load(spark, sf_dir, "orders")
-        .write.bucketBy(N_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable("bkt_orders")
-    )
-    (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        li.write.mode("overwrite")
+        .option("path", str(wh / "li"))  # external table: keep data in tmp
+        .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable("bkt_lineitem")
+        .saveAsTable("li_bucketed")
     )
-    yield spark.table("bkt_lineitem"), spark.table("bkt_orders")
+    (
+        o.write.mode("overwrite")
+        .option("path", str(wh / "o"))
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("o_bucketed")
+    )
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
 
 
-def _join(li, orders):
-    # A disable-broadcast join so the test exercises the shuffle path,
-    # not a broadcast that would hide it at test scale.
-    return (
-        li.hint("merge")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+def test_bucketed_join_no_exchange(bucketed):
+    spark = bucketed
+    # disable broadcast so the join strategy is decided by bucketing,
+    # as it would be for two 50 TB fact tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.sql(
+            """
+            SELECT o.o_orderkey, count(*) AS n, round(sum(l.l_extendedprice), 2) AS rev
+            FROM li_bucketed l JOIN o_bucketed o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey
+            """
+        )
+        f = plan_features(joined)
+        # sort-merge join over aligned buckets: no shuffle for the join;
+        # the groupBy on the same key rides the bucket partitioning too
+        assert f["sort_merge_joins"] == 1
+        assert f["exchanges"] == 0, f["plan"][:1500]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_unbucketed_same_join_shuffles(bucketed, sf_dir):
+    """Control: the identical join over raw parquet DOES shuffle — the
+    difference is precisely what bucketing buys at scale."""
+    spark = bucketed
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderkey").count()
+        f = plan_features(joined)
+        assert f["exchanges"] >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_regroup_other_key_single_exchange(bucketed):
+    """Aggregating the bucket-joined result on a DIFFERENT key pays
+    exactly one exchange (the re-keyed agg) — the join itself still
+    rides the buckets."""
+    spark = bucketed
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.sql(
+            """
+            SELECT o.o_orderpriority, count(*) AS n,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+            FROM li_bucketed l JOIN o_bucketed o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+            """
+        )
+        f = plan_features(joined)
+        assert f["sort_merge_joins"] == 1
+        assert f["exchanges"] <= 1, f["plan"][:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_values_match_unbucketed(bucketed, sf_dir):
+    """The zero-exchange plan is the SAME computation: value parity
+    between the bucketed and plain-parquet join."""
+    spark = bucketed
+    got = {
+        r["o_orderpriority"]: (r["n"], r["rev"])
+        for r in spark.sql(
+            """
+            SELECT o.o_orderpriority, count(*) AS n,
+                   round(sum(l.l_extendedprice), 2) AS rev
+            FROM li_bucketed l JOIN o_bucketed o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+            """
+        ).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    want = {
+        r["o_orderpriority"]: (r["n"], r["rev"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "rev"
-            ),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
         )
-    )
-
-
-def test_bucketed_join_runs_without_exchange(spark, bucketed):
-    li, orders = bucketed
-    f = plan_features(_join(li, orders))
-    # The join itself must be exchange-free: both scans report bucketed
-    # HashPartitioning(orderkey, 8). The single allowed exchange is the
-    # groupBy on o_orderpriority AFTER the join.
-    assert f["sort_merge_joins"] >= 1, f["plan"][:1500]
-    assert f["exchanges"] <= 1, f["plan"][:2500]
-    assert "SortMergeJoin" in f["plan"]
-
-
-def test_unbucketed_control_shuffles_both_sides(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    orders = load(spark, sf_dir, "orders")
-    f = plan_features(_join(li, orders))
-    # Negative control: plain parquet has no reported partitioning, so
-    # the same join shuffles both inputs (2 exchanges) plus the agg.
-    assert f["exchanges"] >= 3, f["plan"][:2500]
-
-
-def test_bucketed_scan_sorted_within_buckets(spark, bucketed):
-    li, orders = bucketed
-    f = plan_features(
-        li.hint("merge").join(
-            orders, F.col("l_orderkey") == F.col("o_orderkey")
-        )
-    )
-    # sortBy at write time means the SMJ needs no extra global sort
-    # shuffle — only (at most) a local sort per bucket; still no
-    # exchange anywhere in the join subtree.
-    assert f["exchanges"] == 0, f["plan"][:2500]
-
-
-def test_bucketed_values_match_unbucketed(spark, sf_dir, bucketed):
-    li, orders = bucketed
-    plain = _join(
-        load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
-        ),
-        load(spark, sf_dir, "orders"),
-    )
-    got = {
-        r["o_orderpriority"]: (r["n"], round(r["rev"], 2))
-        for r in _join(li, orders).collect()
-    }
-    want = {
-        r["o_orderpriority"]: (r["n"], round(r["rev"], 2))
-        for r in plain.collect()
+        .collect()
     }
     assert got == want
