@@ -448,13 +448,18 @@ SENSITIVITY_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
     "— the curve you read before committing a near-dup threshold at "
     "scale (a cliff between two thresholds means the corpus has a big "
     "template family right at that similarity). Pairs are computed ONCE "
-    "at the loosest threshold (source-blocked equi-join, the same "
-    "bounded shape as ngram_jaccard_similar_pairs) and the 7-row "
-    "threshold table is broadcast across them; comparisons use the "
-    "4-decimal rounded score so both engines agree at the boundaries.",
+    "(source-blocked equi-join, the same bounded shape as "
+    "ngram_jaccard_similar_pairs) and the 7-row threshold table is "
+    "broadcast across them; all threshold comparisons — including the "
+    "loosest — use the 4-decimal ROUNDED score so both engines agree "
+    "at the boundaries.",
 )
 def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _jaccard_pairs(spark, sf_dir, min(SENSITIVITY_THRESHOLDS))
+    # min_jac=0.0: the oracle's pairs CTE carries no raw-score filter,
+    # and a raw jaccard just below the loosest threshold can ROUND up
+    # to it — prefiltering on the raw value would drop a pair the
+    # oracle counts. All bounding happens on the rounded score below.
+    pairs = _jaccard_pairs(spark, sf_dir, 0.0)
     thr = F.explode(
         F.array(*[F.lit(float(t)) for t in SENSITIVITY_THRESHOLDS])
     ).alias("threshold")

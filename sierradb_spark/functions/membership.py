@@ -597,12 +597,16 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     multi_stats = multi.agg(
         F.count("*").alias("n_multi_components"),
-        F.sum(F.when(F.col("naive_splits") > 1, 1).otherwise(0)).alias(
-            "naive_leaky_components"
-        ),
-        F.sum(F.when(F.col("comp_splits") > 1, 1).otherwise(0)).alias(
-            "component_leaky_components"
-        ),
+        # coalesce: F.sum over ZERO rows (no multi-doc components at
+        # all) is NULL, but the oracle's scalar count subqueries say 0.
+        F.coalesce(
+            F.sum(F.when(F.col("naive_splits") > 1, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("naive_leaky_components"),
+        F.coalesce(
+            F.sum(F.when(F.col("comp_splits") > 1, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("component_leaky_components"),
     )
     totals = splits.agg(
         F.sum(F.when(F.col("split_comp") == "train", 1).otherwise(0)).alias(

@@ -23,11 +23,21 @@ centroids), never any per-document data.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sierradb_spark.registry import Registry, load
 from sierradb_spark.functions.similarity import _dvec, dot_col
+
+
+def _round9(x: float) -> float:
+    """Round half AWAY from zero to 9 decimals — the DuckDB round() /
+    Spark F.round semantics (Python's round() is half-even and would
+    diverge on ties in the driver-held iterate)."""
+    r = math.floor(abs(x) * 1e9 + 0.5) / 1e9
+    return (-r if x < 0 else r) + 0.0
 
 REG = Registry()
 
@@ -176,7 +186,9 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in u_rows:
             u[r["dim"]] = r["u"]
         norm = sum(x * x for x in u) ** 0.5
-        v = [round(x / norm, 9) for x in u]
+        # Half-away-from-zero to match DuckDB round() / Spark F.round —
+        # Python's round() is banker's and would diverge on ties.
+        v = [_round9(x / norm) for x in u]
     out = [(d, v[d]) for d in range(_DIMS)]
     return spark.createDataFrame(out, "dim bigint, loading double")
 

@@ -248,7 +248,10 @@ def hll_registers_for(df: DataFrame, key: str, value: str) -> DataFrame:
         .cast("long")
         .alias("h")
     )
-    hashed = df.select(F.col(key).alias("key"), h)
+    # Key cast to string: the streaming register store reads back with
+    # a fixed `key string` schema, so a bigint key column must not leak
+    # its type into the written parquet.
+    hashed = df.select(F.col(key).cast("string").alias("key"), h)
     w = F.col("h") % 16777216
     return (
         hashed.select(

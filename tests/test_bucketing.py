@@ -105,14 +105,16 @@ def test_bucketed_join_regroup_other_key_single_exchange(bucketed):
 
 def test_bucketed_values_match_unbucketed(bucketed, sf_dir):
     """The zero-exchange plan is the SAME computation: value parity
-    between the bucketed and plain-parquet join."""
+    between the bucketed and plain-parquet join. Counts compare
+    exactly; the double sums compare with a tolerance because the two
+    plans accumulate partitions in different orders."""
     spark = bucketed
     got = {
         r["o_orderpriority"]: (r["n"], r["rev"])
         for r in spark.sql(
             """
             SELECT o.o_orderpriority, count(*) AS n,
-                   round(sum(l.l_extendedprice), 2) AS rev
+                   sum(l.l_extendedprice) AS rev
             FROM li_bucketed l JOIN o_bucketed o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
             """
@@ -128,8 +130,11 @@ def test_bucketed_values_match_unbucketed(bucketed, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            F.sum("l_extendedprice").alias("rev"),
         )
         .collect()
     }
-    assert got == want
+    assert set(got) == set(want)
+    for k, (n, rev) in got.items():
+        assert n == want[k][0]
+        assert abs(rev - want[k][1]) < 1e-6 * max(abs(rev), 1.0)

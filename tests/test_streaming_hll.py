@@ -123,3 +123,21 @@ def test_compact_refuses_while_query_active(spark, tmp_path, hll):
             hll.compact_registers()
     finally:
         q.stop()
+
+
+def test_bigint_key_roundtrips_register_store(spark, tmp_path):
+    """A non-string key column (user_id bigint) must still read back
+    through the fixed `key string` register schema: hll_registers_for
+    casts the key to string at sketch time (regression: the vectorized
+    parquet reader refuses BIGINT -> STRING on read)."""
+    out = str(tmp_path / "hll_bigkey")
+    h = StreamingHLL(spark, out, key="user_id", value="event_type")
+    src = str(tmp_path / "src_bigkey")
+    _write_batch(src, "b0.parquet", _rows(0, 50))
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    h.ingest_available(stream, str(tmp_path / "ckpt_bigkey"))
+    regs = h.registers()
+    assert dict(regs.dtypes)["key"] == "string"
+    est = {r["key"]: r["e"] for r in h.estimates().collect()}
+    assert est  # keys are stringified user_ids
+    assert all(isinstance(k, str) for k in est)
