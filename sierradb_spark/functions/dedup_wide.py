@@ -174,6 +174,63 @@ def minhash_wide_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in both engines, all docs when n_docs <= target.
 from sierradb_spark.functions.pipeline import _KNUTH, _RING, _hash32  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Shared near-dup graph construction (Spark helpers + oracle CTE twins).
+# Every consumer of the production-width candidate graph — components,
+# split-leakage, attribution, PageRank, LPA, triangles — builds on these
+# SAME pieces, so a change to candidate generation happens in ONE place
+# on each engine. The `comp` fixpoint CTEs require WITH RECURSIVE.
+# ---------------------------------------------------------------------------
+
+_SQL_CAND = """
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
+             AND a.doc_id < b.doc_id
+        )"""
+
+_SQL_CAND_EDGES = (
+    _SQL_CAND
+    + """,
+        edges AS MATERIALIZED (
+            SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM cand
+        )"""
+)
+
+_SQL_CAND_COMPONENTS = (
+    _SQL_CAND_EDGES
+    + """,
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        walk (id, label) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
+        ),
+        comp AS (SELECT id, min(label) AS label FROM walk GROUP BY id)"""
+)
+
+
+def wide_candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (doc_a, doc_b) edge list of the production-width LSH
+    candidate graph, pinned behind a checkpoint barrier (every consumer
+    iterates or multiply-references it)."""
+    cand = minhash_wide_candidates(spark, sf_dir)
+    return cand.union(
+        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+
+
+def wide_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, label) connected components of the candidate graph — the
+    Spark twin of the ``comp`` oracle CTE."""
+    from sierradb_spark.functions.pipeline import min_label_components
+
+    return min_label_components(wide_candidate_edges(spark, sf_dir))
+
+
 RECALL_SAMPLE_DOCS = 1000
 
 
@@ -423,27 +480,11 @@ def simhash64_hamming_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near_dup_components_lsh",
     oracle=f"""
         WITH RECURSIVE {_SQL_WIDE_MINS},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
-             AND a.doc_id < b.doc_id
-        ),
-        edges AS (
-            SELECT doc_a AS u, doc_b AS v FROM cand
-            UNION
-            SELECT doc_b, doc_a FROM cand
-        ),
-        nodes AS (SELECT DISTINCT u AS id FROM edges),
-        walk (id, label) AS (
-            SELECT id, id FROM nodes
-            UNION
-            SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
-        )
+        {_SQL_CAND_COMPONENTS}
         SELECT CAST(label AS BIGINT) AS component,
                CAST(count(*) AS BIGINT) AS n_members,
                min(id) AS keep_doc
-        FROM (SELECT id, min(label) AS label FROM walk GROUP BY id)
+        FROM comp
         GROUP BY label
     """,
     doc="The scale-path dedup pipeline end-to-end: 16x4 MinHash LSH candidates "
@@ -454,13 +495,7 @@ def simhash64_hamming_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Oracle: recursive CTE over the same band-join candidate edges.",
 )
 def near_dup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.pipeline import min_label_components
-
-    cand = minhash_wide_candidates(spark, sf_dir)
-    edges = cand.union(
-        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = min_label_components(edges)
+    labels = wide_near_dup_components(spark, sf_dir)
     return labels.groupBy("label").agg(
         F.count("*").alias("n_members"), F.min("id").alias("keep_doc")
     ).select(

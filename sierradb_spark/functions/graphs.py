@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sierradb_spark.registry import Registry
-from sierradb_spark.functions.dedup_wide import _SQL_WIDE_MINS
+from sierradb_spark.functions.dedup_wide import (
+    _SQL_CAND,
+    _SQL_CAND_EDGES,
+    _SQL_WIDE_MINS,
+)
 
 REG = Registry()
 
@@ -36,18 +40,8 @@ def _sql_pagerank() -> str:
     # each, and DuckDB would otherwise re-derive the (expensive) MinHash
     # band join per reference — same result, ~7x oracle wall-time.
     ctes = [
-        f"""
-        cand AS MATERIALIZED (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
-             AND a.doc_id < b.doc_id
-        ),
-        edges AS MATERIALIZED (
-            SELECT doc_a AS u, doc_b AS v FROM cand
-            UNION ALL
-            SELECT doc_b AS u, doc_a AS v FROM cand
-        ),
+        _SQL_CAND_EDGES
+        + """,
         deg AS MATERIALIZED (SELECT u, count(*) AS d FROM edges GROUP BY u),
         n AS MATERIALIZED (SELECT count(*)::DOUBLE AS nn FROM deg),
         pr0 AS (SELECT u AS node, 1.0 / nn AS r FROM deg, n)
@@ -143,27 +137,24 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "triangle_count_near_dup",
     oracle="WITH "
     + _SQL_WIDE_MINS
+    + ","
+    + _SQL_CAND
     + """,
-        cand AS MATERIALIZED (
-            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
-             AND a.doc_id < b.doc_id
-        ),
+        canduv AS (SELECT doc_a AS u, doc_b AS v FROM cand),
         und AS (
-            SELECT u, v FROM cand
+            SELECT u, v FROM canduv
             UNION ALL
-            SELECT v AS u, u AS v FROM cand
+            SELECT v AS u, u AS v FROM canduv
         ),
         deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
         tri AS (
             SELECT count(*) AS n_triangles
-            FROM cand e1
-            JOIN cand e2 ON e2.u = e1.v
-            JOIN cand e3 ON e3.u = e1.u AND e3.v = e2.v
+            FROM canduv e1
+            JOIN canduv e2 ON e2.u = e1.v
+            JOIN canduv e3 ON e3.u = e1.u AND e3.v = e2.v
         )
         SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
-               CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_edges,
+               CAST((SELECT count(*) FROM canduv) AS BIGINT) AS n_edges,
                CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles,
                floor(3.0 * (SELECT n_triangles FROM tri)
                      / nullif((SELECT sum(d * (d - 1)) / 2 FROM deg), 0)
@@ -236,18 +227,8 @@ def _sql_label_prop() -> str:
     label), which is deterministic — the classic LPA pathology (random
     tie-breaks) is removed so both engines converge identically."""
     ctes = [
-        """
-        cand AS MATERIALIZED (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
-             AND a.doc_id < b.doc_id
-        ),
-        edges AS MATERIALIZED (
-            SELECT doc_a AS u, doc_b AS v FROM cand
-            UNION ALL
-            SELECT doc_b AS u, doc_a AS v FROM cand
-        ),
+        _SQL_CAND_EDGES
+        + """,
         lp0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)
         """
     ]

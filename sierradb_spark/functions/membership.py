@@ -30,8 +30,10 @@ from pyspark.sql import functions as F
 from sierradb_spark.registry import Registry
 from sierradb_spark.functions.scrub import _chunk_table, _SQL_CHUNK_TABLE
 from sierradb_spark.functions.dedup_wide import (
+    _SQL_CAND_COMPONENTS,
     _SQL_WIDE_MINS,
     minhash_wide_candidates,
+    wide_near_dup_components,
 )
 
 REG = Registry()
@@ -484,29 +486,11 @@ from sierradb_spark.functions.pipeline import (  # noqa: E402
     _KNUTH,
     _RING,
     _hash32,
-    min_label_components,
 )
 
 _SQL_SPLIT_LEAKAGE = f"""
     WITH RECURSIVE {_SQL_WIDE_MINS},
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
-         AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT doc_a AS u, doc_b AS v FROM cand
-        UNION
-        SELECT doc_b, doc_a FROM cand
-    ),
-    nodes AS (SELECT DISTINCT u AS id FROM edges),
-    walk (id, label) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
-    ),
-    comp AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+    {_SQL_CAND_COMPONENTS},
     splits AS (
         SELECT d.doc_id,
                coalesce(c.label, d.doc_id) AS component,
@@ -559,11 +543,7 @@ _SQL_SPLIT_LEAKAGE = f"""
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sierradb_spark.registry import load
 
-    cand = minhash_wide_candidates(spark, sf_dir)
-    edges = cand.union(
-        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    comp = min_label_components(edges)
+    comp = wide_near_dup_components(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
     def split_of(h):
@@ -637,24 +617,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_DEDUP_ATTRIBUTION = f"""
     WITH RECURSIVE {_SQL_WIDE_MINS},
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_digest = b.band_digest
-         AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT doc_a AS u, doc_b AS v FROM cand
-        UNION
-        SELECT doc_b, doc_a FROM cand
-    ),
-    nodes AS (SELECT DISTINCT u AS id FROM edges),
-    walk (id, label) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
-    ),
-    comp AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+    {_SQL_CAND_COMPONENTS},
     near_drops AS (
         SELECT d.source, count(*) AS near_dup_drops
         FROM comp c JOIN documents d ON d.doc_id = c.id
@@ -726,11 +689,7 @@ def dedup_attribution_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("exact_dup_docs"))
     )
-    cand = minhash_wide_candidates(spark, sf_dir)
-    edges = cand.union(
-        cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    comp = min_label_components(edges)
+    comp = wide_near_dup_components(spark, sf_dir)
     near = (
         comp.filter(F.col("id") != F.col("label"))
         .join(docs, F.col("id") == F.col("doc_id"))
