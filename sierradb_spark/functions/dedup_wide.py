@@ -828,3 +828,99 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@REG.add(
+    "lsh_join_cost_audit",
+    oracle=f"""
+        WITH {_SQL_WIDE_MINS},
+        buckets AS (
+            SELECT band_idx, band_digest, count(*) AS n
+            FROM bands GROUP BY band_idx, band_digest
+        )
+        SELECT band_idx,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(n) AS BIGINT) AS max_bucket,
+               CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+        FROM buckets GROUP BY band_idx
+    """,
+    doc="LSH join-cost audit: per band, the bucket count, the hottest "
+    "bucket, and the EXACT number of candidate pairs the band join will "
+    "emit (sum of C(n,2) over buckets) — the shuffle-output forecast "
+    "you read before running the band self-join at 100 TB. A single "
+    "hot digest (an empty-text band, a boilerplate template) shows up "
+    "here as a quadratic pair bomb BEFORE it becomes a straggler task. "
+    "One aggregate over the band table; only digests and counters "
+    "shuffle.",
+)
+def lsh_join_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = (
+        _wide_bands(spark, sf_dir)
+        .groupBy("band_idx", "band_digest")
+        .agg(F.count("*").alias("n"))
+    )
+    n = F.col("n")
+    return buckets.groupBy("band_idx").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum((n * (n - 1) / 2).cast("long")).alias("candidate_pairs"),
+    )
+
+
+@REG.add(
+    "cross_lingual_template_pairs",
+    oracle=f"""
+        WITH {_SQL_WIDE_MINS},
+        {_SQL_CAND},
+        langs AS (
+            SELECT c.doc_a, c.doc_b, da.lang AS lang_raw_a, db.lang AS lang_raw_b
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+        )
+        SELECT least(lang_raw_a, lang_raw_b) AS lang_a,
+               greatest(lang_raw_a, lang_raw_b) AS lang_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(*) FILTER (WHERE lang_raw_a <> lang_raw_b)
+                    AS BIGINT) AS n_cross
+        FROM langs GROUP BY least(lang_raw_a, lang_raw_b),
+                            greatest(lang_raw_a, lang_raw_b)
+    """,
+    doc="Cross-lingual template audit: the language pairs of the "
+    "production-width LSH candidate graph. Same-language pairs are "
+    "ordinary near-dups; CROSS-language pairs (n_cross) are templates "
+    "whose token shingles survive translation — boilerplate the "
+    "per-language dedup passes each miss, and exactly the off-diagonal "
+    "a multilingual curation pass reads first. The language columns "
+    "ride a doc_id equi-join onto the collision-scaled candidate list; "
+    "nothing here is N^2.",
+)
+def cross_lingual_template_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = minhash_wide_candidates(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = (
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_raw_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_raw_b")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        langs.groupBy(
+            F.least("lang_raw_a", "lang_raw_b").alias("lang_a"),
+            F.greatest("lang_raw_a", "lang_raw_b").alias("lang_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count(
+                F.when(F.col("lang_raw_a") != F.col("lang_raw_b"), 1)
+            ).alias("n_cross"),
+        )
+    )

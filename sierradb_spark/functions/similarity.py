@@ -532,3 +532,125 @@ def hybrid_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-balance audit
+# ---------------------------------------------------------------------------
+
+_BAL_SEED_DIMS = 4
+
+
+@REG.add(
+    "ivf_cell_balance_audit",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        seeded AS (
+            SELECT vec_id, emb,
+                   {" + ".join(f"(CASE WHEN emb[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_BAL_SEED_DIMS))}
+                       AS seed
+            FROM v
+        ),
+        dims AS (
+            SELECT seed, unnest(emb) AS x,
+                   unnest(generate_series(1, len(emb))) AS i
+            FROM seeded
+        ),
+        comp AS (SELECT seed, i, round(avg(x), 9) AS c
+                 FROM dims GROUP BY seed, i),
+        cent AS (SELECT seed, list(c ORDER BY i) AS cv FROM comp GROUP BY seed),
+        dense AS (
+            SELECT seed, cv,
+                   dense_rank() OVER (ORDER BY seed) - 1 AS cell_id
+            FROM cent
+        ),
+        cos AS (
+            SELECT s.vec_id, d.cell_id,
+                   coalesce(round(
+                       list_dot_product(s.emb, d.cv)
+                       / nullif(sqrt(list_dot_product(s.emb, s.emb))
+                                * sqrt(list_dot_product(d.cv, d.cv)), 0),
+                       9), -2.0) AS c
+            FROM seeded s, dense d
+        ),
+        best AS (
+            SELECT vec_id, cell_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, cell_id) AS rn
+            FROM cos
+        ),
+        hist AS (SELECT cell_id, count(*) AS n FROM best WHERE rn = 1
+                 GROUP BY cell_id)
+        SELECT CAST(cell_id AS INT) AS cell_id,
+               CAST(n AS BIGINT) AS n_vectors,
+               round(n / (SELECT sum(n) FROM hist), 6) AS share,
+               round(n / (SELECT avg(n) FROM hist), 4) AS load_ratio
+        FROM hist
+    """,
+    doc="IVF cell-balance audit: vectors per cell under the materialized "
+    "index's assignment recipe (sign-seeded cells, one averaging round, "
+    "nearest-centroid by cosine), with each cell's corpus share and its "
+    "load relative to the mean cell. Probe latency at 100 TB is gated "
+    "by the HOTTEST probed cell, so this histogram is the go/no-go for "
+    "an index layout — a load_ratio far above 1 says re-seed or split "
+    "before shipping. Audit determinism: centroid components and "
+    "cosines are rounded to 9 decimals on BOTH engines before the "
+    "argmax (the k-means convention), ties break to the lowest cell. "
+    "Scale shape: centroids are an O(k) driver literal; assignment is "
+    "a broadcast map; only (cell_id, count) rows aggregate.",
+)
+def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    seed = F.lit(0)
+    for i in range(_BAL_SEED_DIMS):
+        seed = seed + F.when(
+            F.element_at(v, i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    seeded = e.select("vec_id", v.alias("emb"), seed.alias("seed"))
+    comp = (
+        seeded.select("seed", F.posexplode("emb"))
+        .groupBy("seed", "pos")
+        .agg(F.round(F.avg("col"), 9).alias("c"))
+    )
+    cent = comp.groupBy("seed").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    cents = sorted(
+        ((r["seed"], list(r["cv"])) for r in cent.collect()), key=lambda t: t[0]
+    )
+
+    def cos_to(cv: list):
+        carr = F.array(*[F.lit(float(x)) for x in cv])
+        return F.coalesce(
+            F.round(
+                dot_col(F.col("emb"), carr)
+                / F.nullif(
+                    norm_col(F.col("emb"))
+                    * F.lit(sum(x * x for x in cv) ** 0.5),
+                    F.lit(0.0),
+                ),
+                9,
+            ),
+            F.lit(-2.0),
+        )
+
+    arr = F.array(*[cos_to(cv) for _, cv in cents])
+    assigned = seeded.select(
+        (F.array_position(arr, F.array_max(arr)) - 1)
+        .cast("int")
+        .alias("cell_id")
+    )
+    hist = assigned.groupBy("cell_id").agg(F.count("*").alias("n"))
+    tot = hist.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.avg("n").alias("mean_n"),
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "cell_id",
+        F.col("n").alias("n_vectors"),
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        F.round(F.col("n") / F.col("mean_n"), 4).alias("load_ratio"),
+    )

@@ -494,3 +494,90 @@ def event_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n"), 4).alias("avg_daily"),
         F.round(F.corr("n", "prev_n"), 4).alias("lag1_autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_PS = (0.2, 0.4, 0.6, 0.8)  # quintile boundaries
+
+
+@REG.add(
+    "user_rfm_segments",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   epoch_us(max(ts)) AS last_us,
+                   count(*) AS freq,
+                   round(sum(value), 6) AS mon
+            FROM events GROUP BY user_id
+        ),
+        thr AS (
+            SELECT
+                {", ".join(f"round(quantile_cont(last_us, {p}), 6) AS r{i}" for i, p in enumerate(_RFM_PS))},
+                {", ".join(f"round(quantile_cont(freq, {p}), 6) AS f{i}" for i, p in enumerate(_RFM_PS))},
+                {", ".join(f"round(quantile_cont(mon, {p}), 6) AS m{i}" for i, p in enumerate(_RFM_PS))}
+            FROM u
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(freq) AS BIGINT) AS total_events
+        FROM (
+            SELECT
+                1 {" ".join(f"+ (CASE WHEN u.last_us > t.r{i} THEN 1 ELSE 0 END)" for i in range(len(_RFM_PS)))} AS r_score,
+                1 {" ".join(f"+ (CASE WHEN u.freq > t.f{i} THEN 1 ELSE 0 END)" for i in range(len(_RFM_PS)))} AS f_score,
+                1 {" ".join(f"+ (CASE WHEN u.mon > t.m{i} THEN 1 ELSE 0 END)" for i in range(len(_RFM_PS)))} AS m_score,
+                u.freq
+            FROM u, thr t
+        )
+        GROUP BY r_score, f_score, m_score
+    """,
+    doc="RFM segmentation: per-user recency (last event time), "
+    "frequency, and monetary value scored into quintiles against EXACT "
+    "interpolated percentile thresholds, reported as segment sizes. "
+    "Scale shape: scoring deliberately avoids ntile()/percent_rank() — "
+    "a partitionless window that single-tasks at scale — and instead "
+    "folds the 12 thresholds to ONE broadcast row; assignment is then "
+    "a pure map over the per-user aggregate. Thresholds are rounded to "
+    "6 decimals on both engines (interpolation is float-order "
+    "sensitive); score boundaries use strict >.",
+)
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz"))).alias("last_us"),
+        F.count("*").alias("freq"),
+        F.round(F.sum("value"), 6).alias("mon"),
+    )
+    thr = u.agg(
+        *[
+            F.round(F.expr(f"percentile(last_us, {p})"), 6).alias(f"r{i}")
+            for i, p in enumerate(_RFM_PS)
+        ],
+        *[
+            F.round(F.expr(f"percentile(freq, {p})"), 6).alias(f"f{i}")
+            for i, p in enumerate(_RFM_PS)
+        ],
+        *[
+            F.round(F.expr(f"percentile(mon, {p})"), 6).alias(f"m{i}")
+            for i, p in enumerate(_RFM_PS)
+        ],
+    )
+
+    def score(metric: str, pfx: str):
+        s = F.lit(1)
+        for i in range(len(_RFM_PS)):
+            s = s + F.when(F.col(metric) > F.col(f"{pfx}{i}"), 1).otherwise(0)
+        return s
+
+    scored = u.crossJoin(F.broadcast(thr)).select(
+        score("last_us", "r").alias("r_score"),
+        score("freq", "f").alias("f_score"),
+        score("mon", "m").alias("m_score"),
+        "freq",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.sum("freq").alias("total_events"),
+    )

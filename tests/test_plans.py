@@ -620,3 +620,35 @@ def test_token_budget_totals_ride_broadcasts(q):
     rows themselves."""
     f = assert_plan(q("token_budget_allocation"))
     assert f["nested_loop_joins"] <= 2  # the two 1-row broadcast folds
+
+
+def test_lsh_cost_audit_digest_counters_only(q):
+    """The join-cost audit is two aggregates over the band table —
+    digests and counters shuffle, never text, never pairs."""
+    f = assert_plan(q("lsh_join_cost_audit"), forbid_nested_loop=True)
+    assert f["sort_merge_joins"] + f["broadcast_hash_joins"] == 0
+    assert f["partial_aggs"] > 0
+
+
+def test_cross_lingual_pairs_equi_joins(q):
+    """Language attribution rides doc_id equi-joins onto the collision-
+    scaled candidate list — no cartesian, no nested loop."""
+    assert_plan(q("cross_lingual_template_pairs"), forbid_nested_loop=True)
+
+
+def test_rfm_no_partitionless_window(q):
+    """RFM scoring must stay window-free: thresholds fold to ONE
+    broadcast row (nested-loop count 1 == that broadcast), assignment
+    is a map — the ntile() shape would single-task at scale."""
+    f = assert_plan(q("user_rfm_segments"))
+    assert "Window" not in f["plan"], f["plan"][:1500]
+    assert f["nested_loop_joins"] <= 1
+
+
+def test_ivf_balance_broadcast_centroids(q):
+    """Cell assignment is a broadcast map (centroid literals), the
+    histogram is (cell_id, count) rows, and the share/load fold is a
+    1-row broadcast — nothing corpus-sized shuffles."""
+    f = assert_plan(q("ivf_cell_balance_audit"))
+    assert "Window" not in f["plan"], f["plan"][:1500]
+    assert f["nested_loop_joins"] <= 1
