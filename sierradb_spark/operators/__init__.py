@@ -90,28 +90,36 @@ for mod in (
 # demo-width siblings which remain in the registry behind the window),
 # similarity/ANN, multimodal, and the curation pipeline.
 _FRONT_50 = [
-    # event reads (4: point lookup, range scan, heads, watermark gate —
-    # reverse/partition-range/partition-heads variants carry green
-    # driver evidence from r01-r04 and rotate behind the window)
-    "eget_point_lookup", "escan_stream_range", "esver_stream_heads",
-    "watermark_gated_scan",
-    # text analysis + PII (2)
-    "text_token_stats", "pii_redacted_corpus",
+    # event reads (2 of 4 core reads: the point lookup and the
+    # watermark gate; escan_stream_range / esver_stream_heads join the
+    # reverse/partition-range/partition-heads variants behind the
+    # window — all carry green driver evidence from r01-r04)
+    "eget_point_lookup", "watermark_gated_scan",
     # production-width sketch dedup (6)
     "minhash_wide_bands", "minhash_wide_candidates", "minhash_wide_recall",
     "minhash_verified_pairs",
     "simhash64_hamming_candidates",
     "embedding_near_dup_bucketed",
-    # similarity / ANN + retrieval (4)
-    "similarity_topk_cosine", "bm25_top_docs", "ivf_probe2_topk",
-    "ivf_pq_adc_topk",
-    # multimodal (1)
-    "multimodal_decode_metadata",
-    # curation pipeline + contamination (5)
-    "sequence_packing", "quality_filter_funnel", "semdedup_survivors",
-    "dedup_survivor_corpus", "benchmark_contamination",
-    # round-4 flagships: exact-substring span dedup
-    "repeated_span_stats", "substring_scrubbed_corpus",
+    # similarity / ANN + retrieval (3)
+    "bm25_top_docs", "ivf_probe2_topk", "ivf_pq_adc_topk",
+    # curation pipeline (1)
+    "sequence_packing",
+    # round-5 rotation wave 3: this session's new operators, none with
+    # driver evidence yet — retrieval fusion, entity resolution, the
+    # shuffle-planning and LSH/IVF audits, fertility, the threshold
+    # sweep, token budgeting, and RFM segmentation. (Displaced to make
+    # room — escan_stream_range, esver_stream_heads, text_token_stats,
+    # pii_redacted_corpus, similarity_topk_cosine,
+    # multimodal_decode_metadata, quality_filter_funnel,
+    # semdedup_survivors, dedup_survivor_corpus, benchmark_contamination,
+    # repeated_span_stats, substring_scrubbed_corpus — each green in
+    # CORRECTNESS_r04 and staying oracle-checked behind the window.)
+    "rrf_hybrid_topk", "blocked_name_match_stats",
+    "sorted_neighborhood_matches", "join_key_skew_audit",
+    "partition_balance_audit", "tokenizer_fertility_stats",
+    "dedup_threshold_sensitivity", "token_budget_allocation",
+    "user_rfm_segments", "lsh_join_cost_audit",
+    "cross_lingual_template_pairs", "ivf_cell_balance_audit",
     # round-5 rotation wave 1 (r04 brief item 4): never-driver-checked
     # flagships promoted for driver evidence
     "url_canonical_dedup", "pq_adc_recall", "matryoshka_truncation_recall",
