@@ -457,9 +457,14 @@ SENSITIVITY_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
 def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min_jac=0.0: the oracle's pairs CTE carries no raw-score filter,
     # and a raw jaccard just below the loosest threshold can ROUND up
-    # to it — prefiltering on the raw value would drop a pair the
-    # oracle counts. All bounding happens on the rounded score below.
-    pairs = _jaccard_pairs(spark, sf_dir, 0.0)
+    # to it — prefiltering on the RAW value would drop a pair the
+    # oracle counts. The prefilter below is on the ROUNDED column —
+    # the exact comparison the oracle's hits CTE applies at its
+    # loosest threshold — so sub-0.2 pairs are dropped BEFORE the
+    # 7-way threshold explode with zero parity risk.
+    pairs = _jaccard_pairs(spark, sf_dir, 0.0).where(
+        F.col("jaccard") >= min(SENSITIVITY_THRESHOLDS)
+    )
     thr = F.explode(
         F.array(*[F.lit(float(t)) for t in SENSITIVITY_THRESHOLDS])
     ).alias("threshold")

@@ -859,11 +859,13 @@ def lsh_join_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_idx", "band_digest")
         .agg(F.count("*").alias("n"))
     )
-    n = F.col("n")
     return buckets.groupBy("band_idx").agg(
         F.count("*").alias("n_buckets"),
         F.max("n").alias("max_bucket"),
-        F.sum((n * (n - 1) / 2).cast("long")).alias("candidate_pairs"),
+        # integer `div`, not `/`: a hot bucket past ~9.5e7 rows would
+        # overflow double precision — exactly the regime this forecast
+        # exists for (n*(n-1) is even, so div 2 is exact).
+        F.sum(F.expr("n * (n - 1) div 2")).alias("candidate_pairs"),
     )
 
 
