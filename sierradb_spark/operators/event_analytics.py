@@ -581,3 +581,123 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum("freq").alias("total_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_DAYS = 3
+
+
+@REG.add(
+    "multitouch_attribution",
+    oracle=f"""
+        WITH conv AS (
+            SELECT event_id AS conv_id, user_id, ts AS cts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+            SELECT event_id AS touch_id, user_id, ts AS tts, event_type
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        pairs AS (
+            SELECT c.conv_id, t.touch_id, t.event_type,
+                   epoch_us(t.tts) AS tus
+            FROM conv c JOIN touch t ON t.user_id = c.user_id
+             AND t.tts < c.cts
+             AND t.tts >= c.cts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+        ),
+        per_conv AS (
+            SELECT conv_id, count(*) AS n,
+                   min(tus) AS first_tus, max(tus) AS last_tus
+            FROM pairs GROUP BY conv_id
+        ),
+        flagged AS (
+            SELECT p.conv_id, p.event_type,
+                   pc.n,
+                   CASE WHEN p.tus = pc.first_tus THEN 1 ELSE 0 END AS is_first,
+                   CASE WHEN p.tus = pc.last_tus THEN 1 ELSE 0 END AS is_last
+            FROM pairs p JOIN per_conv pc USING (conv_id)
+        ),
+        ties AS (
+            SELECT conv_id, sum(is_first) AS n_first, sum(is_last) AS n_last
+            FROM flagged GROUP BY conv_id
+        )
+        SELECT f.event_type,
+               CAST(count(*) AS BIGINT) AS touches,
+               CAST(count(DISTINCT f.conv_id) AS BIGINT) AS conversions,
+               round(sum(f.is_first / CAST(t.n_first AS DOUBLE)), 4)
+                   AS first_credits,
+               round(sum(f.is_last / CAST(t.n_last AS DOUBLE)), 4)
+                   AS last_credits,
+               round(sum(1.0 / CAST(f.n AS DOUBLE)), 4) AS linear_credits
+        FROM flagged f JOIN ties t USING (conv_id)
+        GROUP BY f.event_type
+    """,
+    doc="Multi-touch attribution: every purchase's click/view touches "
+    f"within the preceding {_ATTR_WINDOW_DAYS} days share credit under "
+    "three standard models at once — first-touch, last-touch, and "
+    "linear (1/n). Boundary ties split the first/last credit equally "
+    "(deterministic, no arbitrary row pick), so totals conserve one "
+    "credit per converted purchase per model. Scale shape: the "
+    "conversion-touch pairing is a user-equi-join with a bounded time "
+    "band (per-user work only, the as-of/interval-join family); "
+    "first/last flags come from conversion-keyed aggregates, NOT a "
+    "global window; credit sums shuffle (conv_id, counters) rows.",
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        us.alias("cus"),
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id"),
+        us.alias("tus"),
+        "event_type",
+    )
+    horizon = _ATTR_WINDOW_DAYS * 86_400 * 1_000_000
+    pairs = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (F.col("tus") < F.col("cus"))
+        & (F.col("tus") >= F.col("cus") - F.lit(horizon)),
+    ).select("conv_id", "touch_id", "event_type", "tus")
+    pairs = pairs.localCheckpoint(eager=True)  # read by three aggregates
+    per_conv = pairs.groupBy("conv_id").agg(
+        F.count("*").alias("n"),
+        F.min("tus").alias("first_tus"),
+        F.max("tus").alias("last_tus"),
+    )
+    flagged = pairs.join(per_conv, "conv_id").select(
+        "conv_id",
+        "event_type",
+        "n",
+        (F.col("tus") == F.col("first_tus")).cast("int").alias("is_first"),
+        (F.col("tus") == F.col("last_tus")).cast("int").alias("is_last"),
+    )
+    ties = flagged.groupBy("conv_id").agg(
+        F.sum("is_first").alias("n_first"),
+        F.sum("is_last").alias("n_last"),
+    )
+    return (
+        flagged.join(ties, "conv_id")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("touches"),
+            F.countDistinct("conv_id").alias("conversions"),
+            F.round(
+                F.sum(F.col("is_first") / F.col("n_first").cast("double")), 4
+            ).alias("first_credits"),
+            F.round(
+                F.sum(F.col("is_last") / F.col("n_last").cast("double")), 4
+            ).alias("last_credits"),
+            F.round(F.sum(1.0 / F.col("n").cast("double")), 4).alias(
+                "linear_credits"
+            ),
+        )
+    )

@@ -652,3 +652,20 @@ def test_ivf_balance_broadcast_centroids(q):
     f = assert_plan(q("ivf_cell_balance_audit"))
     assert "Window" not in f["plan"], f["plan"][:1500]
     assert f["nested_loop_joins"] <= 1
+
+
+def test_multitouch_pairing_is_user_equi_join(q):
+    """The conversion-touch pairing must ride a user equi-join with the
+    time band as a post-condition — per-user work only, never a
+    time-theta nested loop over all users."""
+    f = assert_plan(q("multitouch_attribution"), forbid_nested_loop=True)
+    assert "Window" not in f["plan"], f["plan"][:1500]
+
+
+def test_sorted_neighborhood_subset_of_blocked(q):
+    """Containment property: every sorted-neighborhood match is a
+    blocked match (SN compares a subset of each block's pairs), so per
+    nation n_matched(SN) <= n_pairs(blocked)."""
+    blocked = {r["nationkey"]: r["n_pairs"] for r in q("blocked_name_match_stats").collect()}
+    for r in q("sorted_neighborhood_matches").collect():
+        assert r["n_matched"] <= blocked.get(r["nationkey"], 0) or r["n_matched"] == 0
