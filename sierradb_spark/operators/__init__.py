@@ -95,8 +95,9 @@ _FRONT_50 = [
     # reverse/partition-range/partition-heads variants behind the
     # window — all carry green driver evidence from r01-r04)
     "eget_point_lookup", "watermark_gated_scan",
-    # production-width sketch dedup (6)
-    "minhash_wide_bands", "minhash_wide_candidates", "minhash_wide_recall",
+    # production-width sketch dedup (5 — minhash_wide_bands carries
+    # r04 driver evidence and rotates behind the window)
+    "minhash_wide_candidates", "minhash_wide_recall",
     "minhash_verified_pairs",
     "simhash64_hamming_candidates",
     "embedding_near_dup_bucketed",
@@ -120,6 +121,7 @@ _FRONT_50 = [
     "dedup_threshold_sensitivity", "token_budget_allocation",
     "user_rfm_segments", "lsh_join_cost_audit",
     "cross_lingual_template_pairs", "ivf_cell_balance_audit",
+    "multitouch_attribution",
     # round-5 rotation wave 1 (r04 brief item 4): never-driver-checked
     # flagships promoted for driver evidence
     "url_canonical_dedup", "pq_adc_recall", "matryoshka_truncation_recall",
