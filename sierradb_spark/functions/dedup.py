@@ -338,8 +338,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REG.add(
     "ngram_jaccard_similar_pairs",
     oracle=f"""
-        WITH sh AS (
-            SELECT doc_id, source, list_distinct({_SQL_SHINGLES}) AS shingle_set
+        WITH sh AS MATERIALIZED (
+            SELECT doc_id, source, list_distinct({_SQL_SHINGLES}) AS shingle_set,
+                   len(list_distinct({_SQL_SHINGLES})) AS ns
             FROM documents
             WHERE len({_SQL_TOKS}) >= {SHINGLE_K}
         )
@@ -350,6 +351,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      4) AS jaccard
         FROM sh a JOIN sh b
           ON a.source = b.source AND a.doc_id < b.doc_id
+         -- size-ratio prune: jac <= min(|A|,|B|)/max(|A|,|B|), so this
+         -- drops only pairs the >= 0.2 filter would drop anyway —
+         -- BEFORE paying for list_intersect.
+         AND CAST(least(a.ns, b.ns) AS DOUBLE) / greatest(a.ns, b.ns) >= 0.2
         WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
               / nullif(len(a.shingle_set) + len(b.shingle_set)
                        - len(list_intersect(a.shingle_set, b.shingle_set)), 0) >= 0.2
@@ -363,10 +368,20 @@ def ngram_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_pairs(
-    spark: SparkSession, sf_dir: str, min_jac: float
+    spark: SparkSession, sf_dir: str, min_jac: float,
+    ratio_bound: float | None = None,
 ) -> DataFrame:
     """Source-blocked (doc_a, doc_b, jaccard) pairs with jaccard >=
-    ``min_jac``; jaccard is rounded to 4 decimals (engine-stable)."""
+    ``min_jac``; jaccard is rounded to 4 decimals (engine-stable).
+
+    ``ratio_bound`` prunes pairs by shingle-set SIZE ratio before the
+    intersection is computed: jac(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    a bound implied by the caller's effective threshold drops only
+    pairs that threshold would drop anyway — result-identical, but the
+    (dominant) array_intersect cost is skipped for hopeless pairs.
+    Defaults to ``min_jac`` when positive."""
+    if ratio_bound is None and min_jac > 0:
+        ratio_bound = min_jac
     d = with_shingles(load(spark, sf_dir, "documents"), "doc_id", "source")
     # Materialize the shingle sets: both self-join sides and the
     # post-join Jaccard expressions reference this relation, and project
@@ -380,6 +395,7 @@ def _jaccard_pairs(
             "source",
             F.array_distinct(F.col("shingles")).alias("shingle_set"),
         )
+        .withColumn("ns", F.size("shingle_set"))
         .repartition(
             int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
         )
@@ -392,12 +408,17 @@ def _jaccard_pairs(
         F.size(F.col("a.shingle_set")) + F.size(F.col("b.shingle_set")) - inter
     )
     jac = inter.cast("double") / F.nullif(union, F.lit(0))
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    cond = (F.col("a.source") == F.col("b.source")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if ratio_bound is not None:
+        cond = cond & (
+            F.least(F.col("a.ns"), F.col("b.ns")).cast("double")
+            / F.greatest(F.col("a.ns"), F.col("b.ns"))
+            >= ratio_bound
         )
+    return (
+        a.join(b, cond)
         .where(jac >= min_jac)
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -414,8 +435,9 @@ SENSITIVITY_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
 @REG.add(
     "dedup_threshold_sensitivity",
     oracle=f"""
-        WITH sh AS (
-            SELECT doc_id, source, list_distinct({_SQL_SHINGLES}) AS shingle_set
+        WITH sh AS MATERIALIZED (
+            SELECT doc_id, source, list_distinct({_SQL_SHINGLES}) AS shingle_set,
+                   len(list_distinct({_SQL_SHINGLES})) AS ns
             FROM documents
             WHERE len({_SQL_TOKS}) >= {SHINGLE_K}
         ),
@@ -427,6 +449,12 @@ SENSITIVITY_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
                          4) AS jaccard
             FROM sh a JOIN sh b
               ON a.source = b.source AND a.doc_id < b.doc_id
+             -- size-ratio prune at the rounded-boundary-safe bound:
+             -- counted iff round(jac,4) >= 0.2 <=> jac >= 0.19995, and
+             -- jac <= min/max sizes — identical results, no intersect
+             -- cost for hopeless pairs.
+             AND CAST(least(a.ns, b.ns) AS DOUBLE) / greatest(a.ns, b.ns)
+                 >= 0.19995
         ),
         thr AS (SELECT unnest([{", ".join(str(t) for t in SENSITIVITY_THRESHOLDS)}]) AS threshold),
         hits AS (
@@ -462,9 +490,9 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact comparison the oracle's hits CTE applies at its
     # loosest threshold — so sub-0.2 pairs are dropped BEFORE the
     # 7-way threshold explode with zero parity risk.
-    pairs = _jaccard_pairs(spark, sf_dir, 0.0).where(
-        F.col("jaccard") >= min(SENSITIVITY_THRESHOLDS)
-    )
+    pairs = _jaccard_pairs(
+        spark, sf_dir, 0.0, ratio_bound=0.19995
+    ).where(F.col("jaccard") >= min(SENSITIVITY_THRESHOLDS))
     thr = F.explode(
         F.array(*[F.lit(float(t)) for t in SENSITIVITY_THRESHOLDS])
     ).alias("threshold")
