@@ -287,3 +287,99 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_7d"),
         F.round(F.sum("value").over(w), 4).alias("sum_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear exponential smoothing (sequential fold)
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5  # level smoothing
+_HOLT_BETA = 0.3  # trend smoothing
+_HOLT_H = 7  # forecast horizon (days)
+
+# One recurrence step as SQL over acc = [level, trend] and x = [y_t]:
+#   level' = a*y + (1-a)*(level + trend)
+#   trend' = b*(level' - level) + (1-b)*trend
+_SQL_HOLT_LEVEL = (
+    f"({_HOLT_ALPHA} * x[1] + {1 - _HOLT_ALPHA} * (acc[1] + acc[2]))"
+)
+_SQL_HOLT_STEP = (
+    f"[{_SQL_HOLT_LEVEL}, "
+    f"{_HOLT_BETA} * ({_SQL_HOLT_LEVEL} - acc[1]) "
+    f"+ {1 - _HOLT_BETA} * acc[2]]"
+)
+
+
+@REG.add(
+    "holt_linear_forecast",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   round(sum(value), 6) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        series AS (
+            SELECT event_type, list(y ORDER BY day) AS ys
+            FROM daily GROUP BY event_type
+        ),
+        folded AS (
+            SELECT event_type, len(ys) AS n_days,
+                   list_reduce(
+                       list_prepend([ys[1], 0.0],
+                           list_transform(ys[2:], v -> [v])),
+                       (acc, x) -> {_SQL_HOLT_STEP}) AS lt
+            FROM series
+        )
+        SELECT event_type,
+               CAST(n_days AS BIGINT) AS n_days,
+               round(lt[1], 4) AS level,
+               round(lt[2], 4) AS trend,
+               round(lt[1] + {_HOLT_H} * lt[2], 4) AS forecast_{_HOLT_H}d
+        FROM folded
+    """,
+    doc=f"Holt linear exponential smoothing (alpha={_HOLT_ALPHA}, "
+    f"beta={_HOLT_BETA}) over each event type's daily value series: "
+    "final level/trend state and the "
+    f"{_HOLT_H}-day-ahead forecast. Init convention: level = first "
+    "day's value, trend = 0, recurrence from day 2. The recurrence is "
+    "a SEQUENTIAL FOLD (F.aggregate / list_reduce) — both engines "
+    "evaluate the identical operation order, so the state matches "
+    "bit-for-bit with no per-step rounding; only the daily sums "
+    "feeding the series are rounded (they're order-dependent). Scale "
+    "shape: one daily aggregate, then one fold per key whose state is "
+    "2 doubles — series arrays are bounded by the day count, never by "
+    "event count; no window functions at all.",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+
+    def step(acc, x):
+        level = a * F.get(x, 0) + (1 - a) * (F.get(acc, 0) + F.get(acc, 1))
+        trend = b * (level - F.get(acc, 0)) + (1 - b) * F.get(acc, 1)
+        return F.array(level, trend)
+
+    init = F.array(F.get(ys, 0), F.lit(0.0))
+    rest = F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0)))
+    lt = F.aggregate(
+        F.transform(rest, lambda v: F.array(v)), init, step
+    )
+    return series.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_days"),
+        F.round(F.get(lt, 0), 4).alias("level"),
+        F.round(F.get(lt, 1), 4).alias("trend"),
+        F.round(F.get(lt, 0) + _HOLT_H * F.get(lt, 1), 4).alias(
+            f"forecast_{_HOLT_H}d"
+        ),
+    )

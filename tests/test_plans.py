@@ -669,3 +669,12 @@ def test_sorted_neighborhood_subset_of_blocked(q):
     blocked = {r["nationkey"]: r["n_pairs"] for r in q("blocked_name_match_stats").collect()}
     for r in q("sorted_neighborhood_matches").collect():
         assert r["n_matched"] <= blocked.get(r["nationkey"], 0) or r["n_matched"] == 0
+
+
+def test_holt_fold_no_windows_bounded_state(q):
+    """The Holt recurrence is a per-key sequential fold: no window
+    functions, no joins — one daily aggregate and one groupBy whose
+    rows carry a day-bounded array, never event-bounded."""
+    f = assert_plan(q("holt_linear_forecast"), forbid_nested_loop=True)
+    assert "Window" not in f["plan"], f["plan"][:1500]
+    assert f["sort_merge_joins"] + f["broadcast_hash_joins"] == 0
