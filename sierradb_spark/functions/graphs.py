@@ -313,3 +313,161 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_member").cast("long").alias("min_member"),
         F.col("max_member").cast("long").alias("max_member"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering structure + 2-hop reach
+# ---------------------------------------------------------------------------
+
+
+@REG.add(
+    "local_clustering_histogram",
+    oracle="WITH "
+    + _SQL_WIDE_MINS
+    + ","
+    + _SQL_CAND
+    + """,
+        canduv AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand),
+        und AS (
+            SELECT u, v FROM canduv
+            UNION ALL
+            SELECT v AS u, u AS v FROM canduv
+        ),
+        deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+        tri_nodes AS (
+            SELECT unnest([e1.u, e1.v, e2.v]) AS node
+            FROM canduv e1
+            JOIN canduv e2 ON e2.u = e1.v
+            JOIN canduv e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        tri AS (SELECT node, count(*) AS t FROM tri_nodes GROUP BY node),
+        lcc AS (
+            SELECT deg.node, deg.d,
+                   CASE WHEN deg.d >= 2
+                        THEN 2.0 * coalesce(tri.t, 0) / (deg.d * (deg.d - 1))
+                        ELSE 0.0 END AS c
+            FROM deg LEFT JOIN tri ON tri.node = deg.node
+        )
+        SELECT floor(c * 10) / 10 AS lcc_bucket,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               round(avg(CAST(d AS DOUBLE)), 4) AS avg_degree,
+               round(avg(c), 4) AS avg_lcc
+        FROM lcc GROUP BY floor(c * 10) / 10
+    """,
+    doc="Histogram of LOCAL clustering coefficients over the production-"
+    "width MinHash near-duplicate graph: per node, the fraction of its "
+    "neighbor pairs that are themselves connected (2*tri/(d*(d-1)); 0 "
+    "for degree<2), bucketed to 0.1. Where triangle_count_near_dup "
+    "gives the one-number global transitivity, this separates clique "
+    "members (bucket 1.0 — exact-template families worth collapsing to "
+    "one survivor) from bridge/chain nodes (bucket 0.0 — drift chains "
+    "where transitive merging over-collapses). Per-node triangle counts "
+    "come from exploding each ordered triangle (u<v<w, two equi-joins) "
+    "to its 3 corners — never an N^3 enumeration; the bucket division "
+    "is a single IEEE op on integer-valued doubles, bit-identical "
+    "across engines.",
+)
+def local_clustering_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+
+    cand = (
+        minhash_wide_candidates(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=True)  # read 5 times below
+    )
+    und = cand.unionByName(
+        cand.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    e1, e2, e3 = cand.alias("e1"), cand.alias("e2"), cand.alias("e3")
+    corners = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.u"), F.col("e1.v"), F.col("e2.v"))
+            ).alias("node")
+        )
+    )
+    tri = corners.groupBy("node").agg(F.count("*").alias("t"))
+    c = F.when(
+        F.col("d") >= 2,
+        2.0 * F.coalesce(F.col("t"), F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+    ).otherwise(F.lit(0.0))
+    lcc = deg.join(tri, "node", "left").select("node", "d", c.alias("c"))
+    return (
+        lcc.groupBy((F.floor(F.col("c") * 10) / 10).alias("lcc_bucket"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.round(F.avg(F.col("d").cast("double")), 4).alias("avg_degree"),
+            F.round(F.avg("c"), 4).alias("avg_lcc"),
+        )
+    )
+
+
+@REG.add(
+    "two_hop_reach_topk",
+    oracle="WITH "
+    + _SQL_WIDE_MINS
+    + ","
+    + _SQL_CAND_EDGES
+    + """,
+        reach AS (
+            SELECT DISTINCT e1.u, e2.v
+            FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+            WHERE e2.v <> e1.u
+            UNION
+            SELECT u, v FROM edges
+        ),
+        deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        sz AS (SELECT u, count(*) AS n_within_2 FROM reach GROUP BY u)
+        SELECT sz.u AS doc_id,
+               CAST(deg.d AS BIGINT) AS degree,
+               CAST(sz.n_within_2 AS BIGINT) AS n_within_2hops
+        FROM sz JOIN deg ON deg.u = sz.u
+        ORDER BY n_within_2hops DESC, doc_id ASC
+        LIMIT 20
+    """,
+    doc="Top-20 documents by 2-hop reach over the near-duplicate graph: "
+    "|{distinct nodes within <=2 hops}| (self excluded). Direct degree "
+    "finds the template hub itself; 2-hop reach finds the hub whose "
+    "NEIGHBORS are also hubs — the center of a template FAMILY, which "
+    "is the unit a curation pass should inspect before bulk-dropping. "
+    "One self-equi-join of the collision-bounded edge list + a distinct "
+    "— candidate edges come from LSH banding, never N^2; top-k is "
+    "TakeOrderedAndProject on the aggregated per-node counts.",
+)
+def two_hop_reach_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+
+    cand = (
+        minhash_wide_candidates(spark, sf_dir)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=True)  # read 4 times below
+    )
+    edges = cand.unionByName(
+        cand.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    two = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .where(F.col("e2.v") != F.col("e1.u"))
+        .select(F.col("e1.u").alias("u"), F.col("e2.v").alias("v"))
+    )
+    reach = two.unionByName(edges.select("u", "v")).distinct()
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    sz = reach.groupBy("u").agg(F.count("*").alias("n_within_2"))
+    return (
+        sz.join(deg, "u")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.col("n_within_2").cast("long").alias("n_within_2hops"),
+        )
+        .orderBy(F.col("n_within_2hops").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

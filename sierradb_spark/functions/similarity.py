@@ -654,3 +654,69 @@ def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("total"), 6).alias("share"),
         F.round(F.col("n") / F.col("mean_n"), 4).alias("load_ratio"),
     )
+
+
+@REG.add(
+    "gemm_topk_cosine",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               round({_sql_cos('e.embedding', 'q.qv')}, 4) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    doc="Brute-force cosine top-k via Arrow-batched numpy GEMM "
+    "(mapInPandas): each executor batch is stacked into a float64 "
+    "matrix and scored with one BLAS matrix-vector product, keeping "
+    "only its local top-10 (ordered by the ROUNDED score + vec_id, the "
+    "same key the global TakeOrderedAndProject uses — so no boundary "
+    "row can be lost). Semantically identical to similarity_topk_cosine "
+    "(same oracle); operationally the wide-vector scale path: at 64 "
+    "dims the JVM higher-order-function fold wins on Arrow overhead, "
+    "but at 1024+ dims the BLAS batch dominates — keeping both lets "
+    "bench.py measure the crossover instead of guessing. The query "
+    "vector ships as a closure constant (one driver-side row), NOT a "
+    "join.",
+)
+def gemm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    qrow = (
+        e.where(F.col("vec_id") == 0).select("embedding").head()
+    )
+    q = np.asarray(qrow[0], dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.sqrt((m * m).sum(axis=1)) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(norms == 0, np.nan, (m @ q) / norms)
+            # Half-away-from-zero, matching Spark/DuckDB round();
+            # np.round is half-even and would diverge at exact ties.
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+            yield out.sort_values(
+                ["cosine", "vec_id"], ascending=[False, True]
+            ).head(10)
+
+    scored = e.where(F.col("vec_id") != 0).mapInPandas(
+        score, "vec_id long, label int, cosine double"
+    )
+    return scored.orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    ).limit(10)

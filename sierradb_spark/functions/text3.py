@@ -682,3 +682,100 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bytes_per_piece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 30
+
+
+@REG.add(
+    "pmi_collocations",
+    oracle=f"""
+        WITH w AS (SELECT {_SQL_WORDS} AS ws FROM documents),
+        uni AS (
+            SELECT unnest(ws) AS w FROM w
+        ),
+        ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        utot AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM ucnt),
+        bi AS (
+            SELECT unnest(list_zip(ws[:-2], ws[2:])) AS p FROM w
+            WHERE len(ws) >= 2
+        ),
+        bcnt AS (
+            SELECT p[1] AS w1, p[2] AS w2, count(*) AS c
+            FROM bi GROUP BY p[1], p[2]
+        ),
+        btot AS (SELECT CAST(sum(c) AS DOUBLE) AS nb FROM bcnt),
+        scored AS (
+            SELECT b.w1, b.w2,
+                   CAST(b.c AS BIGINT) AS n_occurrences,
+                   round(ln((b.c / nb) / ((u1.c / nu) * (u2.c / nu))), 4)
+                       AS pmi
+            FROM bcnt b
+            JOIN ucnt u1 ON u1.w = b.w1
+            JOIN ucnt u2 ON u2.w = b.w2
+            CROSS JOIN utot CROSS JOIN btot
+            WHERE b.c >= {_PMI_MIN_COUNT}
+        )
+        SELECT w1, w2, n_occurrences, pmi FROM scored
+        ORDER BY pmi DESC, w1 ASC, w2 ASC
+        LIMIT {_PMI_TOP}
+    """,
+    doc=f"Top-{_PMI_TOP} collocations by pointwise mutual information: "
+    "bigrams whose corpus probability most exceeds what their unigram "
+    "frequencies predict (PMI = ln(p(ab)/(p(a)p(b))), count >= "
+    f"{_PMI_MIN_COUNT}) — multiword expressions and named entities, the "
+    "phrase-mining primitive behind tokenizer-vocab audits and "
+    "boilerplate discovery. Counts come from one explode+aggregate per "
+    "arity with map-side combine; the two corpus totals are 1-row "
+    "broadcasts; the unigram joins key on the already-aggregated count "
+    "tables (distinct tokens, not the token stream). Both engines "
+    "compute the identical ln() over identical integer-ratio doubles, "
+    "rounded to 4.",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(_toks().alias("ws"))
+    uni = d.select(F.explode("ws").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    utot = ucnt.agg(F.sum("c").cast("double").alias("nu"))
+    pairs = d.where(F.size("ws") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    )
+    bcnt = pairs.groupBy(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).agg(F.count("*").alias("c"))
+    btot = bcnt.agg(F.sum("c").cast("double").alias("nb"))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bcnt.where(F.col("c") >= _PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("n_occurrences"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(_PMI_TOP)

@@ -383,3 +383,206 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"forecast_{_HOLT_H}d"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA anomaly detection (sequential fold, like Holt above)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3  # smoothing factor for mean and variance
+_EWMA_WARMUP = 7  # days before anomaly scoring starts
+_EWMA_Z = 3.0  # flag |value - ewma| > Z * ewm-sigma
+
+# One recurrence step over acc = [mu, var, n, anom] and x = [y_t]:
+#   flag   = n >= WARMUP AND var > 0 AND |y - mu| > Z * sqrt(var)
+#   mu'    = mu + a*(y - mu)
+#   var'   = (1-a)*(var + a*(y - mu)^2)   (West's EWM variance recurrence)
+# The flag is tested against the PRE-update state — a genuinely novel
+# value is scored against the history that did not yet absorb it.
+_SQL_EWMA_STEP = (
+    f"[acc[1] + {_EWMA_ALPHA} * (x[1] - acc[1]), "
+    f"{1 - _EWMA_ALPHA} * (acc[2] + {_EWMA_ALPHA} "
+    f"* (x[1] - acc[1]) * (x[1] - acc[1])), "
+    "acc[3] + 1, "
+    f"acc[4] + (CASE WHEN acc[3] >= {_EWMA_WARMUP} AND acc[2] > 0 "
+    f"AND abs(x[1] - acc[1]) > {_EWMA_Z} * sqrt(acc[2]) "
+    "THEN 1.0 ELSE 0.0 END)]"
+)
+
+
+@REG.add(
+    "ewma_anomaly_daily",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   round(sum(value), 6) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        series AS (
+            SELECT event_type, list(y ORDER BY day) AS ys
+            FROM daily GROUP BY event_type
+        ),
+        folded AS (
+            SELECT event_type, len(ys) AS n_days,
+                   list_reduce(
+                       list_prepend([ys[1], 0.0, 1.0, 0.0],
+                           list_transform(ys[2:], v -> [v])),
+                       (acc, x) -> {_SQL_EWMA_STEP}) AS st
+            FROM series
+        )
+        SELECT event_type,
+               CAST(n_days AS BIGINT) AS n_days,
+               round(st[1], 4) AS ewma_level,
+               round(sqrt(st[2]), 4) AS ewma_sigma,
+               CAST(st[4] AS BIGINT) AS anomaly_days
+        FROM folded
+    """,
+    doc=f"Streaming-style anomaly detection over each event type's daily "
+    f"value series: an exponentially weighted mean AND variance "
+    f"(alpha={_EWMA_ALPHA}) evolve together in one sequential fold, and a "
+    f"day is flagged anomalous when it deviates from the PRE-update state "
+    f"by more than {_EWMA_Z} EWM sigmas (after a {_EWMA_WARMUP}-day "
+    "warmup, so the near-zero startup variance cannot flag everything). "
+    "Like holt_linear_forecast, the recurrence is a SEQUENTIAL FOLD "
+    "(F.aggregate / list_reduce) evaluated in identical order by both "
+    "engines — state matches bit-for-bit; only the order-dependent daily "
+    "sums are rounded. Scale shape: one daily aggregate, then one "
+    "4-double fold per key; series arrays are bounded by the day count. "
+    "This is the batch twin of the alerting rule a streaming deployment "
+    "would run with applyInPandasWithState.",
+)
+def ewma_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    a, w, z = _EWMA_ALPHA, _EWMA_WARMUP, _EWMA_Z
+
+    def step(acc, x):
+        mu, var, n, anom = (F.get(acc, i) for i in range(4))
+        v = F.get(x, 0)
+        flag = (
+            (n >= w) & (var > 0) & (F.abs(v - mu) > z * F.sqrt(var))
+        )
+        return F.array(
+            mu + a * (v - mu),
+            (1 - a) * (var + a * (v - mu) * (v - mu)),
+            n + 1,
+            anom + F.when(flag, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+
+    init = F.array(F.get(ys, 0), F.lit(0.0), F.lit(1.0), F.lit(0.0))
+    rest = F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0)))
+    st = F.aggregate(F.transform(rest, lambda v: F.array(v)), init, step)
+    return series.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_days"),
+        F.round(F.get(st, 0), 4).alias("ewma_level"),
+        F.round(F.sqrt(F.get(st, 1)), 4).alias("ewma_sigma"),
+        F.get(st, 3).cast("long").alias("anomaly_days"),
+    )
+
+
+@REG.add(
+    "weekly_seasonal_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   round(sum(value), 6) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        trended AS (
+            SELECT event_type, day, y, (isodow(day) - 1) AS dow,
+                   round(avg(y) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   ), 6) AS trend
+            FROM daily
+        ),
+        detr AS (
+            SELECT event_type, dow, round(y - trend, 6) AS d
+            FROM trended
+        ),
+        seas AS (
+            SELECT event_type, dow,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   round(avg(d), 6) AS s_raw
+            FROM detr GROUP BY event_type, dow
+        ),
+        centered AS (
+            SELECT event_type, dow, n_days,
+                   round(s_raw - avg(s_raw) OVER (
+                       PARTITION BY event_type), 6) AS seasonal
+            FROM seas
+        )
+        SELECT c.event_type, CAST(c.dow AS INT) AS dow, c.n_days,
+               round(c.seasonal, 4) AS seasonal,
+               round(avg(abs(d.d - c.seasonal)), 4) AS mean_abs_residual
+        FROM centered c
+        JOIN detr d ON d.event_type = c.event_type AND d.dow = c.dow
+        GROUP BY c.event_type, c.dow, c.n_days, c.seasonal
+    """,
+    doc="STL-style weekly seasonal decomposition of each event type's "
+    "daily value series: trend = centered 7-day moving average (ROWS "
+    "frame), seasonal = day-of-week mean of the detrended series, "
+    "re-centered to sum to zero per type, residual = what remains. "
+    "Output is |types| x 7 rows — the weekly fingerprint plus the "
+    "mean absolute residual (how much signal seasonality+trend fail "
+    "to explain). Scale shape: one daily aggregate shuffle, then "
+    "type-partitioned windows over day-count-bounded series and a "
+    "broadcast-sized seasonal join; nothing scales with raw event "
+    "count. Day-of-week uses Monday=0 in both engines (Spark weekday, "
+    "DuckDB isodow-1).",
+)
+def weekly_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    w_trend = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    detr = daily.select(
+        "event_type",
+        F.weekday("day").alias("dow"),
+        F.round(
+            F.col("y") - F.round(F.avg("y").over(w_trend), 6), 6
+        ).alias("d"),
+    )
+    seas = detr.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg("d"), 6).alias("s_raw"),
+    )
+    centered = seas.select(
+        "event_type",
+        "dow",
+        "n_days",
+        F.round(
+            F.col("s_raw")
+            - F.avg("s_raw").over(Window.partitionBy("event_type")),
+            6,
+        ).alias("seasonal"),
+    )
+    return (
+        detr.join(F.broadcast(centered), ["event_type", "dow"])
+        .groupBy("event_type", "dow", "n_days", "seasonal")
+        .agg(
+            F.round(
+                F.avg(F.abs(F.col("d") - F.col("seasonal"))), 4
+            ).alias("mean_abs_residual")
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            F.round("seasonal", 4).alias("seasonal"),
+            "mean_abs_residual",
+        )
+    )
