@@ -926,3 +926,126 @@ def cross_lingual_template_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_cross"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-vs-duplication calibration
+# ---------------------------------------------------------------------------
+
+_CAL_PS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+from sierradb_spark.functions.text import _SQL_TOKS, STOPWORDS  # noqa: E402
+
+
+@REG.add(
+    "quality_dup_calibration",
+    oracle="WITH "
+    + _SQL_WIDE_MINS
+    + ","
+    + _SQL_CAND
+    + f""",
+        qs AS (
+            SELECT doc_id,
+                   round(coalesce(
+                       len(list_filter({_SQL_TOKS}, t -> t IN {STOPWORDS!r}))::DOUBLE
+                           / nullif(len({_SQL_TOKS}), 0), 0.0), 6) AS score
+            FROM documents
+        ),
+        bnd AS (
+            SELECT list_transform(
+                       quantile_cont(score, {list(_CAL_PS)}),
+                       b -> round(b, 6)) AS bs
+            FROM qs
+        ),
+        dup AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM cand
+                UNION ALL
+                SELECT doc_b AS doc_id FROM cand
+            )
+        ),
+        bucketed AS (
+            SELECT q.doc_id, q.score,
+                   1 + len(list_filter(b.bs, x -> q.score > x)) AS decile,
+                   (d.doc_id IS NOT NULL) AS is_dup
+            FROM qs q CROSS JOIN bnd b
+            LEFT JOIN dup d ON d.doc_id = q.doc_id
+        )
+        SELECT CAST(decile AS INT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup,
+               round(count(*) FILTER (WHERE is_dup)
+                     / CAST(count(*) AS DOUBLE), 4) AS dup_share,
+               round(avg(score), 4) AS avg_score
+        FROM bucketed GROUP BY decile
+    """,
+    doc="Calibration of a cheap quality signal against duplication: "
+    "documents are bucketed into value-deciles of stopword density "
+    "(the fluency proxy every quality funnel gates on), and each "
+    "decile reports what share of its documents participate in a "
+    "production-width MinHash near-duplicate pair. The curve answers "
+    "the curation question 'does low quality CO-OCCUR with "
+    "duplication, or are the two filters independent?' — which decides "
+    "whether dedup-then-filter and filter-then-dedup yield materially "
+    "different corpora. Decile boundaries come from ONE exact-quantile "
+    "aggregate (9 doubles, broadcast; rounded to 6 before comparison "
+    "so both engines bucket ties identically); bucket assignment is a "
+    "JVM array filter against the broadcast boundaries — no global "
+    "ntile window, no per-row sort at any scale.",
+)
+def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.text import STOPWORDS, tokens_col
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    score = F.round(
+        F.coalesce(
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast(
+                "double"
+            )
+            / F.nullif(F.size(toks), F.lit(0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    qs = d.select("doc_id", score.alias("score"))
+    ps = ", ".join(str(p) for p in _CAL_PS)
+    bnd = qs.agg(
+        F.transform(
+            F.expr(f"percentile(score, array({ps}))"),
+            lambda b: F.round(b, 6),
+        ).alias("bs")
+    )
+    cand = minhash_wide_candidates(spark, sf_dir)
+    dup = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    bucketed = (
+        qs.crossJoin(F.broadcast(bnd))
+        .join(dup, "doc_id", "left")
+        .select(
+            "score",
+            (
+                1
+                + F.size(
+                    F.filter(F.col("bs"), lambda x: F.col("score") > x)
+                )
+            ).alias("decile"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+    return bucketed.groupBy(
+        F.col("decile").cast("int").alias("decile")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("is_dup"), 1)).alias("n_dup"),
+        F.round(
+            F.count(F.when(F.col("is_dup"), 1))
+            / F.count("*").cast("double"),
+            4,
+        ).alias("dup_share"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )

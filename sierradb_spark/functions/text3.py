@@ -26,6 +26,7 @@ from sierradb_spark.functions.text2 import _SQL_WORDS, _toks
 
 from sierradb_spark.functions.text import (
     BPE_PATTERN,
+    STOPWORDS,
     _SQL_WINNOW_CTES,
     winnow_fps_df,
 )
@@ -779,3 +780,159 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(_PMI_TOP)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+_RAKE_MAX_LEN = 4  # drop stopword-free runs longer than this (boilerplate)
+_RAKE_MIN_OCC = 3  # phrase must appear this often corpus-wide
+_RAKE_TOP = 25
+
+
+@REG.add(
+    "rake_keyphrases",
+    oracle=f"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents),
+        toks AS (
+            SELECT doc_id, unnest(ws) AS tok,
+                   unnest(range(1, len(ws) + 1)) AS i
+            FROM w
+        ),
+        ns AS (
+            SELECT doc_id, i, tok,
+                   i - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY i) AS grp
+            FROM toks
+            WHERE tok NOT IN {STOPWORDS!r}
+        ),
+        occ AS (
+            SELECT doc_id, grp,
+                   string_agg(tok, ' ' ORDER BY i) AS phrase,
+                   count(*) AS plen
+            FROM ns GROUP BY doc_id, grp
+            HAVING count(*) <= {_RAKE_MAX_LEN}
+        ),
+        members AS (
+            SELECT n.tok, o.plen
+            FROM ns n JOIN occ o ON o.doc_id = n.doc_id AND o.grp = n.grp
+        ),
+        wstat AS (
+            SELECT tok, count(*) AS freq, sum(plen) AS deg
+            FROM members GROUP BY tok
+        ),
+        phr AS (
+            SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM occ GROUP BY phrase
+            HAVING count(*) >= {_RAKE_MIN_OCC}
+        ),
+        pw AS (
+            SELECT phrase, n_occurrences,
+                   unnest(string_split(phrase, ' ')) AS tok,
+                   unnest(range(1, len(string_split(phrase, ' ')) + 1)) AS pos
+            FROM phr
+        ),
+        scored AS (
+            SELECT pw.phrase, pw.n_occurrences,
+                   round(list_reduce(
+                       list_prepend(0.0,
+                           list(ws.deg::DOUBLE / ws.freq ORDER BY pw.pos)),
+                       (acc, x) -> acc + x), 4) AS rake_score
+            FROM pw JOIN wstat ws ON ws.tok = pw.tok
+            GROUP BY pw.phrase, pw.n_occurrences
+        )
+        SELECT phrase, n_occurrences, rake_score
+        FROM scored
+        ORDER BY rake_score DESC, phrase ASC
+        LIMIT {_RAKE_TOP}
+    """,
+    doc=f"RAKE keyphrase extraction: candidate phrases are maximal "
+    "stopword-free token runs (found with the classic gaps-and-islands "
+    f"i - row_number() trick, capped at {_RAKE_MAX_LEN} words), each "
+    "word is scored degree/frequency over the candidate set (degree = "
+    "summed length of the runs it appears in — words that live in "
+    "longer phrases score higher), and a phrase scores the sum of its "
+    f"word scores; top-{_RAKE_TOP} phrases seen >= {_RAKE_MIN_OCC} "
+    "times. The per-phrase sum is folded over words in PHRASE ORDER "
+    "(array_sort + F.aggregate / ordered list + list_reduce), so both "
+    "engines add identical doubles in identical order — no "
+    "nondeterministic float aggregation. Scale shape: the only "
+    "token-stream shuffle is the doc-partitioned run-finding window "
+    "(same class as every explode aggregate here); everything after "
+    "operates on distinct phrases/words with map-side combine.",
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("ws")
+    )
+    toks = d.select(
+        "doc_id", F.posexplode("ws").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    ns = toks.where(~F.col("tok").isin(*STOPWORDS)).withColumn(
+        "grp",
+        F.col("i")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("i")
+        ),
+    )
+    occ = (
+        ns.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .where(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    members = ns.join(occ, ["doc_id", "grp"]).select("tok", "plen")
+    wstat = members.groupBy("tok").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    phr = (
+        occ.groupBy("phrase")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= _RAKE_MIN_OCC)
+    )
+    pw = phr.select(
+        "phrase",
+        "n_occurrences",
+        F.posexplode(F.split(F.col("phrase"), " ")).alias("pos0", "tok"),
+    ).select(
+        "phrase", "n_occurrences", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    scored = (
+        pw.join(wstat, "tok")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "pos",
+                                    (
+                                        F.col("deg").cast("double")
+                                        / F.col("freq")
+                                    ).alias("s"),
+                                )
+                            )
+                        ),
+                        lambda x: x["s"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            ).alias("rake_score")
+        )
+    )
+    return scored.orderBy(
+        F.col("rake_score").desc(), F.col("phrase").asc()
+    ).limit(_RAKE_TOP)

@@ -701,3 +701,210 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain stationary distribution (power iteration)
+# ---------------------------------------------------------------------------
+
+_MK_ITERS = 12
+
+_SQL_MK_BASE = """
+        seq AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        pairs AS MATERIALIZED (
+            SELECT event_type AS src, next_type AS dst, count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        ),
+        p AS MATERIALIZED (
+            SELECT src, dst,
+                   n::DOUBLE / sum(n) OVER (PARTITION BY src) AS p
+            FROM pairs
+        ),
+        states AS (SELECT DISTINCT src FROM pairs),
+        nst AS (SELECT count(*)::DOUBLE AS k FROM states),
+        pi0 AS (SELECT src AS s, 1.0 / k AS v FROM states, nst)
+"""
+
+
+def _sql_markov() -> str:
+    ctes = [_SQL_MK_BASE]
+    for i in range(_MK_ITERS):
+        ctes.append(
+            f"""
+        raw{i + 1} AS MATERIALIZED (
+            SELECT p.dst AS s, sum(pi.v * p.p) AS v
+            FROM pi{i} pi JOIN p ON p.src = pi.s
+            GROUP BY p.dst
+        ),
+        pi{i + 1} AS MATERIALIZED (
+            SELECT s, v / (SELECT sum(v) FROM raw{i + 1}) AS v
+            FROM raw{i + 1}
+        )
+        """
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+        outdeg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS n_out,
+                   CAST(sum(n) AS BIGINT) AS n_transitions
+            FROM pairs GROUP BY src
+        ),
+        emp AS (
+            SELECT event_type,
+                   count(*)::DOUBLE / (SELECT count(*) FROM events)
+                       AS empirical_p
+            FROM events GROUP BY event_type
+        )
+        SELECT pi.s AS event_type,
+               round(pi.v, 6) AS stationary_p,
+               round(emp.empirical_p, 6) AS empirical_p,
+               o.n_out, o.n_transitions
+        FROM pi{_MK_ITERS} pi
+        JOIN outdeg o ON o.src = pi.s
+        JOIN emp ON emp.event_type = pi.s
+        """
+    )
+
+
+@REG.add(
+    "markov_stationary_distribution",
+    oracle=_sql_markov(),
+    doc="Stationary distribution of the first-order event-type Markov "
+    "chain (the long-run fraction of time a user's behavior spends in "
+    f"each state), by {_MK_ITERS} renormalized power-iteration steps "
+    "over the row-normalized transition matrix from "
+    "event_transition_matrix, compared side-by-side with the EMPIRICAL "
+    "type distribution — a gap between the two is the fingerprint of "
+    "non-ergodic flows (onboarding funnels, absorbing churn states). "
+    "Renormalizing each step keeps mass exact even when transitions "
+    "point at sink types with no outgoing edges. Scale shape: the "
+    "event table is touched twice (pair counts + empirical counts, "
+    "both map-side combined); each iteration multiplies an O(|types|) "
+    "vector against an O(|types|^2) matrix — broadcast-sized at any "
+    "corpus scale; the fixed iteration count keeps the plan static and "
+    "the oracle expressible as unrolled SQL (same convention as "
+    "pagerank_near_dup).",
+)
+def markov_stationary_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = (
+        seq.groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # read per iteration + outdeg
+    )
+    p = pairs.select(
+        "src",
+        "dst",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("src"))).alias("p"),
+    )
+    pi = (
+        pairs.select("src").distinct().crossJoin(
+            F.broadcast(
+                pairs.select("src").distinct().agg(
+                    (1.0 / F.count("*")).alias("v0")
+                )
+            )
+        ).select(F.col("src").alias("s"), F.col("v0").alias("v"))
+    )
+    for _ in range(_MK_ITERS):
+        raw = (
+            p.join(F.broadcast(pi), p["src"] == pi["s"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
+            # Sever lineage every step: pi{i+1} references raw{i+1}
+            # TWICE (numerator + normalizing total) — without a
+            # barrier the plan doubles per iteration (2^ITERS nodes)
+            # and analysis alone dominates. The checkpointed state is
+            # O(|types|) rows — trivial at any corpus scale.
+            .localCheckpoint(eager=True)
+        )
+        tot = raw.agg(F.sum("v").alias("tot"))
+        pi = raw.crossJoin(F.broadcast(tot)).select(
+            F.col("dst").alias("s"), (F.col("v") / F.col("tot")).alias("v")
+        )
+    outdeg = pairs.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_out"),
+        F.sum("n").cast("long").alias("n_transitions"),
+    )
+    emp = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(ev.agg(F.count("*").alias("tot_ev"))))
+        .select(
+            "event_type",
+            (F.col("c") / F.col("tot_ev")).alias("empirical_p"),
+        )
+    )
+    return (
+        pi.join(outdeg, pi["s"] == outdeg["src"])
+        .join(emp, F.col("s") == F.col("event_type"), "inner")
+        .select(
+            F.col("s").alias("event_type"),
+            F.round("v", 6).alias("stationary_p"),
+            F.round("empirical_p", 6).alias("empirical_p"),
+            "n_out",
+            "n_transitions",
+        )
+    )
+
+
+@REG.add(
+    "interarrival_time_stats",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ))) / 1000000.0 AS gap_s
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               round(avg(gap_s), 3) AS avg_gap_s,
+               round(quantile_cont(gap_s, 0.5), 3) AS median_gap_s,
+               round(quantile_cont(gap_s, 0.95), 3) AS p95_gap_s,
+               round(max(gap_s), 3) AS max_gap_s
+        FROM seq WHERE gap_s IS NOT NULL
+        GROUP BY event_type
+    """,
+    doc="Inter-arrival time distribution per event type (seconds between "
+    "consecutive events of the same type, ordered by ts with event_id "
+    "tiebreak): mean / exact median / p95 / max. The arrival-process "
+    "fingerprint — Poisson-like types show mean ~ p50/ln2; heavy-tailed "
+    "p95/median ratios expose burst-and-silence patterns that capacity "
+    "planning and anomaly thresholds must account for. One "
+    "type-partitioned window (single exchange, reused by the aggregate "
+    "on the same key), exact percentile over per-type gap arrays; gaps "
+    "are integer-second epochs diffed NTZ so both engines agree "
+    "exactly.",
+)
+def interarrival_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1_000_000.0
+    seq = ev.select(
+        "event_type", (epoch - F.lag(epoch).over(w)).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 3).alias("avg_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 3).alias("median_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.95)"), 3).alias("p95_gap_s"),
+        F.round(F.max("gap_s"), 3).alias("max_gap_s"),
+    )

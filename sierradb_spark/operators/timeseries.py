@@ -586,3 +586,114 @@ def weekly_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_abs_residual",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Burst detection over the dense hourly grid
+# ---------------------------------------------------------------------------
+
+_BURST_HIST = 24  # trailing window (hours) the baseline is computed over
+_BURST_MIN_N = 3  # ignore bursts below this absolute hourly count
+_BURST_FACTOR = 2.5  # burst = count > FACTOR * trailing average
+# Ratio denominator floor: one event across the trailing day. Keeps the
+# burst_ratio finite when a type wakes from total silence.
+_BURST_EPS = 1.0 / _BURST_HIST
+
+
+@REG.add(
+    "hourly_burst_detection",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        hours AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        grid AS (
+            SELECT t.event_type, h.hour
+            FROM hours h, (SELECT DISTINCT event_type FROM events) t
+        ),
+        dense AS (
+            SELECT g.event_type, g.hour, coalesce(a.n, 0) AS n
+            FROM grid g LEFT JOIN hourly a USING (event_type, hour)
+        ),
+        trail AS (
+            SELECT event_type, hour, n,
+                   avg(CAST(n AS DOUBLE)) OVER w AS base,
+                   count(*) OVER w AS n_hist
+            FROM dense
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN {_BURST_HIST} PRECEDING
+                                  AND 1 PRECEDING)
+        )
+        SELECT event_type, hour, CAST(n AS BIGINT) AS n_events,
+               round(base, 4) AS trailing_avg,
+               round(n / greatest(base, {_BURST_EPS}), 4) AS burst_ratio
+        FROM trail
+        WHERE n_hist >= {_BURST_HIST} AND n >= {_BURST_MIN_N}
+          AND n > {_BURST_FACTOR} * base
+    """,
+    doc=f"Burst detection per event type: hours whose count exceeds "
+    f"{_BURST_FACTOR}x the trailing {_BURST_HIST}-hour average (with "
+    f"an absolute floor of {_BURST_MIN_N} events and a full-history "
+    "requirement so the series head cannot self-flag). Runs over the "
+    "DENSE hourly grid — silent hours count as zeros in the baseline, "
+    "so a type waking from silence IS a burst; aggregate-only "
+    "detectors that skip empty buckets systematically understate "
+    "these. Same scale shape as gapfill_hourly_rollup: one hourly "
+    "aggregate, a broadcast-sized grid from one bounds row, and a "
+    "type-partitioned ROWS window over |types| x |hours| rows; the "
+    "trailing average of integer counts is exact rational arithmetic, "
+    "identical in both engines.",
+)
+def hourly_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour"
+        )
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_BURST_HIST, -1)
+    )
+    trail = dense.select(
+        "event_type",
+        "hour",
+        "n",
+        F.avg(F.col("n").cast("double")).over(w).alias("base"),
+        F.count("*").over(w).alias("n_hist"),
+    )
+    return trail.where(
+        (F.col("n_hist") >= _BURST_HIST)
+        & (F.col("n") >= _BURST_MIN_N)
+        & (F.col("n") > _BURST_FACTOR * F.col("base"))
+    ).select(
+        "event_type",
+        "hour",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("base", 4).alias("trailing_avg"),
+        F.round(
+            F.col("n") / F.greatest(F.col("base"), F.lit(_BURST_EPS)), 4
+        ).alias("burst_ratio"),
+    )
