@@ -678,3 +678,89 @@ def test_holt_fold_no_windows_bounded_state(q):
     f = assert_plan(q("holt_linear_forecast"), forbid_nested_loop=True)
     assert "Window" not in f["plan"], f["plan"][:1500]
     assert f["sort_merge_joins"] + f["broadcast_hash_joins"] == 0
+
+
+def test_ewma_fold_no_windows_bounded_state(q):
+    """Like Holt: the EWMA anomaly recurrence is a per-key fold — no
+    window functions, no joins; state is 4 doubles per type."""
+    f = assert_plan(q("ewma_anomaly_daily"), forbid_nested_loop=True)
+    assert "Window" not in f["plan"], f["plan"][:1500]
+    assert f["sort_merge_joins"] + f["broadcast_hash_joins"] == 0
+
+
+def test_seasonal_decompose_windows_are_partitioned(q):
+    """Both windows (trend MA, seasonal centering) are type-partitioned
+    and the seasonal join is a broadcast of |types|x7 rows."""
+    f = assert_plan(q("weekly_seasonal_decompose"))
+    assert f["broadcast_hash_joins"] >= 1
+    # every Window node carries an explicit partition spec
+    import re as _re
+
+    for m in _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"]):
+        assert m.strip(), "unpartitioned (global) window in plan"
+
+
+def test_burst_detection_grid_broadcast(q):
+    """The dense hour grid joins back to hourly counts broadcast-side;
+    the trailing-average window is type-partitioned."""
+    f = assert_plan(q("hourly_burst_detection"))
+    assert f["broadcast_hash_joins"] >= 1
+    assert "RowFrame, -24, -1" in f["plan"], f["plan"][:1500]
+
+
+def test_interarrival_single_exchange(q):
+    """lag window and the per-type aggregate share hash(event_type):
+    one exchange total."""
+    assert_plan(q("interarrival_time_stats"), max_shuffles=1)
+
+
+def test_two_hop_equi_join_topk(q):
+    assert_plan(
+        q("two_hop_reach_topk"), forbid_nested_loop=True, require_top_k=True
+    )
+
+
+def test_local_clustering_equi_joins_only(q):
+    f = assert_plan(q("local_clustering_histogram"))
+    assert f["nested_loop_joins"] == 0
+
+
+def test_pmi_totals_broadcast_topk(q):
+    """The two corpus totals are 1-row broadcasts (nested-loop count
+    <= 2 == those); the ranking is TakeOrderedAndProject."""
+    f = assert_plan(q("pmi_collocations"), require_top_k=True)
+    assert f["nested_loop_joins"] <= 2
+
+
+def test_gemm_topk_is_arrow_batched(q):
+    """The numpy scorer must plan as one Arrow-batched python stage and
+    a global top-k — not a per-row UDF, not a global sort."""
+    f = assert_plan(q("gemm_topk_cosine"), require_top_k=True)
+    assert "MapInPandas" in f["plan"] or "mapInPandas" in f["plan"]
+    assert "BatchEvalPython" not in f["plan"]  # row-at-a-time UDF path
+
+
+def test_rake_run_window_is_doc_partitioned(q):
+    """The gaps-and-islands window partitions by doc_id; phrase scoring
+    folds an ordered array (no float-order nondeterminism)."""
+    f = assert_plan(q("rake_keyphrases"), require_top_k=True)
+    import re as _re
+
+    for m in _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"]):
+        assert m.strip(), "unpartitioned (global) window in plan"
+
+
+def test_quality_calibration_boundaries_broadcast(q):
+    """Decile boundaries are a 1-row broadcast; the dup flag rides an
+    equi-join on doc_id — no ntile, no global window."""
+    f = assert_plan(q("quality_dup_calibration"))
+    assert "Window" not in f["plan"], f["plan"][:1500]
+    assert f["nested_loop_joins"] <= 1
+
+
+def test_markov_iteration_state_is_broadcast(q):
+    """Every power-iteration step joins the O(|types|) state broadcast-
+    side against the transition matrix; the final plan must not contain
+    a sort-merge join anywhere in the chain."""
+    f = assert_plan(q("markov_stationary_distribution"))
+    assert f["sort_merge_joins"] == 0, f["plan"][:2000]
