@@ -1,0 +1,224 @@
+"""BPE merge learning — the tokenizer-training core, cross-engine exact.
+
+``text.py`` counts pieces under a FIXED BPE-ish pre-tokenization; this
+module learns the merge table itself: the classic byte-pair-encoding
+training loop (Sennrich et al., ACL 2016) that every modern tokenizer
+(GPT-2 BPE, SentencePiece-BPE) builds its vocabulary with. Each round
+finds the most frequent adjacent symbol pair over the (frequency-
+weighted) vocabulary and fuses every non-overlapping occurrence,
+greedily left-to-right.
+
+Determinism is the whole game: the argmax tie-breaks on (count DESC,
+left ASC, right ASC), and the fuse step is greedy left-to-right in
+BOTH engines —
+
+- Spark folds each word's symbol array with ``F.aggregate`` (array
+  accumulator: merge when the accumulator's last element is ``a`` and
+  the next symbol is ``b``); a freshly fused symbol is ``a||b`` which
+  can never equal ``a``, so a fused position can't chain-fuse again —
+  exactly the non-overlapping rule;
+- the DuckDB oracle cannot fold with a list accumulator, so it gets
+  the SAME semantics relationally: explode symbols with positions,
+  mark match positions, group CONSECUTIVE matches into runs
+  (gaps-and-islands: p - row_number()), and select the odd offsets of
+  each run — overlapping matches only arise for a == b (runs of a
+  single repeated symbol), where greedy = take every other one.
+
+There is no floating point anywhere: counts are integers, symbols are
+strings, so the parity is exact, not rounded.
+
+Scale shape (100 TB): the vocabulary is capped at the top-K words by
+corpus frequency (one token-explode aggregate with map-side combine +
+TakeOrderedAndProject); every merge round then works on K rows of
+symbol arrays — driver traffic is ONE (pair, count) row per round,
+the same O(k) routing pattern as the k-means/IVF centroid loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sierradb_spark.registry import Registry, load
+from sierradb_spark.functions.text2 import _SQL_WORDS, _toks
+
+REG = Registry()
+
+_BPE_MERGES = 10
+_BPE_TOP_WORDS = 300
+
+
+def merge_step(a: str, b: str):
+    """Greedy left-to-right fuse of adjacent (a, b) as an F.aggregate
+    step over an array<string> accumulator. A fused symbol is a||b,
+    which can never equal ``a`` (b is non-empty), so a fused position
+    cannot chain-fuse — the non-overlapping rule falls out of the
+    comparison itself. Exposed for the equivalence test."""
+    fused = F.lit(a + b)
+
+    def step(acc, x):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(fused)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return step
+
+
+def _sql_bpe() -> str:
+    base = f"""
+        wfreq AS MATERIALIZED (
+            SELECT word, count(*) AS freq
+            FROM (SELECT unnest({_SQL_WORDS}) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word
+            ORDER BY freq DESC, word ASC LIMIT {_BPE_TOP_WORDS}
+        ),
+        v0 AS MATERIALIZED (
+            SELECT word AS wid, freq,
+                   regexp_extract_all(word, '.') AS syms
+            FROM wfreq
+        )
+    """
+    its = []
+    for i in range(1, _BPE_MERGES + 1):
+        prev = f"v{i - 1}"
+        its.append(
+            f"""
+        pc{i} AS MATERIALIZED (
+            SELECT pr[1] AS a, pr[2] AS b, sum(freq) AS c
+            FROM (
+                SELECT freq,
+                       unnest(list_zip(syms[:-2], syms[2:])) AS pr
+                FROM {prev} WHERE len(syms) >= 2
+            )
+            GROUP BY pr[1], pr[2]
+        ),
+        best{i} AS MATERIALIZED (
+            SELECT a, b, c FROM pc{i}
+            ORDER BY c DESC, a ASC, b ASC LIMIT 1
+        ),
+        e{i} AS (
+            SELECT wid, freq, unnest(syms) AS s,
+                   unnest(range(1, len(syms) + 1)) AS p
+            FROM {prev}
+        ),
+        m{i} AS (
+            SELECT e.wid, e.freq, e.s, e.p,
+                   coalesce(e.s = b.a
+                       AND lead(e.s) OVER (
+                           PARTITION BY e.wid ORDER BY e.p) = b.b,
+                       FALSE) AS mt
+            FROM e{i} e CROSS JOIN best{i} b
+        ),
+        r{i} AS (
+            SELECT *, CASE WHEN mt THEN
+                       p - row_number() OVER (
+                           PARTITION BY wid, mt ORDER BY p)
+                   END AS rg
+            FROM m{i}
+        ),
+        s{i} AS (
+            SELECT wid, freq, s, p,
+                   CASE WHEN mt THEN
+                       row_number() OVER (
+                           PARTITION BY wid, rg ORDER BY p) % 2 = 1
+                   ELSE FALSE END AS sel
+            FROM r{i}
+        ),
+        k{i} AS (
+            SELECT wid, freq, p, s, sel,
+                   coalesce(lag(sel) OVER (
+                       PARTITION BY wid ORDER BY p), FALSE) AS prev_sel
+            FROM s{i}
+        ),
+        v{i} AS MATERIALIZED (
+            SELECT wid, freq,
+                   list(CASE WHEN sel
+                             THEN s || (SELECT b FROM best{i})
+                             ELSE s END ORDER BY p) AS syms
+            FROM k{i} WHERE NOT prev_sel
+            GROUP BY wid, freq
+        )
+        """
+        )
+    union = "\n        UNION ALL\n".join(
+        f"        SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" CAST(c AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return "WITH " + base + "," + ",".join(its) + union
+
+
+@REG.add(
+    "bpe_learn_merges",
+    oracle=_sql_bpe(),
+    doc=f"Learns the first {_BPE_MERGES} BPE merges over the corpus "
+    f"vocabulary (top {_BPE_TOP_WORDS} words by frequency): per round, "
+    "the most frequent adjacent symbol pair (frequency-weighted, "
+    "count/left/right tie-break) is fused at every non-overlapping "
+    "occurrence, greedily left-to-right — the training loop of "
+    "GPT-style tokenizers. Integer counts and string symbols "
+    "throughout: zero floats, so Spark's array-accumulator fold and "
+    "the oracle's gaps-and-islands parity selection (overlaps only "
+    "exist for a==b runs, where greedy = every other match) agree "
+    "EXACTLY, pinned by the value hash. Scale shape: one corpus "
+    "token aggregate + TakeOrderedAndProject caps the vocab; each "
+    f"round is a job over {_BPE_TOP_WORDS} symbol arrays with one "
+    "(pair,count) row to the driver — O(merges) driver traffic, like "
+    "the k-means centroid loop.",
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    wfreq = (
+        d.select(F.explode(_toks()).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(_BPE_TOP_WORDS)
+    )
+    v = wfreq.select(
+        "freq", F.regexp_extract_all("word", F.lit("."), 0).alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs = (
+            v.where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(
+                            x.alias("a"), y.alias("b")
+                        ),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+        )
+        best = pairs.head()  # one row to the driver per round
+        a, b, c = best["a"], best["b"], int(best["c"])
+        merges.append((rank, a, b, c))
+        step = merge_step(a, b)
+
+        v = v.select(
+            "freq",
+            F.aggregate(
+                F.col("syms"), F.array().cast("array<string>"), step
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)  # flat lineage; 300 rows
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    )

@@ -21,6 +21,7 @@ from sierradb_spark.operators import (
     windows,
 )
 from sierradb_spark.functions import (
+    bpe,
     clustering,
     entity,
     contamination,
@@ -78,6 +79,7 @@ for mod in (
     substring,
     entity,
     audits,
+    bpe,
 ):
     REGISTRY.merge(mod.REG)
 
