@@ -97,16 +97,24 @@ _FRONT_50 = [
     # reverse/partition-range/partition-heads variants behind the
     # window — all carry green driver evidence from r01-r04)
     "eget_point_lookup", "watermark_gated_scan",
-    # production-width sketch dedup (5 — minhash_wide_bands carries
-    # r04 driver evidence and rotates behind the window)
-    "minhash_wide_candidates", "minhash_wide_recall",
+    # production-width sketch dedup (minhash_wide_bands/candidates/
+    # recall and sequence_packing all carry r04 driver evidence and
+    # rotate behind the window; verified_pairs/simhash/bucketed stay
+    # for their first driver check)
     "minhash_verified_pairs",
     "simhash64_hamming_candidates",
     "embedding_near_dup_bucketed",
-    # similarity / ANN + retrieval (3)
-    "bm25_top_docs", "ivf_probe2_topk", "ivf_pq_adc_topk",
-    # curation pipeline (1)
-    "sequence_packing",
+    # similarity / ANN + retrieval (ivf_probe2 carries r04 evidence,
+    # rotates behind)
+    "bm25_top_docs", "ivf_pq_adc_topk",
+    # round-5 session wave 4: this session's flagship new operators —
+    # BPE merge learning (exact iterative tokenizer training), the
+    # Markov stationary distribution (renormalized power iteration),
+    # RAKE keyphrases (gaps-and-islands + ordered-fold scoring), and
+    # the quality-vs-duplication calibration. None has driver
+    # evidence yet.
+    "bpe_learn_merges", "markov_stationary_distribution",
+    "rake_keyphrases", "quality_dup_calibration",
     # round-5 rotation wave 3: this session's new operators, none with
     # driver evidence yet — retrieval fusion, entity resolution, the
     # shuffle-planning and LSH/IVF audits, fertility, the threshold

@@ -1,3 +1,4 @@
+from sierradb_spark.streaming.alerts import anomaly_alert_stream
 from sierradb_spark.streaming.corpus import StreamingCorpusDedup
 from sierradb_spark.streaming.ingest import StreamIngest
 from sierradb_spark.streaming.subscribe import (
@@ -16,6 +17,7 @@ from sierradb_spark.streaming.windowed import (
 
 __all__ = [
     "StreamIngest",
+    "anomaly_alert_stream",
     "StreamingCorpusDedup",
     "StreamMatcher",
     "PartitionMatcher",
