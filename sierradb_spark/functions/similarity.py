@@ -319,8 +319,21 @@ def _ivf_assignments(
         ((r["seed"], r["cv"]) for r in cent.collect()), key=lambda t: t[0]
     )
     cent_rows = [(i, list(cv)) for i, (_, cv) in enumerate(cents)]
-    # Nearest-centroid assignment as one JVM expression over the (small)
-    # centroid literal array: argmax of cosine.
+    return assign_cells(embeddings, cent_rows), cent_rows
+
+
+def assign_cells(embeddings: DataFrame, cent_rows: list) -> DataFrame:
+    """Nearest-centroid assignment as one JVM expression over the
+    (small) centroid literal array: argmax of cosine. ``cent_rows``
+    must be dense ``(cell_id, centroid)`` pairs in cell_id order 0..k-1
+    (the build layout) — the argmax's array position IS the cell id.
+    The ONE assignment construction: the initial build and
+    :func:`add_to_ivf_index` both route through it, so a vector added
+    later lands in exactly the cell the original build would have
+    chosen."""
+    assert [c for c, _ in cent_rows] == list(range(len(cent_rows)))
+    v = F.col("embedding").cast("array<double>")
+
     def cos_to(cv: list) -> Column:
         carr = F.array(*[F.lit(float(x)) for x in cv])
         # A zero-norm vector has NULL cosine to every centroid; without
@@ -343,10 +356,40 @@ def _ivf_assignments(
     # and double the expression tree per centroid — O(2^cells) blowup.
     cos_arr = F.array(*[cos_to(cv) for _, cv in cent_rows])
     cell = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
-    assigned = embeddings.select(
+    return embeddings.select(
         "vec_id", "label", "embedding", cell.alias("cell_id")
     )
-    return assigned, cent_rows
+
+
+def add_to_ivf_index(new_vectors: DataFrame, path: str) -> int:
+    """Incrementally add vectors to a materialized IVF index without a
+    rebuild: centroids stay FROZEN (the production contract — rerouting
+    existing vectors would mean rewriting the whole layout), each new
+    vector is assigned to its nearest frozen centroid by the same
+    argmax expression the build used, and the new rows are APPENDED to
+    their cells' hive partitions. Probing needs no change: partition
+    pruning reads old and new files of the probed cells alike.
+
+    Returns the number of vectors added. Periodic full rebuilds remain
+    the centroid-drift hygiene (same trade as every IVF store); until
+    then, recall changes only through cell-balance drift, which
+    ``ivf_cell_balance_audit`` measures.
+    """
+    import os
+
+    spark = new_vectors.sparkSession
+    cent_rows = [
+        (int(r["cell_id"]), list(r["centroid"]))
+        for r in sorted(
+            spark.read.parquet(os.path.join(path, "centroids")).collect(),
+            key=lambda r: r["cell_id"],
+        )
+    ]
+    assigned = assign_cells(new_vectors, cent_rows)
+    assigned.write.mode("append").partitionBy("cell_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    return assigned.count()
 
 
 def route_probed_cells(cent_rows, query_vec: list, nprobe: int) -> list:

@@ -177,3 +177,72 @@ def test_ivf_pq_adc_equals_reconstruction_form(spark, sf_dir, pq_index):
         .collect()
     ]
     assert got == want, (got, want)
+
+
+def test_incremental_add_routes_like_build_and_loses_nothing(
+    spark, sf_dir, tmp_path
+):
+    """add_to_ivf_index with frozen centroids: (a) every added vector
+    lands in the cell the build's own argmax would choose, (b) a full
+    probe over the grown index equals brute force over the union — the
+    incremental path loses nothing."""
+    from sierradb_spark.functions.similarity import (
+        add_to_ivf_index,
+        assign_cells,
+        dot_col,
+        norm_col,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 5 != 0)
+    extra = e.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "index")
+    build_ivf_index(base, path)
+
+    n_added = add_to_ivf_index(extra, path)
+    assert n_added == extra.count()
+
+    vecs = spark.read.parquet(path + "/vectors")
+    assert vecs.count() == e.count()  # nothing lost, nothing duplicated
+    assert vecs.select("vec_id").distinct().count() == e.count()
+
+    # (a) assignment parity: re-deriving the added vectors' cells with
+    # the shared expression over the frozen centroid table matches what
+    # was written.
+    cent_rows = [
+        (int(r["cell_id"]), list(r["centroid"]))
+        for r in sorted(
+            spark.read.parquet(path + "/centroids").collect(),
+            key=lambda r: r["cell_id"],
+        )
+    ]
+    want = {
+        r["vec_id"]: r["cell_id"]
+        for r in assign_cells(extra, cent_rows).collect()
+    }
+    got = {
+        r["vec_id"]: r["cell_id"]
+        for r in vecs.join(
+            extra.select("vec_id"), "vec_id"
+        ).select("vec_id", "cell_id").collect()
+    }
+    assert got == want
+
+    # (b) full probe == brute force over base ∪ extra.
+    qv = _query_vec(spark, sf_dir)
+    n_cells = len(cent_rows)
+    approx = probe_ivf(spark, path, qv, k=10, nprobe=n_cells)
+    v = F.col("embedding").cast("array<double>")
+    qarr = F.array(*[F.lit(x) for x in qv])
+    qn = sum(x * x for x in qv) ** 0.5
+    cos = F.round(
+        dot_col(v, qarr) / F.nullif(norm_col(v) * F.lit(qn), F.lit(0.0)), 4
+    )
+    brute = (
+        e.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    assert [tuple(r) for r in approx.collect()] == [
+        tuple(r) for r in brute.collect()
+    ]
