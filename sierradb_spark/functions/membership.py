@@ -730,3 +730,65 @@ def dedup_attribution_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_dup_rate"),
         )
     )
+
+
+@REG.add(
+    "source_novelty_stats",
+    oracle=f"""
+        WITH cs AS MATERIALIZED (
+            SELECT DISTINCT d.source, c.digest
+            FROM ({_SQL_CHUNK_TABLE}) c
+            JOIN documents d ON d.doc_id = c.doc_id
+        ),
+        spread AS (
+            SELECT digest, count(*) AS n_src FROM cs GROUP BY digest
+        )
+        SELECT cs.source,
+               CAST(count(*) AS BIGINT) AS n_digests,
+               CAST(count(*) FILTER (WHERE sp.n_src = 1) AS BIGINT)
+                   AS n_novel,
+               round(count(*) FILTER (WHERE sp.n_src = 1)
+                     / CAST(count(*) AS DOUBLE), 6) AS novelty_share,
+               round(avg(CAST(sp.n_src AS DOUBLE)), 4) AS avg_spread
+        FROM cs JOIN spread sp ON sp.digest = cs.digest
+        GROUP BY cs.source
+    """,
+    doc="Per-source content NOVELTY: the share of a source's distinct "
+    "chunk digests that appear in NO other source, plus the average "
+    "cross-source spread of its content. The complement of "
+    "source_overlap_matrix's pairwise view — the number that actually "
+    "prices a source into a mixture: a dump whose novelty_share is "
+    "near zero adds tokens but no new information, whatever its "
+    "pairwise overlaps look like individually. Scale shape: one "
+    "distinct (source, digest) projection, one digest-keyed spread "
+    "aggregate joined back on the 16-byte digest (map-side combined, "
+    "collision-scaled) — per-source output rows only; since cs is "
+    "distinct per source, n_src = 1 means globally unique.",
+)
+def source_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    cs = (
+        _chunk_table(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("source", "digest")
+        .distinct()
+        .localCheckpoint(eager=True)  # spread + per-source agg reuse
+    )
+    spread = cs.groupBy("digest").agg(F.count("*").alias("n_src"))
+    novel = F.count(F.when(F.col("n_src") == 1, 1))
+    return (
+        cs.join(spread, "digest")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_digests"),
+            novel.alias("n_novel"),
+            F.round(novel / F.count("*").cast("double"), 6).alias(
+                "novelty_share"
+            ),
+            F.round(F.avg(F.col("n_src").cast("double")), 4).alias(
+                "avg_spread"
+            ),
+        )
+    )

@@ -365,3 +365,115 @@ def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("kept_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-tail diagnostics of the length distribution
+# ---------------------------------------------------------------------------
+
+_HILL_K = 20  # order statistics the tail index is estimated from
+
+
+@REG.add(
+    "length_tail_index",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+            FROM documents
+        ),
+        topk AS (
+            SELECT source,
+                   list(CAST(n_chars AS DOUBLE) ORDER BY rk) AS xs
+            FROM ranked WHERE rk <= {_HILL_K} + 1
+            GROUP BY source
+        ),
+        stats AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean_chars,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 3)
+                       AS p50_chars,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 3)
+                       AS p95_chars
+            FROM documents GROUP BY source
+        )
+        SELECT s.source, s.n_docs, s.mean_chars, s.p50_chars, s.p95_chars,
+               round(list_reduce(
+                   list_prepend(0.0,
+                       list_transform(t.xs[:{_HILL_K}],
+                                      x -> ln(x / t.xs[{_HILL_K} + 1]))),
+                   (acc, v) -> acc + v) / {_HILL_K}, 6) AS hill_tail_index
+        FROM stats s
+        JOIN topk t ON t.source = s.source
+        WHERE len(t.xs) = {_HILL_K} + 1
+    """,
+    doc=f"Heavy-tail diagnostic of the per-source document-length "
+    f"distribution: exact p50/p95 plus the Hill tail-index estimator "
+    f"over the top {_HILL_K} order statistics (mean of ln(x_i/x_(k+1)); "
+    "small alpha-reciprocal = heavy tail). A heavy length tail is what "
+    "breaks fixed-window sequence packing and skews shard sizes, so "
+    "this is the number to check BEFORE choosing packing/shard "
+    "parameters. The per-source top-(k+1) comes from a source-"
+    "partitioned window; the log-ratio sum folds an ORDERED list "
+    "(F.aggregate / list_reduce), so both engines add identical "
+    "doubles in identical order. Sources with fewer than k+1 docs are "
+    "excluded (the estimator is undefined).",
+)
+def length_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    ranked = (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rk", rk)
+        .where(F.col("rk") <= _HILL_K + 1)
+        .select("source", F.col("n_chars").cast("double").alias("x"), "rk")
+    )
+    topk = ranked.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rk", "x"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.count("*").alias("k1"),
+    ).where(F.col("k1") == _HILL_K + 1)
+    xs = F.col("xs")
+    tail = F.element_at(xs, _HILL_K + 1)
+    hill = (
+        F.aggregate(
+            F.transform(
+                F.slice(xs, 1, _HILL_K), lambda x: F.log(x / tail)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / _HILL_K
+    )
+    stats = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias(
+            "mean_chars"
+        ),
+        F.round(F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 3).alias(
+            "p50_chars"
+        ),
+        F.round(F.expr("percentile(CAST(n_chars AS DOUBLE), 0.95)"), 3).alias(
+            "p95_chars"
+        ),
+    )
+    return stats.join(
+        topk.select("source", F.round(hill, 6).alias("hill_tail_index")),
+        "source",
+    ).select(
+        "source",
+        "n_docs",
+        "mean_chars",
+        "p50_chars",
+        "p95_chars",
+        "hill_tail_index",
+    )
