@@ -70,6 +70,61 @@ def merge_step(a: str, b: str):
     return step
 
 
+def _sql_fuse_round(
+    prev: str, out: str, best: str, suffix: str
+) -> str:
+    """One relational greedy-fuse round: explode ``prev``'s symbol
+    arrays, mark positions matching ``best``'s pair, gaps-and-islands
+    run grouping, odd-offset selection, regroup into ``out``. Shared by
+    the learn oracle (over the capped vocab) and the encode oracle
+    (over the full distinct-word set)."""
+    e, m, r, s, k = (f"{n}{suffix}" for n in ("e", "m", "r", "s", "k"))
+    return f"""
+        {e} AS (
+            SELECT wid, freq, unnest(syms) AS s,
+                   unnest(range(1, len(syms) + 1)) AS p
+            FROM {prev}
+        ),
+        {m} AS (
+            SELECT e.wid, e.freq, e.s, e.p,
+                   coalesce(e.s = b.a
+                       AND lead(e.s) OVER (
+                           PARTITION BY e.wid ORDER BY e.p) = b.b,
+                       FALSE) AS mt
+            FROM {e} e CROSS JOIN {best} b
+        ),
+        {r} AS (
+            SELECT *, CASE WHEN mt THEN
+                       p - row_number() OVER (
+                           PARTITION BY wid, mt ORDER BY p)
+                   END AS rg
+            FROM {m}
+        ),
+        {s} AS (
+            SELECT wid, freq, s, p,
+                   CASE WHEN mt THEN
+                       row_number() OVER (
+                           PARTITION BY wid, rg ORDER BY p) % 2 = 1
+                   ELSE FALSE END AS sel
+            FROM {r}
+        ),
+        {k} AS (
+            SELECT wid, freq, p, s, sel,
+                   coalesce(lag(sel) OVER (
+                       PARTITION BY wid ORDER BY p), FALSE) AS prev_sel
+            FROM {s}
+        ),
+        {out} AS MATERIALIZED (
+            SELECT wid, freq,
+                   list(CASE WHEN sel
+                             THEN s || (SELECT b FROM {best})
+                             ELSE s END ORDER BY p) AS syms
+            FROM {k} WHERE NOT prev_sel
+            GROUP BY wid, freq
+        )
+    """
+
+
 def _sql_bpe() -> str:
     base = f"""
         wfreq AS MATERIALIZED (
@@ -102,50 +157,8 @@ def _sql_bpe() -> str:
         best{i} AS MATERIALIZED (
             SELECT a, b, c FROM pc{i}
             ORDER BY c DESC, a ASC, b ASC LIMIT 1
-        ),
-        e{i} AS (
-            SELECT wid, freq, unnest(syms) AS s,
-                   unnest(range(1, len(syms) + 1)) AS p
-            FROM {prev}
-        ),
-        m{i} AS (
-            SELECT e.wid, e.freq, e.s, e.p,
-                   coalesce(e.s = b.a
-                       AND lead(e.s) OVER (
-                           PARTITION BY e.wid ORDER BY e.p) = b.b,
-                       FALSE) AS mt
-            FROM e{i} e CROSS JOIN best{i} b
-        ),
-        r{i} AS (
-            SELECT *, CASE WHEN mt THEN
-                       p - row_number() OVER (
-                           PARTITION BY wid, mt ORDER BY p)
-                   END AS rg
-            FROM m{i}
-        ),
-        s{i} AS (
-            SELECT wid, freq, s, p,
-                   CASE WHEN mt THEN
-                       row_number() OVER (
-                           PARTITION BY wid, rg ORDER BY p) % 2 = 1
-                   ELSE FALSE END AS sel
-            FROM r{i}
-        ),
-        k{i} AS (
-            SELECT wid, freq, p, s, sel,
-                   coalesce(lag(sel) OVER (
-                       PARTITION BY wid ORDER BY p), FALSE) AS prev_sel
-            FROM s{i}
-        ),
-        v{i} AS MATERIALIZED (
-            SELECT wid, freq,
-                   list(CASE WHEN sel
-                             THEN s || (SELECT b FROM best{i})
-                             ELSE s END ORDER BY p) AS syms
-            FROM k{i} WHERE NOT prev_sel
-            GROUP BY wid, freq
-        )
-        """
+        ),"""
+            + _sql_fuse_round(prev, f"v{i}", f"best{i}", str(i))
         )
     union = "\n        UNION ALL\n".join(
         f"        SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym,"
@@ -153,6 +166,134 @@ def _sql_bpe() -> str:
         for i in range(1, _BPE_MERGES + 1)
     )
     return "WITH " + base + "," + ",".join(its) + union
+
+
+def _sql_bpe_encode() -> str:
+    learn = _sql_bpe()
+    # Reuse the learn CTE chain (everything before the final UNION of
+    # best rows), then chain the apply rounds over the FULL distinct
+    # vocabulary and aggregate per language.
+    learn_ctes = learn[: learn.rindex("        SELECT 1 AS merge_rank")]
+    applies = ",".join(
+        _sql_fuse_round(f"w{i - 1}", f"w{i}", f"best{i}", f"a{i}")
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return (
+        learn_ctes
+        + f""",
+        wl AS MATERIALIZED (
+            SELECT lang, word, count(*) AS cnt
+            FROM (SELECT lang, unnest({_SQL_WORDS}) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY lang, word
+        ),
+        w0 AS MATERIALIZED (
+            SELECT word AS wid, CAST(0 AS BIGINT) AS freq,
+                   regexp_extract_all(word, '.') AS syms
+            FROM (SELECT DISTINCT word FROM wl)
+        ),"""
+        + applies
+        + f""",
+        enc AS MATERIALIZED (
+            SELECT wid, syms FROM w{_BPE_MERGES}
+        ),
+        stats AS (
+            SELECT wl.lang,
+                   CAST(sum(wl.cnt) AS BIGINT) AS n_tokens,
+                   CAST(sum(wl.cnt * length(e.wid)) AS BIGINT)
+                       AS total_chars,
+                   CAST(sum(wl.cnt * len(e.syms)) AS BIGINT)
+                       AS total_pieces
+            FROM wl JOIN enc e ON wl.word = e.wid
+            GROUP BY wl.lang
+        ),
+        vocab AS (
+            SELECT lang,
+                   CAST(count(DISTINCT piece) AS BIGINT)
+                       AS n_distinct_pieces
+            FROM (SELECT wl.lang AS lang, unnest(e.syms) AS piece
+                  FROM wl JOIN enc e ON wl.word = e.wid)
+            GROUP BY lang
+        )
+        SELECT s.lang, s.n_tokens, s.total_chars, s.total_pieces,
+               round(s.total_pieces / CAST(s.n_tokens AS DOUBLE), 4)
+                   AS pieces_per_token,
+               round(s.total_chars / CAST(s.total_pieces AS DOUBLE), 4)
+                   AS chars_per_piece,
+               v.n_distinct_pieces
+        FROM stats s JOIN vocab v USING (lang)
+    """
+    )
+
+
+@REG.add(
+    "bpe_encode_stats",
+    oracle=_sql_bpe_encode(),
+    doc=f"The encode half of the tokenizer story: apply the "
+    f"{_BPE_MERGES} learned BPE merges to the FULL corpus vocabulary "
+    "(each merge exhaustively, greedy left-to-right, in learned order "
+    "— pinned semantics, identical in both engines) and report "
+    "per-language encoding economics: pieces per token (fertility "
+    "under the learned vocab), chars per piece (compression), and the "
+    "distinct piece inventory each language actually uses. The "
+    "learn-then-encode round trip runs entirely in-engine. Scale "
+    "shape: merges apply to the DISTINCT vocabulary (vocab-sized work "
+    "however big the corpus), then join back to per-(lang, word) "
+    "counts on the word equi-key — the standard vocabulary-table "
+    "trick; per-round work is a vocab-sized array fold with no "
+    "shuffle, and driver traffic stays O(merges) from the learn loop.",
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _learn_merges(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    wl = (
+        d.select("lang", F.explode(_toks()).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # reused by stats + vocab below
+    )
+    enc = wl.select("word").distinct().withColumn(
+        "syms", F.regexp_extract_all("word", F.lit("."), 0)
+    )
+    for i, (_, a, b, _c) in enumerate(merges):
+        enc = enc.select(
+            "word",
+            F.aggregate(
+                F.col("syms"), F.array().cast("array<string>"), merge_step(a, b)
+            ).alias("syms"),
+        )
+        if (i + 1) % 3 == 0:
+            # Sever the nested-lambda expression tree periodically —
+            # vocab-sized rows, so materialization is cheap.
+            enc = enc.localCheckpoint(eager=True)
+    enc = enc.localCheckpoint(eager=True)  # reused by stats + vocab
+    joined = wl.join(enc, "word")
+    stats = joined.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.length("word")).cast("long").alias("total_chars"),
+        F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("total_pieces"),
+    )
+    vocab = (
+        joined.select("lang", F.explode("syms").alias("piece"))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_distinct_pieces"))
+    )
+    return stats.join(vocab, "lang").select(
+        "lang",
+        "n_tokens",
+        "total_chars",
+        "total_pieces",
+        F.round(
+            F.col("total_pieces") / F.col("n_tokens").cast("double"), 4
+        ).alias("pieces_per_token"),
+        F.round(
+            F.col("total_chars") / F.col("total_pieces").cast("double"), 4
+        ).alias("chars_per_piece"),
+        "n_distinct_pieces",
+    )
 
 
 @REG.add(
@@ -174,6 +315,18 @@ def _sql_bpe() -> str:
     "the k-means centroid loop.",
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _learn_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def _learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """The Spark learn loop: returns the ordered merge table
+    [(rank, left, right, pair_count)]. One (pair, count) row reaches
+    the driver per round."""
     d = load(spark, sf_dir, "documents")
     wfreq = (
         d.select(F.explode(_toks()).alias("word"))
@@ -219,6 +372,4 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("syms"),
         ).localCheckpoint(eager=True)  # flat lineage; 300 rows
 
-    return spark.createDataFrame(
-        merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
-    )
+    return merges

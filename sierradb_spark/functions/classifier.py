@@ -1,0 +1,266 @@
+"""In-engine trained quality classifier: logistic regression by
+full-batch gradient descent, cross-engine exact.
+
+The model-based filtering step every LLM data pipeline eventually
+adds (fastText-style quality classifiers over cheap surface features)
+— trained HERE, inside the engine, with no ML library: features are
+whole-stage-codegen expressions, standardization is one moment
+aggregate, and each gradient-descent round is one aggregate with the
+weight vector on the broadcast side. Determinism follows the
+fold-vs-unroll discipline (docs/SCALE.md): per-round weights are
+rounded to 9 decimals in BOTH engines (Spark ``F.round`` in the loop,
+DuckDB ``round`` in the unrolled-CTE oracle), the pre-sigmoid logit is
+rounded to 6 so both engines exponentiate the identical double, and
+features are rounded to 6 at extraction — so the only cross-engine
+noise is float sum order, absorbed by the per-round rounding exactly
+as in the k-means / power-iteration loops.
+
+Label: ``lang = 'en'`` — a surface-statistics language/quality probe
+(stopword ratio is the informative feature), the same shape as a
+wiki-vs-crawl quality model. Driver traffic is O(rounds): six rounded
+weights per round, never data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sierradb_spark.registry import Registry, load
+from sierradb_spark.functions.text import STOPWORDS, _SQL_TOKS, tokens_col
+
+REG = Registry()
+
+_LR_ROUNDS = 8
+_LR_RATE = 0.5
+_FEATS = (
+    "log1p_tokens",
+    "stopword_ratio",
+    "avg_token_len",
+    "distinct_ratio",
+    "digit_ratio",
+)
+_NF = len(_FEATS)
+
+
+def _sql_features() -> str:
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        raw AS MATERIALIZED (
+            SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   round(ln(1 + len(toks)), 6) AS x1,
+                   round(coalesce(len(list_filter(toks, t -> t IN ({stop})))
+                         / CAST(nullif(len(toks), 0) AS DOUBLE), 0.0), 6)
+                       AS x2,
+                   round(coalesce(length(replace(text, ' ', ''))
+                         / CAST(nullif(len(toks), 0) AS DOUBLE), 0.0), 6)
+                       AS x3,
+                   round(coalesce(len(list_distinct(toks))
+                         / CAST(nullif(len(toks), 0) AS DOUBLE), 0.0), 6)
+                       AS x4,
+                   round(coalesce(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / CAST(nullif(length(text), 0) AS DOUBLE), 0.0), 6)
+                       AS x5
+            FROM (SELECT lang, text, {_SQL_TOKS} AS toks FROM documents)
+        ),
+        mo AS MATERIALIZED (
+            SELECT {", ".join(
+                f"round(avg(x{j}), 9) AS m{j}, "
+                f"round(sqrt(avg(x{j} * x{j}) - avg(x{j}) * avg(x{j})), 9)"
+                f" AS s{j}"
+                for j in range(1, _NF + 1)
+            )}
+            FROM raw
+        ),
+        ft AS MATERIALIZED (
+            SELECT y, {", ".join(
+                f"coalesce((x{j} - m{j}) / nullif(s{j}, 0), 0.0) AS z{j}"
+                for j in range(1, _NF + 1)
+            )}
+            FROM raw CROSS JOIN mo
+        ),
+        w0cte AS (SELECT {", ".join(
+            f"0.0 AS w{j}" for j in range(0, _NF + 1)
+        )})
+    """
+
+
+def _sql_lr() -> str:
+    rounds = []
+    for r in range(1, _LR_ROUNDS + 1):
+        prev = "w0cte" if r == 1 else f"w{r - 1}"
+        logit = " + ".join(
+            ["w.w0"] + [f"w.w{j} * f.z{j}" for j in range(1, _NF + 1)]
+        )
+        grads = ", ".join(
+            [
+                f"round(max(w.w0) - {_LR_RATE} * sum(p.pr - p.y)"
+                f" / count(*), 9) AS w0"
+            ]
+            + [
+                f"round(max(w.w{j}) - {_LR_RATE} * sum((p.pr - p.y) * p.z{j})"
+                f" / count(*), 9) AS w{j}"
+                for j in range(1, _NF + 1)
+            ]
+        )
+        rounds.append(
+            f"""
+        p{r} AS (
+            SELECT f.*,
+                   1.0 / (1.0 + exp(-round({logit}, 6))) AS pr
+            FROM ft f CROSS JOIN {prev} w
+        ),
+        w{r} AS MATERIALIZED (
+            SELECT {grads}
+            FROM p{r} p CROSS JOIN {prev} w
+        )
+        """
+        )
+    finals = [
+        "SELECT 'intercept' AS feature, 0.0 AS mu, 1.0 AS sd, "
+        f"round(w0, 6) AS weight FROM w{_LR_ROUNDS}"
+    ]
+    for j, name in enumerate(_FEATS, start=1):
+        finals.append(
+            f"SELECT '{name}', round((SELECT m{j} FROM mo), 6), "
+            f"round((SELECT s{j} FROM mo), 6), round(w{j}, 6) "
+            f"FROM w{_LR_ROUNDS}"
+        )
+    return (
+        "WITH "
+        + _sql_features()
+        + ","
+        + ",".join(rounds)
+        + " UNION ALL ".join(finals)
+    )
+
+
+@REG.add(
+    "quality_lr_classifier",
+    oracle=_sql_lr(),
+    doc=f"Logistic-regression quality classifier trained IN-ENGINE by "
+    f"{_LR_ROUNDS} rounds of full-batch gradient descent (rate "
+    f"{_LR_RATE}) on five surface features (log tokens, stopword "
+    "ratio, avg token length, distinct-token ratio, digit ratio), "
+    "label = English — the fastText-quality-classifier shape of "
+    "model-based corpus filtering, with no ML library in the loop. "
+    "Returns the deployable model: per-feature standardization "
+    "moments and final weight. Cross-engine exactness follows the "
+    "iterative-fold discipline: features rounded at extraction, the "
+    "logit rounded to 6 before the sigmoid so both engines "
+    "exponentiate the same double, weights rounded to 9 per round "
+    "(oracle = the same rounds as unrolled MATERIALIZED CTEs). Scale "
+    "shape: one feature-extraction scan (codegen expressions only), "
+    "one moment aggregate, then one aggregate per round with the "
+    "6-weight state broadcast — driver traffic O(rounds), shuffle "
+    "traffic one partial-aggregate row per partition per round.",
+)
+def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    nd = F.nullif(n.cast("double"), F.lit(0.0))
+    feats = [
+        F.round(F.log(F.lit(1) + n), 6),
+        F.round(
+            F.coalesce(
+                F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / nd,
+                F.lit(0.0),
+            ),
+            6,
+        ),
+        F.round(
+            F.coalesce(
+                F.length(F.regexp_replace("text", " ", "")) / nd, F.lit(0.0)
+            ),
+            6,
+        ),
+        F.round(
+            F.coalesce(F.size(F.array_distinct(toks)) / nd, F.lit(0.0)), 6
+        ),
+        F.round(
+            F.coalesce(
+                F.length(F.regexp_replace("text", "[^0-9]", ""))
+                / F.nullif(F.length("text").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ),
+            6,
+        ),
+    ]
+    raw = d.select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        *[c.alias(f"x{j}") for j, c in enumerate(feats, start=1)],
+    ).localCheckpoint(eager=True)  # reused: moments + every GD round
+
+    mo_aggs = []
+    for j in range(1, _NF + 1):
+        x = F.col(f"x{j}")
+        mo_aggs.append(F.round(F.avg(x), 9).alias(f"m{j}"))
+        mo_aggs.append(
+            F.round(F.sqrt(F.avg(x * x) - F.avg(x) * F.avg(x)), 9).alias(
+                f"s{j}"
+            )
+        )
+    mo = raw.agg(*mo_aggs).head()  # one row of moments to the driver
+
+    zcols = [
+        F.coalesce(
+            (F.col(f"x{j}") - F.lit(mo[f"m{j}"]))
+            / F.nullif(F.lit(mo[f"s{j}"]), F.lit(0.0)),
+            F.lit(0.0),
+        ).alias(f"z{j}")
+        for j in range(1, _NF + 1)
+    ]
+    ft = raw.select("y", *zcols).localCheckpoint(eager=True)
+
+    w = [0.0] * (_NF + 1)  # intercept + features, O(1) driver state
+    for _ in range(_LR_ROUNDS):
+        logit = F.lit(w[0])
+        for j in range(1, _NF + 1):
+            logit = logit + F.lit(w[j]) * F.col(f"z{j}")
+        pr = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(logit, 6)))
+        aggs = [
+            F.round(
+                F.lit(w[0])
+                - F.lit(_LR_RATE) * F.sum(pr - F.col("y")) / F.count(F.lit(1)),
+                9,
+            ).alias("w0")
+        ]
+        for j in range(1, _NF + 1):
+            aggs.append(
+                F.round(
+                    F.lit(w[j])
+                    - F.lit(_LR_RATE)
+                    * F.sum((pr - F.col("y")) * F.col(f"z{j}"))
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias(f"w{j}")
+            )
+        row = ft.agg(*aggs).head()  # six rounded weights per round
+        w = [row[f"w{j}"] for j in range(0, _NF + 1)]
+
+    out = [("intercept", 0.0, 1.0, round_half_up6(w[0]))]
+    for j, name in enumerate(_FEATS, start=1):
+        out.append(
+            (
+                name,
+                round_half_up6(mo[f"m{j}"]),
+                round_half_up6(mo[f"s{j}"]),
+                round_half_up6(w[j]),
+            )
+        )
+    return spark.createDataFrame(
+        out, "feature string, mu double, sd double, weight double"
+    )
+
+
+def round_half_up6(x: float) -> float:
+    """Final-output rounding to 6 decimals, matching SQL ROUND
+    (half away from zero on the shortest decimal representation) —
+    Python's builtin round() is banker's rounding, which would
+    disagree on exact .5 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )

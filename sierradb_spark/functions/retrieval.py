@@ -253,3 +253,133 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# IR ranking metrics: how good is the cheap ranking, in ranking terms?
+# ---------------------------------------------------------------------------
+
+# Queries are the vectors with vec_id < _RQ_N_QUERIES; the "system"
+# ranking scores on the first _RQ_PREFIX dims only (the Matryoshka
+# coarse stage); ground truth is the full-dim exact cosine top-10.
+_RQ_N_QUERIES = 5
+_RQ_PREFIX = 16
+_RQ_K = 10
+# Binary-gain ideal DCG at cutoff 10: sum_{i=1..10} 1/log2(i+1),
+# computed once in Python and embedded as the SAME literal in both
+# engines so the normalization is bit-identical.
+_RQ_IDCG = 4.543559338088346
+
+
+@REG.add(
+    "retrieval_rank_quality",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        q AS MATERIALIZED (
+            SELECT vec_id AS qid, emb AS qv FROM v
+            WHERE vec_id < {_RQ_N_QUERIES}
+        ),
+        p AS MATERIALIZED (
+            SELECT q.qid, v.vec_id,
+                   round(list_dot_product(v.emb, q.qv)
+                         / nullif(sqrt(list_dot_product(v.emb, v.emb))
+                                  * sqrt(list_dot_product(q.qv, q.qv)), 0),
+                         4) AS c_full,
+                   round(list_dot_product(v.emb[1:{_RQ_PREFIX}],
+                                          q.qv[1:{_RQ_PREFIX}])
+                         / nullif(sqrt(list_dot_product(v.emb[1:{_RQ_PREFIX}],
+                                                        v.emb[1:{_RQ_PREFIX}]))
+                                  * sqrt(list_dot_product(q.qv[1:{_RQ_PREFIX}],
+                                                          q.qv[1:{_RQ_PREFIX}])),
+                                  0),
+                         4) AS c_16
+            FROM v, q WHERE v.vec_id <> q.qid
+        ),
+        r AS (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY c_full DESC, vec_id ASC)
+                       AS rk_full,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY c_16 DESC, vec_id ASC)
+                       AS rk_16
+            FROM p
+        )
+        SELECT CAST(qid AS BIGINT) AS query_id,
+               round(count(*) FILTER (WHERE rk_full <= {_RQ_K}
+                                        AND rk_16 <= {_RQ_K})
+                     / {float(_RQ_K)}, 6) AS recall_at_10,
+               round(coalesce(
+                   1.0 / min(rk_16) FILTER (WHERE rk_full <= {_RQ_K}
+                                              AND rk_16 <= {_RQ_K}),
+                   0.0), 6) AS mrr_at_10,
+               round(coalesce(
+                   sum(1.0 / log2(rk_16 + 1))
+                       FILTER (WHERE rk_full <= {_RQ_K}
+                                 AND rk_16 <= {_RQ_K}),
+                   0.0) / {_RQ_IDCG!r}, 6) AS ndcg_at_10
+        FROM r GROUP BY qid
+    """,
+    doc=f"IR ranking-quality audit: recall@10, MRR@10, and binary-gain "
+    f"nDCG@10 of the {_RQ_PREFIX}-dim Matryoshka-prefix cosine ranking "
+    f"against the full-dim exact top-10, per query ({_RQ_N_QUERIES} "
+    "pinned query vectors). Overlap (recall) says WHETHER the cheap "
+    "stage finds the right documents; MRR/nDCG say WHERE it puts them "
+    "— the numbers that decide if a coarse stage can serve results "
+    "directly or only feed a reranker. One pass computes both cosines "
+    "per (query, candidate); the two rankings are windows over the "
+    "SAME query-id partitioning (one exchange, reused). At corpus "
+    "scale the exact ground-truth side caps to these sampled queries — "
+    "the audit is O(queries x corpus), never corpus^2.",
+)
+def retrieval_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from sierradb_spark.functions.similarity import _dvec, cosine_col
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("emb")
+    )
+    q = v.where(F.col("vec_id") < _RQ_N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qv")
+    )
+    emb16 = F.slice(F.col("emb"), 1, _RQ_PREFIX)
+    qv16 = F.slice(F.col("qv"), 1, _RQ_PREFIX)
+    pairs = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_col(F.col("emb"), F.col("qv")), 4).alias("c_full"),
+            F.round(cosine_col(emb16, qv16), 4).alias("c_16"),
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("c_full").desc(), F.col("vec_id").asc())
+    w16 = W.partitionBy("qid").orderBy(F.col("c_16").desc(), F.col("vec_id").asc())
+    ranked = pairs.select(
+        "qid",
+        F.row_number().over(wf).alias("rk_full"),
+        F.row_number().over(w16).alias("rk_16"),
+    )
+    hit = (F.col("rk_full") <= _RQ_K) & (F.col("rk_16") <= _RQ_K)
+    return ranked.groupBy(F.col("qid").alias("query_id")).agg(
+        F.round(
+            F.count(F.when(hit, 1)) / F.lit(float(_RQ_K)), 6
+        ).alias("recall_at_10"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.min(F.when(hit, F.col("rk_16"))), F.lit(0.0)
+            ),
+            6,
+        ).alias("mrr_at_10"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(hit, F.lit(1.0) / F.log2(F.col("rk_16") + 1))),
+                F.lit(0.0),
+            )
+            / F.lit(_RQ_IDCG),
+            6,
+        ).alias("ndcg_at_10"),
+    )

@@ -9,6 +9,7 @@ from sierradb_spark.registry import Query, Registry, load
 
 from sierradb_spark.operators import (
     audits,
+    dq,
     event_analytics,
     event_reads,
     relational,
@@ -22,6 +23,7 @@ from sierradb_spark.operators import (
 )
 from sierradb_spark.functions import (
     bpe,
+    classifier,
     clustering,
     entity,
     contamination,
@@ -80,6 +82,8 @@ for mod in (
     entity,
     audits,
     bpe,
+    dq,
+    classifier,
 ):
     REGISTRY.merge(mod.REG)
 

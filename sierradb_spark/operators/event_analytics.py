@@ -908,3 +908,121 @@ def interarrival_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_s, 0.95)"), 3).alias("p95_gap_s"),
         F.round(F.max("gap_s"), 3).alias("max_gap_s"),
     )
+
+
+_PATH_LEN = 5  # path prefix length (events per session considered)
+_PATH_TOP = 20
+
+
+@REG.add(
+    "top_session_paths",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_no
+            FROM flagged
+        ),
+        ranked AS (
+            SELECT user_id, session_no, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, session_no
+                       ORDER BY ts, event_id) AS rk,
+                   count(*) OVER (
+                       PARTITION BY user_id, session_no) AS n_events
+            FROM sessions
+        ),
+        paths AS (
+            SELECT user_id, session_no,
+                   CAST(max(n_events) AS BIGINT) AS n_events,
+                   string_agg(event_type, '>' ORDER BY rk) AS path
+            FROM ranked WHERE rk <= {_PATH_LEN}
+            GROUP BY user_id, session_no
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+               round(avg(CAST(n_events AS DOUBLE)), 4) AS avg_session_events
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path ASC LIMIT {_PATH_TOP}
+    """,
+    doc=f"Behavioral path mining: the {_PATH_TOP} most common session "
+    f"journeys, where a journey is the first {_PATH_LEN} event types of "
+    "a 30-minute-gap session in event-time order — the table a funnel "
+    "designer reads before hard-coding funnel steps (funnel_signup_"
+    "purchase checks ONE hypothesized path; this surfaces the paths "
+    "that actually happen, with each path's session count and average "
+    "full-session length). Scale shape: sessionization windows hash on "
+    "user_id (one exchange), the per-session window and its groupBy "
+    "share the (user_id, session_no) exchange, and the final top-"
+    f"{_PATH_TOP} is a TakeOrderedAndProject over per-path counters — "
+    "no global sort, no text beyond short type names.",
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                # µs-exact gap (NTZ-safe): see sessionize_streams.
+                F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp_ltz"))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    ranked = sessions.select(
+        "user_id",
+        "session_no",
+        "event_type",
+        F.row_number().over(ws).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id", "session_no"))
+        .alias("n_events"),
+    )
+    paths = (
+        ranked.where(F.col("rk") <= _PATH_LEN)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg(F.col("n_events").cast("double")), 4).alias(
+                "avg_session_events"
+            ),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(_PATH_TOP)
+    )
