@@ -77,6 +77,12 @@ HEADS_SCHEMA = T.StructType(
 
 # Output of the append path: per-request outcome
 # (shape of EAppendResp, eappend.rs:256-278, + error reporting).
+# partition_key/partition_id/stream_id/event_name are nullable because
+# a REJECTED request may lack them — a NULL stream_id (poison message)
+# has no derivable partition, and the Arrow exchange under
+# applyInPandas ENFORCES declared non-nullability (IllegalStateException
+# at read), so the result schema must admit what rejects actually
+# carry. Accepted rows always have all four (validation guarantees it).
 APPEND_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("arrival", T.LongType(), False),
@@ -84,12 +90,12 @@ APPEND_RESULT_SCHEMA = T.StructType(
         T.StructField("accepted", T.BooleanType(), False),
         T.StructField("error", T.StringType(), True),
         T.StructField("event_id", T.StringType(), True),
-        T.StructField("partition_key", T.StringType(), False),
-        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("partition_key", T.StringType(), True),
+        T.StructField("partition_id", T.IntegerType(), True),
         T.StructField("partition_sequence", T.LongType(), True),
-        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("stream_id", T.StringType(), True),
         T.StructField("stream_version", T.LongType(), True),
-        T.StructField("event_name", T.StringType(), False),
+        T.StructField("event_name", T.StringType(), True),
         T.StructField("timestamp_ns", T.LongType(), False),
         T.StructField("payload", T.BinaryType(), True),
         T.StructField("metadata", T.BinaryType(), True),

@@ -141,14 +141,27 @@ def enrich_requests(
         df = df.withColumn("txn_id", ids.txn_id_col(implicit_commit=True))
 
     # --- request validation (reject, don't crash) ---------------------------
+    # NULL-safe throughout: a NULL field makes every comparison NULL,
+    # and a plain when() chain would fall through and ACCEPT the row
+    # (with a NULL partition_id corrupting assignment downstream) —
+    # exactly the poison-message shape a Kafka topic can deliver.
     reason = F.when(
-        (F.length("stream_id") < 1)
+        F.col("stream_id").isNull()
+        | (F.length("stream_id") < 1)
         | (F.length("stream_id") > config.max_stream_id_len),
         F.lit("stream_id must be 1-64 chars"),  # lib.rs:26,36-50
+    ).when(
+        F.instr("stream_id", "\x00") > 0,
+        F.lit("stream_id cannot contain null bytes"),  # lib.rs:45-47
+    ).when(
+        F.col("event_name").isNull(),
+        F.lit("event_name missing"),
     ).when(
         F.length("event_name") > config.max_event_name_len,
         F.lit("event_name too long"),  # format.rs:150
     ).when(
+        # expected_version is never NULL here — a NULL precondition was
+        # coalesced to 'any' above ("no precondition").
         ~F.col("expected_version").rlike(r"^(any|exists|empty|[0-9]+)$"),
         F.concat(F.lit("invalid expected_version: "), F.col("expected_version")),
     )
@@ -206,6 +219,7 @@ class StreamIngest:
         compact_every: int | None = None,
         compact_retain_seconds: float = 600.0,
         compact_order: str = "stream",
+        dead_letter_dir: str | None = None,
     ) -> StreamingQuery:
         """``compact_every``: run ``store.compact()`` after every N
         committed micro-batches (the automatic segment-rollover cadence,
@@ -224,7 +238,20 @@ class StreamIngest:
         ``compact_order``: sort order for the rewritten files —
         ``"stream"`` (ESCAN-optimal) or ``"zorder"`` (balanced
         stream/sequence row-group skipping; see
-        :meth:`EventStore.compact`)."""
+        :meth:`EventStore.compact`).
+
+        ``dead_letter_dir``: when set, every REJECTED request (full
+        original payload/metadata plus the reject reason) is persisted
+        to ``<dir>/batch=<id>/`` — the repair-and-replay queue a
+        production ingest needs so a poison message is neither lost nor
+        able to wedge the stream (the reference surfaces rejects as
+        per-request RESP3 errors to a connected client; a queue-fed
+        pipeline has no one to tell, so the dead-letter table IS that
+        error channel). Per-batch overwrite makes replays idempotent;
+        reading the root dir yields a ``batch`` partition column. Costs
+        one cheap probe job per micro-batch over the already-pinned
+        result blocks (write happens only when a batch has rejects);
+        disabled by default."""
         if not requests.isStreaming:
             raise ValueError("requests must be a streaming DataFrame")
 
@@ -261,6 +288,16 @@ class StreamIngest:
                 fast=fast,
                 batch_token=f"{query_key}-{batch_id}",
             )
+            if dead_letter_dir is not None:
+                rejected = result.where(~F.col("accepted"))
+                # isEmpty is a limit-1 probe over the pinned result
+                # blocks; a replay-skipped batch returns an empty
+                # result, leaving the prior incarnation's dead letters
+                # in place.
+                if not rejected.isEmpty():
+                    rejected.write.mode("overwrite").parquet(
+                        os.path.join(dead_letter_dir, f"batch={batch_id}")
+                    )
             if (
                 compact_every
                 and batch_id > 0

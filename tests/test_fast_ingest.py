@@ -125,6 +125,31 @@ def test_fast_path_validation_rejections(store, spark):
     assert res.where("accepted").count() == 1
 
 
+def test_null_and_nul_byte_validation_rejections(store, spark):
+    """NULL stream_id/event_name and NUL-byte stream ids must reject,
+    not slip through the when() chain as NULL conditions (the poison
+    shape a Kafka topic delivers; a silently-accepted NULL stream_id
+    yields a NULL partition_id and corrupts assignment). NUL-byte
+    rejection mirrors StreamIdError::ContainsNullByte (lib.rs:45-47)."""
+    df = spark.createDataFrame(
+        [
+            (None, "E"),
+            ("ok-stream", None),
+            ("bad\x00stream", "E"),
+            ("ok-stream", "E"),
+        ],
+        "stream_id string, event_name string",
+    )
+    res = store.append_df(df)
+    errs = {
+        r["stream_id"]: r["error"] for r in res.where("NOT accepted").collect()
+    }
+    assert errs[None] == "stream_id must be 1-64 chars"
+    assert errs["ok-stream"] == "event_name missing"
+    assert errs["bad\x00stream"] == "stream_id cannot contain null bytes"
+    assert res.where("accepted").count() == 1
+
+
 def test_append_df_caller_grouped_transactions(spark, tmp_path):
     """txn_id-grouped requests through append_df: a transaction is
     all-or-nothing (one invalid request rejects its whole txn), and a

@@ -844,3 +844,40 @@ def test_sink_replay_overwrite_is_idempotent(store, spark, tmp_path):
     assert read_subscription_sink(spark, sink).count() == n
     raw = spark.read.parquet(os.path.join(sink, d))
     assert raw.count() == n  # the directory itself holds no duplicates
+
+
+def test_stream_ingest_dead_letter_queue(store, spark, tmp_path):
+    """Poison requests (NULL stream_id, NUL-byte stream id, bad
+    expected_version) land in the dead-letter table with their payloads
+    and reasons; good rows in the same micro-batches commit normally."""
+    reqs = [("ok-0", "Evt", b"p0", b"", "any"), (None, "Evt", b"p1", b"", "any")]
+    reqs += [(f"ok-{i}", "Evt", b"px", b"", "any") for i in range(1, 8)]
+    reqs += [("bad\x00id", "Evt", b"p2", b"", "any"), ("ok-8", "Evt", b"p3", b"", "bogus")]
+    src = str(tmp_path / "dlq_requests")
+    schema = (
+        "stream_id string, event_name string, payload binary, "
+        "metadata binary, expected_version string"
+    )
+    spark.createDataFrame(reqs, schema).repartition(2).write.parquet(src)
+
+    dlq = str(tmp_path / "dead_letters")
+    q = StreamIngest(store).start(
+        spark.readStream.schema(schema).parquet(src),
+        checkpoint=str(tmp_path / "dlq_ckpt"),
+        available_now=True,
+        dead_letter_dir=dlq,
+    )
+    q.awaitTermination(300)
+
+    assert store.events().count() == 8  # ok-0..ok-7 (ok-8 is rejected)
+    dead = spark.read.parquet(dlq)
+    rows = {
+        (r["stream_id"], bytes(r["payload"]), r["error"])
+        for r in dead.collect()
+    }
+    assert rows == {
+        (None, b"p1", "stream_id must be 1-64 chars"),
+        ("bad\x00id", b"p2", "stream_id cannot contain null bytes"),
+        ("ok-8", b"p3", "invalid expected_version: bogus"),
+    }
+    assert "batch" in dead.columns  # hive-partitioned by micro-batch
