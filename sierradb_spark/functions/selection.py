@@ -436,3 +436,144 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(final, 4).alias("final_alloc"),
         (F.col("alloc0") > F.col("avail")).cast("int").alias("capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax allocation: uniform sampling under per-source epoch caps
+# ---------------------------------------------------------------------------
+
+# Budget fraction of the corpus and the max epochs any source may be
+# repeated (UniMax, Chung et al. 2023): allocate the budget as evenly
+# as possible across sources, never taking more than EPOCH_CAP passes
+# over any source. Exact waterfilling, not an approximation.
+_UNIMAX_BUDGET_FRAC = 0.5
+_UNIMAX_EPOCH_CAP = 2
+
+
+@REG.add(
+    "unimax_allocation",
+    oracle=f"""
+        WITH per_source AS MATERIALIZED (
+            SELECT source, CAST(sum({_SQL_BUDGET_TOKS}) AS BIGINT) AS avail,
+                   CAST({_UNIMAX_EPOCH_CAP} * sum({_SQL_BUDGET_TOKS})
+                        AS BIGINT) AS cap
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   {_UNIMAX_BUDGET_FRAC} * sum(avail) AS budget
+            FROM per_source
+        ),
+        ranked AS (
+            SELECT p.source, p.avail, p.cap, t.n, t.budget,
+                   row_number() OVER (ORDER BY p.cap, p.source) AS k,
+                   coalesce(sum(p.cap) OVER (
+                       ORDER BY p.cap, p.source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_prev
+            FROM per_source p CROSS JOIN tot t
+        ),
+        marked AS MATERIALIZED (
+            SELECT *,
+                   CASE WHEN cap * (n - k + 1) + cum_prev <= budget
+                        THEN 1 ELSE 0 END AS capped
+            FROM ranked
+        ),
+        lvl AS (
+            SELECT coalesce(sum(CASE WHEN capped = 1 THEN cap END), 0)
+                       AS capped_sum,
+                   count(*) FILTER (WHERE capped = 0) AS n_unc
+            FROM marked
+        )
+        SELECT m.source, m.avail AS avail_tokens,
+               m.cap AS cap_tokens,
+               CAST(m.capped AS INT) AS capped,
+               round(CASE WHEN m.capped = 1 THEN CAST(m.cap AS DOUBLE)
+                          ELSE (m.budget - l.capped_sum)
+                               / nullif(l.n_unc, 0) END, 4) AS alloc_tokens,
+               round(CASE WHEN m.capped = 1 THEN CAST(m.cap AS DOUBLE)
+                          ELSE (m.budget - l.capped_sum)
+                               / nullif(l.n_unc, 0) END
+                     / m.avail, 6) AS epochs_used,
+               round(CASE WHEN m.capped = 1 THEN CAST(m.cap AS DOUBLE)
+                          ELSE (m.budget - l.capped_sum)
+                               / nullif(l.n_unc, 0) END
+                     / m.budget, 6) AS budget_share
+        FROM marked m CROSS JOIN lvl l
+    """,
+    doc=f"UniMax allocation: a {_UNIMAX_BUDGET_FRAC:.0%}-of-corpus "
+    f"token budget spread as UNIFORMLY as possible across sources with "
+    f"no source repeated beyond {_UNIMAX_EPOCH_CAP} epochs — exact "
+    "waterfilling (sources whose cap sits below the water level take "
+    "their cap; the rest split the remainder evenly), the "
+    "language-sampling scheme that avoids temperature sampling's "
+    "over-repetition of tiny sources. Complements "
+    "token_budget_allocation (temperature + one redistribution round): "
+    "same input table, competing policy, both exact. Scale shape: the "
+    "corpus is scanned once for per-source token counts; the "
+    "waterfilling runs on the #sources-row table via a bounded "
+    "self-join for the running cap prefix (no window over the corpus, "
+    "no unpartitioned window at all), with the two scalar aggregates "
+    "broadcast back.",
+)
+def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    ps = (
+        d.groupBy("source")
+        .agg(F.sum(n_toks).cast("long").alias("avail"))
+        .withColumn("cap", (F.lit(_UNIMAX_EPOCH_CAP) * F.col("avail")).cast("long"))
+        .localCheckpoint(eager=True)  # tiny; reused by every stage below
+    )
+    tot = ps.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.lit(_UNIMAX_BUDGET_FRAC) * F.sum("avail")).alias("budget"),
+    )
+    right = ps.select(
+        F.col("cap").alias("r_cap"), F.col("source").alias("r_source")
+    )
+    # Bounded self-join on the #sources-row table: rank + running cap
+    # prefix without an unpartitioned window.
+    before = (F.col("r_cap") < F.col("cap")) | (
+        (F.col("r_cap") == F.col("cap")) & (F.col("r_source") < F.col("source"))
+    )
+    ranked = (
+        ps.join(F.broadcast(right), before, "left")
+        .groupBy("source", "avail", "cap")
+        .agg(
+            (F.count("r_cap") + 1).alias("k"),
+            F.coalesce(F.sum("r_cap"), F.lit(0)).alias("cum_prev"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    marked = ranked.withColumn(
+        "capped",
+        F.when(
+            F.col("cap") * (F.col("n") - F.col("k") + 1) + F.col("cum_prev")
+            <= F.col("budget"),
+            1,
+        ).otherwise(0),
+    ).localCheckpoint(eager=True)
+    lvl = marked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap"))), F.lit(0)
+        ).alias("capped_sum"),
+        F.count(F.when(F.col("capped") == 0, 1)).alias("n_unc"),
+    )
+    alloc = F.when(
+        F.col("capped") == 1, F.col("cap").cast("double")
+    ).otherwise(
+        (F.col("budget") - F.col("capped_sum"))
+        / F.nullif(F.col("n_unc"), F.lit(0)).cast("double")
+    )
+    return marked.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        F.col("capped").cast("int").alias("capped"),
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(alloc / F.col("avail"), 6).alias("epochs_used"),
+        F.round(alloc / F.col("budget"), 6).alias("budget_share"),
+    )
