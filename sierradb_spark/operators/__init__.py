@@ -156,13 +156,21 @@ _FRONT_50 = [
     # kmeans_embedding_clusters — every one is green in CORRECTNESS_r04
     # or earlier rounds and stays oracle-checked behind the window.)
     "dsir_importance_weights", "kl_source_divergence", "tokenizer_oov_by_lang",
-    "bloom_membership_audit", "cms_heavy_hitters", "kmv_set_ops",
-    "hll_distinct_audit",
+    "bloom_membership_audit", "cms_heavy_hitters",
     "containment_partial_dup", "dedup_attribution_by_source",
     "split_leakage_audit", "source_overlap_matrix",
     "label_prop_communities",
-    "embedding_dim_stats", "embedding_top_pc_power", "embedding_anisotropy",
-    "jl_projection_distortion",
+    # round-5 session wave 5: this session's newest flagships — the
+    # in-engine-trained LR classifier and its reliability diagram, BPE
+    # encode-with-learned-merges, UniMax waterfilling, the
+    # data-quality profile, and session path mining. None has driver
+    # evidence yet. (Displaced to make room — kmv_set_ops,
+    # hll_distinct_audit, embedding_dim_stats, embedding_top_pc_power,
+    # embedding_anisotropy, jl_projection_distortion — all green in
+    # this session's full local 211/211 sf0.01 sweep and staying
+    # oracle-checked behind the window.)
+    "quality_lr_classifier", "quality_lr_calibration", "bpe_encode_stats",
+    "unimax_allocation", "dq_completeness_report", "top_session_paths",
 ]
 REGISTRY.reorder_front(_FRONT_50)
 
