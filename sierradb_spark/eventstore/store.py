@@ -1565,15 +1565,29 @@ class EventStore:
                 "batch_tokens_seen": _cap_batch_tokens(state.batch_tokens),
             }
         )
-        # Superseded manifests FIRST: once they are gone, commits() can
-        # never list a snapshot whose files the sweep below removed —
-        # even if we crash between the two phases (Delta's
-        # checkpoint-after-VACUUM behavior). Manifests inside the
-        # retention window are RETAINED (not just their data files):
-        # a concurrent Subscription tails _commits/ and reads each
-        # manifest's event files, so unlinking a listed-but-unprocessed
-        # manifest (or its parquet) would fail the subscriber's query.
-        base_commit = state.commit + 1
+        self._sweep_superseded(
+            state.commit + 1, retain_seconds, set(added), {heads_rel}
+        )
+
+    def _sweep_superseded(
+        self,
+        base_commit: int,
+        retain_seconds: float,
+        keep_events: set[str],
+        keep_heads: set[str],
+    ) -> None:
+        """Post-base-manifest cleanup, shared by :meth:`compact` and
+        :meth:`delete_streams`.
+
+        Superseded manifests FIRST: once they are gone, commits() can
+        never list a snapshot whose files the sweep below removed —
+        even if we crash between the two phases (Delta's
+        checkpoint-after-VACUUM behavior). Manifests inside the
+        retention window are RETAINED (not just their data files):
+        a concurrent Subscription tails _commits/ and reads each
+        manifest's event files, so unlinking a listed-but-unprocessed
+        manifest (or its parquet) would fail the subscriber's query.
+        """
         cutoff = time.time() - retain_seconds
         retained: list[dict] = []
         for fn in sorted(os.listdir(self.commits_path)):
@@ -1602,8 +1616,6 @@ class EventStore:
         # Files named by a retained superseded manifest stay alive
         # regardless of age; the next compaction past the window
         # removes manifest and files together.
-        keep_events = set(added)
-        keep_heads = {heads_rel}
         for m in retained:
             keep_events.update(m.get("events_add", ()))
             keep_heads.update(m.get("heads_add", ()))
@@ -1621,6 +1633,152 @@ class EventStore:
                 and os.path.getmtime(full) <= cutoff
             ):
                 os.unlink(full)
+
+    def delete_streams(
+        self,
+        stream_ids,
+        mode: Literal["hard", "scrub"] = "hard",
+        retain_seconds: float = 0.0,
+    ) -> dict:
+        """Right-to-be-forgotten pass: remove (or scrub) every event of
+        the given streams from the table.
+
+        The reference's RESP3 surface is append-only — it has no delete
+        command (request.rs:49-63) — so this is the platform-side
+        maintenance extension every regulated deployment bolts onto an
+        immutable log, with the same publish discipline as
+        :meth:`compact`: rewrite, publish a ``base`` manifest, sweep.
+
+        - ``mode="hard"``: the streams' events and head rows vanish
+          from every subsequent read (EGET/ESCAN/ESVER see a stream
+          that never existed; a later append restarts it at version 0
+          with ``expected_version='empty'`` satisfied). Remaining
+          events keep their partition sequences — EPSCAN shows gaps at
+          the deleted positions, exactly like a compacted-away Kafka
+          offset; watermarks are carried unchanged.
+        - ``mode="scrub"``: event positions, names, and versions stay
+          (audit trail intact); ``payload`` and ``metadata`` are
+          blanked. Use when downstream consumers depend on sequence
+          continuity.
+
+        Only the hive partitions that actually contain the streams are
+        rewritten — every other partition's files carry over into the
+        new base manifest untouched, so the cost is O(affected
+        partitions), not O(table). Forgetting completes once the
+        retention window lapses: older manifests/files inside
+        ``retain_seconds`` still hold the data for in-flight readers
+        (exactly Delta's VACUUM story — run with ``retain_seconds=0``
+        or follow with a past-window :meth:`compact` for immediate
+        physical erasure, verified by the test suite reading raw
+        parquet bytes). Like compact, this is a single-maintainer
+        operation: the manifest CAS will fail one of two concurrent
+        maintainers rather than corrupt, and concurrent subscribers
+        need a retention window covering their lag.
+
+        Returns ``{"streams", "events_affected", "partitions_rewritten",
+        "commit"}``.
+        """
+        if mode not in ("hard", "scrub"):
+            raise ValueError(f"unknown delete mode {mode!r}")
+        targets = list(dict.fromkeys(stream_ids))
+        if not targets:
+            raise ValueError("delete_streams needs at least one stream id")
+        state = self._read_state()
+        if not state.events_files:
+            return {
+                "streams": 0,
+                "events_affected": 0,
+                "partitions_rewritten": 0,
+                "commit": state.commit,
+            }
+        ev = self._events_for_state(state)  # pinned to the state we publish against
+        hit = F.col("stream_id").isin(*targets)
+        probe = ev.where(hit).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("partition_id").alias("pids"),
+        ).head()
+        n_affected = int(probe["n"])
+        if n_affected == 0:
+            return {
+                "streams": 0,
+                "events_affected": 0,
+                "partitions_rewritten": 0,
+                "commit": state.commit,
+            }
+        affected = sorted(int(p) for p in probe["pids"])
+        aff_set = {f"partition_id={p}" for p in affected}
+
+        token = secrets.token_hex(8)
+        staging = os.path.join(self.staging_path, token)
+        part_scope = ev.where(F.col("partition_id").isin(affected))
+        if mode == "hard":
+            new_df = part_scope.where(~hit)
+        else:
+            blank = F.lit(b"")
+            new_df = part_scope.withColumn(
+                "payload", F.when(hit, blank).otherwise(F.col("payload"))
+            ).withColumn(
+                "metadata", F.when(hit, blank).otherwise(F.col("metadata"))
+            )
+        (
+            new_df.repartition(len(affected), "partition_id")
+            .sortWithinPartitions("partition_id", "stream_id", "stream_version")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(staging)
+        )
+        added: list[str] = []
+        i = 0
+        for root, _dirs, files in os.walk(staging):
+            part = os.path.basename(root)
+            if not part.startswith("partition_id="):
+                continue
+            os.makedirs(os.path.join(self.events_path, part), exist_ok=True)
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.join(part, f"delete-{token}-{i:04d}.parquet")
+                os.rename(os.path.join(root, fn), os.path.join(self.events_path, rel))
+                added.append(rel)
+                i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        carried = [
+            f for f in state.events_files if f.split(os.sep, 1)[0] not in aff_set
+        ]
+        events_add = carried + added
+
+        heads = self._heads_for_state(state)
+        if mode == "hard":
+            heads = heads.where(~F.col("stream_id").isin(*targets))
+        heads_pdf = (
+            heads.groupBy("partition_id", "stream_id")
+            .agg(
+                F.max("stream_version").alias("stream_version"),
+                F.max("partition_sequence").alias("partition_sequence"),
+            )
+            .toPandas()
+        )
+        heads_rel = f"heads-base-{state.commit + 1:012d}-{token}.parquet"
+        self._write_heads_file(heads_pdf, os.path.join(self.heads_path, heads_rel))
+        self._write_manifest(
+            {
+                "commit": state.commit + 1,
+                "base": True,
+                "events_add": events_add,
+                "heads_add": [heads_rel],
+                "watermarks": {str(p): int(s) for p, s in state.watermarks.items()},
+                "batch_tokens_seen": _cap_batch_tokens(state.batch_tokens),
+            }
+        )
+        self._sweep_superseded(
+            state.commit + 1, retain_seconds, set(events_add), {heads_rel}
+        )
+        return {
+            "streams": len(targets),
+            "events_affected": n_affected,
+            "partitions_rewritten": len(affected),
+            "commit": state.commit + 1,
+        }
 
     def stream_version(
         self,
