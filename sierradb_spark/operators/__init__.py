@@ -36,6 +36,7 @@ from sierradb_spark.functions import (
     retrieval,
     selection,
     membership,
+    mining,
     spectral,
     pipeline,
     quality,
@@ -74,6 +75,7 @@ for mod in (
     retrieval,
     selection,
     membership,
+    mining,
     spectral,
     graphs,
     clustering,

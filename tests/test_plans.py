@@ -764,3 +764,48 @@ def test_markov_iteration_state_is_broadcast(q):
     a sort-merge join anywhere in the chain."""
     f = assert_plan(q("markov_stationary_distribution"))
     assert f["sort_merge_joins"] == 0, f["plan"][:2000]
+
+
+def test_basket_rules_equi_pair_join_topk(q):
+    """Pair candidates come from the basket-keyed equi self-join (never
+    a cartesian over parts); only (orderkey, partkey) are scanned; the
+    one allowed nested loop is the 1-row n_orders broadcast; top-k by
+    lift plans as TakeOrderedAndProject."""
+    f = assert_plan(
+        q("basket_association_rules"),
+        require_top_k=True,
+        max_scan_columns=2,
+    )
+    assert f["nested_loop_joins"] <= 1, f["plan"][:1500]
+
+
+def test_hard_negative_mining_broadcast_queries(q):
+    """The query batch is THE broadcast side (exactly one nested loop,
+    carrying the label-mismatch predicate); the per-query top-k window
+    is q_id-partitioned, never global."""
+    import re as _re
+
+    f = assert_plan(q("hard_negative_mining"))
+    assert f["nested_loop_joins"] == 1, f["plan"][:1500]
+    for m in _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"]):
+        assert m.strip(), "unpartitioned (global) window in plan"
+
+
+def test_conditional_entropy_user_partitioned_window(q):
+    """The lead() window partitions by user_id; everything after the
+    pair aggregate is |types|-sized."""
+    import re as _re
+
+    f = assert_plan(q("event_conditional_entropy"), forbid_nested_loop=True)
+    wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
+    assert wins and all("user_id" in m for m in wins), f["plan"][:1500]
+
+
+def test_vocab_coverage_no_window_tiny_nested_loops(q):
+    """The coverage curve must NOT use a ranked global window: word
+    counts fold to the count-of-counts histogram and the cumulative is
+    a nested-loop join over that tiny aggregate (plus the 1-row totals
+    broadcast) — at most two nested loops, zero windows, text-only scan."""
+    f = assert_plan(q("vocab_coverage_curve"), max_scan_columns=1)
+    assert "Window" not in f["plan"], f["plan"][:1500]
+    assert f["nested_loop_joins"] <= 2, f["plan"][:1500]
