@@ -98,18 +98,15 @@ for mod in (
 # demo-width siblings which remain in the registry behind the window),
 # similarity/ANN, multimodal, and the curation pipeline.
 _FRONT_50 = [
-    # event reads (2 of 4 core reads: the point lookup and the
-    # watermark gate; escan_stream_range / esver_stream_heads join the
-    # reverse/partition-range/partition-heads variants behind the
-    # window — all carry green driver evidence from r01-r04)
-    "eget_point_lookup", "watermark_gated_scan",
+    # event reads: every core read (eget/escan/epscan/esver/epseq/
+    # watermark gate) carries green driver evidence from r01-r04 and
+    # rotates behind the window this round — all stay oracle-checked.
     # production-width sketch dedup (minhash_wide_bands/candidates/
     # recall and sequence_packing all carry r04 driver evidence and
-    # rotate behind the window; verified_pairs/simhash/bucketed stay
-    # for their first driver check)
+    # rotate behind the window; verified_pairs stays for its first
+    # driver check; simhash64_hamming_candidates and
+    # embedding_near_dup_bucketed went green in r04 and rotate behind)
     "minhash_verified_pairs",
-    "simhash64_hamming_candidates",
-    "embedding_near_dup_bucketed",
     # similarity / ANN + retrieval (ivf_probe2 carries r04 evidence,
     # rotates behind)
     "bm25_top_docs", "ivf_pq_adc_topk",
@@ -173,6 +170,15 @@ _FRONT_50 = [
     # oracle-checked behind the window.)
     "quality_lr_classifier", "quality_lr_calibration", "bpe_encode_stats",
     "unimax_allocation", "dq_completeness_report", "top_session_paths",
+    # round-5 session wave 6: pattern mining + contrastive curation —
+    # market-basket association rules, hard-negative mining, next-event
+    # conditional entropy, and the windowless vocab coverage curve.
+    # None has driver evidence yet. (Displaced to make room —
+    # simhash64_hamming_candidates and embedding_near_dup_bucketed,
+    # both green in CORRECTNESS_r04 and staying oracle-checked behind
+    # the window.)
+    "basket_association_rules", "hard_negative_mining",
+    "event_conditional_entropy", "vocab_coverage_curve",
 ]
 REGISTRY.reorder_front(_FRONT_50)
 
