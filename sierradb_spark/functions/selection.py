@@ -27,6 +27,8 @@ float rounding on both engines).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -577,3 +579,124 @@ def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alloc / F.col("avail"), 6).alias("epochs_used"),
         F.round(alloc / F.col("budget"), 6).alias("budget_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+_KC_K = 8  # coreset size (2-approximation of the optimal k-center cover)
+
+
+def _kc_dist_sql(c: str) -> str:
+    return (
+        f"round(list_dot_product(v.emb, v.emb)"
+        f" - 2 * list_dot_product(v.emb, {c}.emb)"
+        f" + list_dot_product({c}.emb, {c}.emb), 9)"
+    )
+
+
+def _kc_sql() -> str:
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        "s0 AS (SELECT vec_id, emb FROM v WHERE vec_id = 0)",
+    ]
+    for j in range(1, _KC_K):
+        prev = ", ".join(f"s{i} c{i}" for i in range(j))
+        dists = [_kc_dist_sql(f"c{i}") for i in range(j)]
+        md = dists[0] if j == 1 else f"least({', '.join(dists)})"
+        notin = " AND ".join(f"v.vec_id <> c{i}.vec_id" for i in range(j))
+        parts.append(
+            f"s{j} AS (SELECT v.vec_id, v.emb, {md} AS md "
+            f"FROM v, {prev} WHERE {notin} "
+            f"ORDER BY md DESC, v.vec_id ASC LIMIT 1)"
+        )
+    allprev = ", ".join(f"s{i} c{i}" for i in range(_KC_K))
+    alldists = ", ".join(_kc_dist_sql(f"c{i}") for i in range(_KC_K))
+    parts.append(
+        f"fin AS (SELECT max(least({alldists})) AS cover "
+        f"FROM v, {allprev})"
+    )
+    sel = [
+        "SELECT 0 AS sel_order, CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(NULL AS DOUBLE) AS sq_radius FROM s0"
+    ]
+    for j in range(1, _KC_K):
+        sel.append(
+            f"SELECT {j}, CAST(vec_id AS BIGINT), round(md, 6) FROM s{j}"
+        )
+    sel.append(
+        f"SELECT {_KC_K}, CAST(NULL AS BIGINT), round(cover, 6) FROM fin"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(sel)
+
+
+@REG.add(
+    "kcenter_coreset_selection",
+    oracle=_kc_sql(),
+    doc="Greedy k-center coreset (farthest-point traversal, the classic "
+    "2-approximation): start from vec_id 0, then 7 rounds of 'pick the "
+    "point farthest from everything chosen' — the diversity-maximizing "
+    "selection pass used to seed diverse fine-tuning subsets. Each round "
+    "is ONE distributed scan (squared-distance to <=8 broadcast literal "
+    "centers, rounded to 9 dp so both engines pick identical argmaxes, "
+    "min-of-struct tiebreak by vec_id); the driver receives one row per "
+    "round (O(k) traffic). The final row reports the achieved cover "
+    "radius — max-over-corpus min-distance — computed distributedly. "
+    "Oracle: the same rounds unrolled as chained 1-row CTEs.",
+)
+def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def dist_to(center_vec: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in center_vec])
+        dot_vc = F.aggregate(
+            F.zip_with("emb", c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        dot_vv = F.aggregate(
+            F.zip_with("emb", F.col("emb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cc = float(sum(x * x for x in center_vec))
+        return F.round(dot_vv - 2.0 * dot_vc + F.lit(cc), 9)
+
+    first = v.where(F.col("vec_id") == 0).select("vec_id", "emb").head()
+    chosen = [(int(first[0]), list(first[1]), None)]
+    for j in range(1, _KC_K):
+        mind_cols = [dist_to(vec) for _, vec, _ in chosen]
+        md = mind_cols[0] if len(mind_cols) == 1 else F.least(*mind_cols)
+        ids = [cid for cid, _, _ in chosen]
+        pick = (
+            v.where(~F.col("vec_id").isin(ids))
+            .select(F.struct((-md).alias("nd"), "vec_id", "emb").alias("s"))
+            .agg(F.min("s").alias("s"))
+            .select("s.nd", "s.vec_id", "s.emb")
+            .head()
+        )
+        chosen.append((int(pick[1]), list(pick[2]), -float(pick[0])))
+
+    cover_md = F.least(*[dist_to(vec) for _, vec, _ in chosen])
+    fin = v.agg(F.round(F.max(cover_md), 6).alias("sq_radius")).select(
+        F.lit(_KC_K).alias("sel_order"),
+        F.lit(None).cast("bigint").alias("vec_id"),
+        "sq_radius",
+    )
+    def _round6(x: float) -> float:
+        # Half-away-from-zero, matching Spark/DuckDB round(); Python's
+        # round() is half-even and would diverge at exact .5e-6 ties.
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    rows = spark.createDataFrame(
+        [
+            (j, cid, None if r is None else _round6(r))
+            for j, (cid, _, r) in enumerate(chosen)
+        ],
+        "sel_order int, vec_id bigint, sq_radius double",
+    )
+    return rows.unionAll(fin)

@@ -697,3 +697,137 @@ def hourly_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.greatest(F.col("base"), F.lit(_BURST_EPS)), 4
         ).alias("burst_ratio"),
     )
+
+
+@REG.add(
+    "changepoint_binary_segmentation",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   round(avg(value), 6) AS v
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        pre AS (
+            SELECT event_type, day, v,
+                   row_number() OVER w AS i,
+                   sum(v) OVER w AS cs,
+                   sum(v * v) OVER w AS cs2,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   last_value(cs) OVER wf AS s,
+                   last_value(cs2) OVER wf AS s2
+            FROM (
+                SELECT event_type, day, v,
+                       sum(v) OVER w AS cs, sum(v * v) OVER w AS cs2
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+            )
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+        ),
+        scored AS (
+            SELECT event_type, day, i, n,
+                   s2 - s * s / n AS sse_before,
+                   (cs2 - cs * cs / i)
+                   + ((s2 - cs2) - (s - cs) * (s - cs) / (n - i))
+                       AS sse_after
+            FROM pre WHERE i < n
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               day AS split_day,
+               CAST(i AS BIGINT) AS left_days,
+               round(sse_before, 4) AS sse_before,
+               round(sse_after, 4) AS sse_after,
+               round((sse_before - sse_after) / nullif(sse_before, 0), 4)
+                   AS gain
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY round(sse_after, 6) ASC, day ASC
+        ) = 1
+    """,
+    doc="Single-changepoint detection per event type (the first split of "
+    "binary segmentation): the day boundary minimizing total within-"
+    "segment squared error of the daily mean-value series, with the "
+    "variance-reduction gain. Prefix sums run under a type-partitioned "
+    "ORDERED window (sequential adds in day order, so both engines fold "
+    "identical doubles in identical order — the same discipline as the "
+    "EWMA/Holt folds); totals are the last cumulative value, NOT an "
+    "unordered aggregate, so no float-order nondeterminism exists "
+    "anywhere. The argmin runs on the 6-dp-rounded SSE with day "
+    "tiebreak. Everything after the daily aggregate is O(days) per "
+    "type.",
+)
+def changepoint_binary_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    pre = (
+        daily.select(
+            "event_type",
+            "day",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("day"))
+            .alias("i"),
+            F.sum("v").over(w).alias("cs"),
+            F.sum(F.col("v") * F.col("v")).over(w).alias("cs2"),
+        )
+        .select(
+            "*",
+            F.count("*").over(wf).alias("n"),
+            F.last("cs").over(wf).alias("s"),
+            F.last("cs2").over(wf).alias("s2"),
+        )
+        .where(F.col("i") < F.col("n"))
+    )
+    i, n = F.col("i"), F.col("n")
+    cs, cs2, s, s2 = F.col("cs"), F.col("cs2"), F.col("s"), F.col("s2")
+    sse_before = s2 - s * s / n
+    sse_after = (cs2 - cs * cs / i) + (
+        (s2 - cs2) - (s - cs) * (s - cs) / (n - i)
+    )
+    scored = pre.select(
+        "event_type",
+        "day",
+        i.alias("i"),
+        n.alias("n"),
+        sse_before.alias("sse_before"),
+        sse_after.alias("sse_after"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.round(F.col("sse_after"), 6).asc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("day").alias("split_day"),
+            F.col("i").cast("bigint").alias("left_days"),
+            F.round("sse_before", 4).alias("sse_before"),
+            F.round("sse_after", 4).alias("sse_after"),
+            F.round(
+                (F.col("sse_before") - F.col("sse_after"))
+                / F.nullif(F.col("sse_before"), F.lit(0.0)),
+                4,
+            ).alias("gain"),
+        )
+    )

@@ -809,3 +809,24 @@ def test_vocab_coverage_no_window_tiny_nested_loops(q):
     f = assert_plan(q("vocab_coverage_curve"), max_scan_columns=1)
     assert "Window" not in f["plan"], f["plan"][:1500]
     assert f["nested_loop_joins"] <= 2, f["plan"][:1500]
+
+
+def test_kcenter_argmax_rounds_no_joins(q):
+    """Every greedy round reduces a single scan against literal
+    broadcast centers — the plan has no join of any kind and no window;
+    driver traffic is O(k)."""
+    f = assert_plan(q("kcenter_coreset_selection"), forbid_nested_loop=True)
+    assert f["sort_merge_joins"] == 0 and f["broadcast_hash_joins"] == 0
+    assert "Window" not in f["plan"], f["plan"][:1500]
+
+
+def test_changepoint_windows_type_partitioned(q):
+    """All prefix-sum/argmin windows partition by event_type; nothing
+    joins (totals are last_value over the ordered frame, not a
+    separate aggregate)."""
+    import re as _re
+
+    f = assert_plan(q("changepoint_binary_segmentation"), forbid_nested_loop=True)
+    assert f["sort_merge_joins"] == 0 and f["broadcast_hash_joins"] == 0
+    wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
+    assert wins and all("event_type" in m for m in wins), f["plan"][:1500]
