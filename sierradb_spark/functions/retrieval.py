@@ -383,3 +383,145 @@ def retrieval_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity reranking
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 12
+_MMR_K = 5
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_cos(a: str, b: str) -> str:
+    dot = f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    na = f"sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    nb = f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+    return f"({dot} / nullif({na} * {nb}, 0))"
+
+
+def _mmr_sql() -> str:
+    parts = [
+        f"""
+        cand AS (
+            SELECT e.vec_id, round({_mmr_cos('e.embedding', 'q.qv')}, 6)
+                       AS rel,
+                   e.embedding
+            FROM embeddings e,
+                 (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY rel DESC, e.vec_id ASC LIMIT {_MMR_POOL}
+        ),
+        sims AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   round({_mmr_cos('a.embedding', 'b.embedding')}, 6) AS s
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        ),
+        m0 AS (
+            SELECT vec_id, rel, rel AS mmr FROM cand
+            ORDER BY rel DESC, vec_id ASC LIMIT 1
+        )
+        """
+    ]
+    for j in range(1, _MMR_K):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM m{i}" for i in range(j)
+        )
+        parts.append(
+            f"""
+        m{j} AS (
+            SELECT c.vec_id, c.rel,
+                   {_MMR_LAMBDA} * c.rel - {round(1 - _MMR_LAMBDA, 10)}
+                       * max(s.s) AS mmr
+            FROM cand c JOIN sims s ON s.va = c.vec_id
+            WHERE s.vb IN ({sel}) AND c.vec_id NOT IN ({sel})
+            GROUP BY c.vec_id, c.rel
+            ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+        )
+        """
+        )
+    final = " UNION ALL ".join(
+        f"SELECT {j} AS sel_order, CAST(vec_id AS BIGINT) AS vec_id, rel,"
+        f" round(mmr, 6) AS mmr FROM m{j}"
+        for j in range(_MMR_K)
+    )
+    return "WITH " + ",".join(parts) + final
+
+
+@REG.add(
+    "mmr_diverse_rerank",
+    oracle=_mmr_sql(),
+    doc=f"Maximal-marginal-relevance reranking (lambda={_MMR_LAMBDA}): the "
+    f"top-{_MMR_POOL} cosine candidates for query vec 0 are greedily "
+    f"reranked to {_MMR_K} picks maximizing lambda*relevance - "
+    "(1-lambda)*max-similarity-to-already-picked — the diversity pass a "
+    "RAG stack runs after retrieval to stop near-duplicate passages "
+    "crowding the context. The candidate pool comes from ONE distributed "
+    "top-k scan (TakeOrderedAndProject); the greedy runs driver-side "
+    "over the O(pool^2) rounded similarity matrix (144 numbers — bounded "
+    "regardless of corpus size). All scores rounded to 6 dp before "
+    "comparison so both engines pick identical chains; oracle = the "
+    "greedy unrolled as chained 1-row CTEs.",
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from sierradb_spark.functions.similarity import _dvec, cosine_col
+
+    e = load(spark, sf_dir, "embeddings")
+    qrow = e.where(F.col("vec_id") == 0).select("embedding").head()
+    q = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    pool = (
+        e.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(cosine_col(_dvec("embedding"), q), 6).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+        .collect()
+    )
+
+    def _r6(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    def _cos(a, b) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        denom = math.sqrt(na) * math.sqrt(nb)
+        return _r6(dot / denom) if denom else 0.0
+
+    cand = [(int(r["vec_id"]), float(r["rel"]), r["embedding"]) for r in pool]
+    sims = {
+        (a[0], b[0]): _cos(a[2], b[2])
+        for a in cand
+        for b in cand
+        if a[0] != b[0]
+    }
+    picked: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    for j in range(_MMR_K):
+        best = None
+        for cid, rel, _ in cand:
+            if cid in chosen:
+                continue
+            if j == 0:
+                score = rel
+            else:
+                score = _MMR_LAMBDA * rel - (1 - _MMR_LAMBDA) * max(
+                    sims[(cid, s)] for s in chosen
+                )
+            if best is None or score > best[0] or (
+                score == best[0] and cid < best[1]
+            ):
+                best = (score, cid, rel)
+        picked.append((j, best[1], best[2], _r6(best[0])))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        picked, "sel_order int, vec_id bigint, rel double, mmr double"
+    )

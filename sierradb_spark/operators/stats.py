@@ -237,3 +237,151 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi",
         )
     )
+
+
+_KS_BINS = 32
+
+
+@REG.add(
+    "ks_drift_by_event_type",
+    oracle=f"""
+        WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        binned AS (
+            SELECT event_type,
+                   coalesce(CAST(least({_KS_BINS - 1}, greatest(0,
+                       floor((value - mn) / nullif(mx - mn, 0)
+                             * {_KS_BINS}))) AS INT), 0) AS bin
+            FROM events, b
+        ),
+        cnt AS (
+            SELECT event_type, bin, count(*) AS c
+            FROM binned GROUP BY event_type, bin
+        ),
+        grid AS (
+            SELECT t.event_type, g.bin
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(range({_KS_BINS})) AS bin) g
+        ),
+        dense AS (
+            SELECT g.event_type, g.bin, coalesce(c.c, 0) AS c
+            FROM grid g LEFT JOIN cnt c USING (event_type, bin)
+        ),
+        cum AS (
+            SELECT event_type, bin,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cc,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM dense
+        ),
+        gcdf AS (SELECT bin, sum(cc) AS gc, sum(n) AS gn FROM cum
+                 GROUP BY bin),
+        scored AS (
+            SELECT c.event_type, c.bin, c.n, g.gn,
+                   abs(c.cc::DOUBLE / c.n - g.gc::DOUBLE / g.gn) AS d
+            FROM cum c JOIN gcdf g USING (bin)
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_values,
+               CAST(bin AS INT) AS ks_bin,
+               round(d, 6) AS ks_stat,
+               round(1.36 * sqrt((n + gn)::DOUBLE / (n::DOUBLE * gn)), 6)
+                   AS ks_crit,
+               round(d, 6) > round(1.36 * sqrt((n + gn)::DOUBLE
+                   / (n::DOUBLE * gn)), 6) AS drifted
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY d DESC, bin ASC
+        ) = 1
+    """,
+    doc=f"Two-sample Kolmogorov-Smirnov drift statistic per event type vs "
+    "the overall value mixture, over a fixed {_KS_BINS}-bin equal-width "
+    "grid (bounds from ONE broadcast min/max row): D = max CDF gap, the "
+    "bin where it occurs, and the 95% critical value. CDFs are integer "
+    "cumulative counts under type-partitioned ordered windows — the "
+    "global CDF is the SUM of the per-type cumulatives (cumulative of a "
+    "sum = sum of cumulatives), so no global window exists; everything "
+    "after the per-(type,bin) count is O(types x bins).",
+)
+def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    raw_bin = F.floor(
+        (F.col("value") - F.col("mn"))
+        / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+        * _KS_BINS
+    )
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.coalesce(
+            F.least(F.lit(_KS_BINS - 1), F.greatest(F.lit(0), raw_bin)).cast(
+                "int"
+            ),
+            F.lit(0),
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(F.count("*").alias("c"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_KS_BINS - 1))
+            ).alias("bin"),
+        )
+    )
+    dense = grid.join(cnt, ["event_type", "bin"], "left").select(
+        "event_type", "bin", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = dense.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    glob = cum.groupBy("bin").agg(
+        F.sum("cc").alias("gc"), F.sum("n").alias("gn")
+    )
+    d = F.abs(
+        F.col("cc").cast("double") / F.col("n")
+        - F.col("gc").cast("double") / F.col("gn")
+    )
+    crit = F.round(
+        1.36
+        * F.sqrt(
+            (F.col("n") + F.col("gn")).cast("double")
+            / (F.col("n").cast("double") * F.col("gn"))
+        ),
+        6,
+    )
+    scored = cum.join(glob, "bin").select(
+        "event_type",
+        "bin",
+        "n",
+        d.alias("d"),
+        crit.alias("ks_crit"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("d").desc(), F.col("bin").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_values"),
+            F.col("bin").cast("int").alias("ks_bin"),
+            F.round("d", 6).alias("ks_stat"),
+            "ks_crit",
+            (F.round("d", 6) > F.col("ks_crit")).alias("drifted"),
+        )
+    )

@@ -830,3 +830,28 @@ def test_changepoint_windows_type_partitioned(q):
     assert f["sort_merge_joins"] == 0 and f["broadcast_hash_joins"] == 0
     wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
     assert wins and all("event_type" in m for m in wins), f["plan"][:1500]
+
+
+def test_mmr_pool_is_distributed_topk(q):
+    """The MMR candidate pool comes from one distributed top-k scan
+    (TakeOrderedAndProject appears in the pool job); the greedy itself
+    is O(pool^2) driver work, so the returned plan is a local scan with
+    no joins, shuffles, or windows."""
+    from sierradb_spark.plans import plan_features
+
+    f = plan_features(q("mmr_diverse_rerank"))
+    assert f["exchanges"] == 0 and f["sort_merge_joins"] == 0
+    assert "Window" not in f["plan"]
+
+
+def test_ks_drift_no_global_window(q):
+    """CDFs run under type-partitioned windows; the global CDF is the
+    sum of per-type cumulatives, so no unpartitioned window exists."""
+    import re as _re
+
+    f = assert_plan(q("ks_drift_by_event_type"))
+    wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
+    assert wins and all("event_type" in m for m in wins), f["plan"][:1500]
+    # the 1-row min/max bounds broadcast (planned twice: the cum subtree
+    # feeds both the scored side and the global-CDF aggregate)
+    assert f["nested_loop_joins"] <= 2
