@@ -7,6 +7,13 @@ AppendMultiple, ReadEvent, ReadStream, ReadPartition, ReopenDatabase —
 against the real database and asserts equivalence. The semantics live in
 the oracle, which transfers verbatim to Python; the Spark engine must
 agree with it on every read after every command.
+
+Beyond the reference's command set, the sequence also exercises this
+engine's maintenance extensions against the same model: compaction,
+time-travel snapshots, the change feed, tokened replay, stale-writer
+CAS races, and stream deletion (hard + scrub) — hard delete must erase
+versions (re-appends restart at 0) while partition sequences keep
+their gaps.
 """
 
 from __future__ import annotations
@@ -42,6 +49,10 @@ class DatabaseModel:
 
     partitions: dict[int, list[ModelEvent]] = field(default_factory=dict)
     stream_versions: dict[str, int] = field(default_factory=dict)
+    # Next partition sequence per partition. NOT len(partitions[pid]):
+    # a hard delete removes events but carries the watermark, so new
+    # appends continue AFTER the old max sequence (gaps stay gaps).
+    partition_seqs: dict[int, int] = field(default_factory=dict)
 
     def partition_of(self, stream_id: str) -> int:
         pkey = str(ids.partition_key_for_stream(stream_id))
@@ -67,11 +78,34 @@ class DatabaseModel:
         for (stream_id, name, _e, payload), nv in zip(reqs, versions):
             pid = self.partition_of(stream_id)
             part = self.partitions.setdefault(pid, [])
-            part.append(
-                ModelEvent(stream_id, nv, pid, len(part), name, payload)
-            )
+            seq = self.partition_seqs.get(pid, 0)
+            part.append(ModelEvent(stream_id, nv, pid, seq, name, payload))
+            self.partition_seqs[pid] = seq + 1
             self.stream_versions[stream_id] = nv
         return True, versions
+
+    def delete_streams(self, stream_ids: list[str], mode: str) -> int:
+        """Model of EventStore.delete_streams (store.py:1637): hard mode
+        erases the streams' events and head versions (a later append
+        restarts at version 0); scrub blanks payloads in place. Either
+        way remaining partition sequences keep their positions and the
+        next-sequence counters are untouched."""
+        sids = set(stream_ids)
+        n = 0
+        for pid, part in self.partitions.items():
+            if mode == "hard":
+                kept = [e for e in part if e.stream_id not in sids]
+                n += len(part) - len(kept)
+                self.partitions[pid] = kept
+            else:
+                for e in part:
+                    if e.stream_id in sids:
+                        e.payload = b""
+                        n += 1
+        if mode == "hard":
+            for s in sids:
+                self.stream_versions.pop(s, None)
+        return n
 
     def read_stream(self, stream_id: str) -> list[ModelEvent]:
         pid = self.partition_of(stream_id)
@@ -124,9 +158,8 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 
 # Default seeds keep the suite bounded; extend for a deeper fuzz
 # session with e.g. SPARK_GRAFT_FUZZ_SEEDS="7,19,101,777". Seeds run
-# green in round 4's extended sessions (change-feed oracle included):
-# 7, 19, 101, 777, 2024, 3, 13, 37, 55, 123, 314, 555, 999, 1000,
-# 2001, 3002, 4003, 5004, 6005.
+# green in round 5's extended sessions (delete branch included):
+# 7, 19, 101, 777, 2024, 3, 13, 37, 55, 123.
 _SEEDS = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "11,42").split(",")
@@ -194,7 +227,36 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
     n_appends = 0
     for step in range(30):
         roll = rng.random()
-        if roll < 0.55:  # append batch (single-event txns)
+        if roll < 0.05:  # delete streams (hard or scrub) vs model
+            sids = rng.sample(STREAMS, rng.randrange(1, 3))
+            mode = rng.choice(["hard", "scrub"])
+            base_before = store._read_state().commit
+            res = store.delete_streams(sids, mode=mode)
+            want_n = model.delete_streams(sids, mode)
+            assert res["events_affected"] == want_n, (
+                f"delete affected {res['events_affected']} != model "
+                f"{want_n} at step {step} (seed {seed})"
+            )
+            if res["events_affected"] == 0:
+                # nothing touched → no commit published, nothing swept
+                assert res["commit"] == base_before
+            else:
+                # delete publishes a BASE manifest and (retain 0) sweeps
+                # the pre-base chain — identical bookkeeping to compact
+                for c in list(snapshots):
+                    if c <= base_before and base_before > 0:
+                        with pytest.raises(SnapshotExpiredError):
+                            store.events(as_of=c)
+                    del snapshots[c]
+                bases.add(base_before + 1)
+                swept.update(range(1, base_before + 1))
+                for c in list(commit_events):
+                    if c <= base_before:
+                        del commit_events[c]
+            for s in sids:  # deleted/scrubbed streams read back exactly
+                check_stream(s)
+                assert store.stream_version(s) == model.stream_versions.get(s)
+        elif roll < 0.55:  # append batch (single-event txns)
             reqs = []
             for _ in range(rng.randrange(1, 6)):
                 s = rng.choice(STREAMS)
