@@ -151,3 +151,59 @@ def partition_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@REG.add(
+    "benford_law_audit",
+    oracle="""
+        WITH cents AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+            FROM lineitem WHERE l_extendedprice > 0
+        ),
+        dig AS (
+            SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM cents
+        ),
+        cnt AS (SELECT digit, count(*) AS n FROM dig GROUP BY digit),
+        tot AS (SELECT sum(n) AS total FROM cnt)
+        SELECT digit,
+               CAST(n AS BIGINT) AS n_values,
+               round(n::DOUBLE / total, 6) AS obs_share,
+               round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share,
+               round(pow(n - total * (ln(1.0 + 1.0 / digit) / ln(10.0)), 2)
+                     / (total * (ln(1.0 + 1.0 / digit) / ln(10.0))), 6)
+                   AS chi2_component
+        FROM cnt CROSS JOIN tot
+    """,
+    doc="Benford's-law first-digit audit over extended prices — the "
+    "classic fabricated-data / unit-mixing detector a data-quality "
+    "suite runs on monetary columns. The first digit is extracted from "
+    "the INTEGER cents string (never floor(log10(x)), whose libm "
+    "rounding differs across engines at powers of ten); expected shares "
+    "are log10(1+1/d) and each digit row carries its chi-square "
+    "component. One scan, one 9-row aggregate, one 1-row total "
+    "broadcast.",
+)
+def benford_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cents = li.where(F.col("l_extendedprice") > 0).select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("c")
+    )
+    dig = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    cnt = dig.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = cnt.agg(F.sum("n").alias("total"))
+    exp_share = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    n, total = F.col("n").cast("double"), F.col("total").cast("double")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_values"),
+        F.round(n / total, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("benford_share"),
+        F.round(
+            F.pow(n - total * exp_share, F.lit(2.0)) / (total * exp_share), 6
+        ).alias("chi2_component"),
+    )

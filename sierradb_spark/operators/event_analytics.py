@@ -1026,3 +1026,176 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(_PATH_TOP)
     )
+
+_KM_GAP_US = 30 * 60 * 1_000_000  # session gap, microsecond-exact
+
+
+@REG.add(
+    "kaplan_meier_retention",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > {_KM_GAP_US}
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid
+            FROM seq
+        ),
+        spans AS (
+            SELECT user_id, sid, min(ts) AS first_ts, max(ts) AS last_ts
+            FROM sess GROUP BY user_id, sid
+        ),
+        horizon AS (SELECT max(ts) AS mx FROM events),
+        lab AS (
+            SELECT CAST(floor((epoch_us(last_ts) - epoch_us(first_ts))
+                              / 60000000.0) AS BIGINT) AS d,
+                   CAST(epoch_us(mx) - epoch_us(last_ts) <= {_KM_GAP_US}
+                        AS INT) AS cens
+            FROM spans, horizon
+        ),
+        hist AS (
+            SELECT d, count(*) FILTER (WHERE cens = 0) AS n_churn,
+                   count(*) FILTER (WHERE cens = 1) AS n_cens
+            FROM lab GROUP BY d
+        ),
+        risk AS (
+            SELECT h.d, h.n_churn, h.n_cens,
+                   sum(r.n_churn + r.n_cens) AS n_at_risk
+            FROM hist h JOIN hist r ON r.d >= h.d
+            GROUP BY h.d, h.n_churn, h.n_cens
+        ),
+        surv AS (
+            SELECT h.d,
+                   sum(ln(1.0 - p.n_churn::DOUBLE / p.n_at_risk)) AS log_s
+            FROM risk h JOIN risk p
+              ON p.d <= h.d AND p.n_churn > 0
+                 AND p.n_churn < p.n_at_risk
+            GROUP BY h.d
+        ),
+        dead AS (
+            SELECT DISTINCT h.d
+            FROM risk h JOIN risk z
+              ON z.d <= h.d AND z.n_churn >= z.n_at_risk
+        )
+        SELECT CAST(h.d AS BIGINT) AS duration_minutes,
+               CAST(h.n_at_risk AS BIGINT) AS n_at_risk,
+               CAST(h.n_churn AS BIGINT) AS n_ended,
+               CAST(h.n_cens AS BIGINT) AS n_censored,
+               round(CASE WHEN dead.d IS NOT NULL THEN 0.0
+                          WHEN s.log_s IS NULL THEN 1.0
+                          ELSE exp(s.log_s) END, 6) AS survival
+        FROM risk h
+        LEFT JOIN surv s ON s.d = h.d
+        LEFT JOIN dead ON dead.d = h.d
+        WHERE h.n_churn > 0
+    """,
+    doc="Kaplan-Meier survival curve over session durations (30-min-gap "
+    "sessions, the windows.py convention): a session's duration is "
+    "first-to-last event minutes; sessions whose last event is within "
+    "one gap of the corpus horizon are right-censored (they might have "
+    "continued). S(t) is the product-limit estimator computed WITHOUT "
+    "a global window: sessions collapse to a duration histogram "
+    "(bounded by the max session length in minutes), the risk set and "
+    "log-survival cumulative are nested-loop joins over that tiny "
+    "aggregate, and the product is exp(sum(ln)) with the everyone-"
+    "ended boundary handled exactly (survival 0, no ln(0)). The "
+    "sessionization windows are user-partitioned.",
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    prev = F.lag(us).over(w)
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            prev.isNull() | ((us - prev) > _KM_GAP_US), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = seq.select(
+        "user_id", "ts", F.sum("brk").over(wc).alias("sid")
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    horizon = ev.agg(F.max("ts").alias("mx"))
+    lab = spans.crossJoin(F.broadcast(horizon)).select(
+        F.floor(
+            (F.unix_micros(F.col("last_ts").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("first_ts").cast("timestamp_ltz")))
+            / 60000000.0
+        )
+        .cast("bigint")
+        .alias("d"),
+        (
+            (F.unix_micros(F.col("mx").cast("timestamp_ltz"))
+                - F.unix_micros(F.col("last_ts").cast("timestamp_ltz"))) <= _KM_GAP_US
+        )
+        .cast("int")
+        .alias("cens"),
+    )
+    hist = lab.groupBy("d").agg(
+        F.count(F.when(F.col("cens") == 0, 1)).alias("n_churn"),
+        F.count(F.when(F.col("cens") == 1, 1)).alias("n_cens"),
+    )
+    h, r = hist.alias("h"), hist.alias("r")
+    risk = (
+        h.join(F.broadcast(r), F.col("r.d") >= F.col("h.d"))
+        .groupBy(
+            F.col("h.d").alias("d"),
+            F.col("h.n_churn").alias("n_churn"),
+            F.col("h.n_cens").alias("n_cens"),
+        )
+        .agg(F.sum(F.col("r.n_churn") + F.col("r.n_cens")).alias("n_at_risk"))
+    )
+    hh, p = risk.alias("hh"), risk.alias("p")
+    factor = 1.0 - F.col("p.n_churn").cast("double") / F.col("p.n_at_risk")
+    surv = (
+        hh.join(
+            F.broadcast(p),
+            (F.col("p.d") <= F.col("hh.d"))
+            & (F.col("p.n_churn") > 0)
+            & (F.col("p.n_churn") < F.col("p.n_at_risk")),
+        )
+        .groupBy(F.col("hh.d").alias("d"))
+        .agg(F.sum(F.log(factor)).alias("log_s"))
+    )
+    z = risk.alias("z")
+    dead = hh.join(
+        F.broadcast(z),
+        (F.col("z.d") <= F.col("hh.d"))
+        & (F.col("z.n_churn") >= F.col("z.n_at_risk")),
+        "left_semi",
+    ).select(F.col("hh.d").alias("d"), F.lit(1).alias("dead"))
+    out = (
+        risk.join(surv, "d", "left")
+        .join(dead, "d", "left")
+        .where(F.col("n_churn") > 0)
+    )
+    survival = F.when(F.col("dead") == 1, F.lit(0.0)).otherwise(
+        F.when(F.col("log_s").isNull(), F.lit(1.0)).otherwise(
+            F.exp(F.col("log_s"))
+        )
+    )
+    return out.select(
+        F.col("d").cast("bigint").alias("duration_minutes"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("n_churn").cast("bigint").alias("n_ended"),
+        F.col("n_cens").cast("bigint").alias("n_censored"),
+        F.round(survival, 6).alias("survival"),
+    )

@@ -855,3 +855,22 @@ def test_ks_drift_no_global_window(q):
     # the 1-row min/max bounds broadcast (planned twice: the cum subtree
     # feeds both the scored side and the global-CDF aggregate)
     assert f["nested_loop_joins"] <= 2
+
+
+def test_kaplan_meier_no_global_window(q):
+    """Sessionization windows are user-partitioned; the KM cumulative
+    (risk set + log-survival product) rides nested-loop joins over the
+    tiny duration histogram plus the 1-row horizon broadcast — no
+    unpartitioned window anywhere."""
+    import re as _re
+
+    f = assert_plan(q("kaplan_meier_retention"))
+    for m in _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"]):
+        assert "user_id" in m, f["plan"][:1500]
+
+
+def test_benford_single_scan_tiny_broadcast(q):
+    """One lineitem scan of one column, a 9-row digit aggregate, and a
+    1-row total broadcast — nothing else."""
+    f = assert_plan(q("benford_law_audit"), max_scan_columns=1)
+    assert f["nested_loop_joins"] <= 1 and "Window" not in f["plan"]
