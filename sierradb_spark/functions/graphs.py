@@ -471,3 +471,76 @@ def two_hop_reach_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_within_2hops").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _sql_kcore() -> str:
+    ctes = [
+        _SQL_CAND_EDGES
+        + ",\n        e0 AS MATERIALIZED (SELECT u, v FROM edges)"
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""
+        d{r} AS (SELECT u, count(*) AS d FROM e{r - 1} GROUP BY u),
+        k{r} AS (SELECT u FROM d{r} WHERE d >= {_KCORE_K}),
+        e{r} AS (
+            SELECT e.u, e.v FROM e{r - 1} e
+            JOIN k{r} a ON e.u = a.u
+            JOIN k{r} b ON e.v = b.u
+        )
+        """
+        )
+    return (
+        "WITH "
+        + _SQL_WIDE_MINS
+        + ","
+        + ",".join(ctes)
+        + f"""
+        SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM e{_KCORE_ROUNDS} GROUP BY u
+        """
+    )
+
+
+@REG.add(
+    "kcore_near_dup",
+    oracle=_sql_kcore(),
+    doc=f"{_KCORE_K}-core decomposition of the near-dup graph "
+    f"({_KCORE_ROUNDS} peeling rounds, fixed like the PageRank unroll): "
+    "iteratively drop nodes with degree below k and keep edges whose "
+    "BOTH endpoints survive — what remains are the dense template "
+    "cores, stripped of the chance-collision fringe that inflates "
+    "component sizes. Each round is one degree aggregate + two semi-"
+    "joins on node ids (edges come from the band join, never N^2); "
+    "per-round checkpoints bound lineage exactly as the CC fixpoint "
+    "does. The fixed round count keeps both engines on the identical "
+    "subgraph even if the peel has not fully converged.",
+)
+def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+
+    cand = minhash_wide_candidates(spark, sf_dir)
+    edges = (
+        cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= _KCORE_K).select("u")
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("core_degree")
+    ).select(F.col("u").alias("doc_id"), "core_degree")

@@ -1199,3 +1199,97 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cens").cast("bigint").alias("n_censored"),
         F.round(survival, 6).alias("survival"),
     )
+
+
+@REG.add(
+    "ab_test_proportions",
+    oracle="""
+        WITH g AS (
+            SELECT CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_a,
+                   CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_b,
+                   CAST(count(*) FILTER (WHERE grp = 0
+                        AND event_type = 'purchase') AS BIGINT) AS conv_a,
+                   CAST(count(*) FILTER (WHERE grp = 1
+                        AND event_type = 'purchase') AS BIGINT) AS conv_b
+            FROM (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                           ::UBIGINT % 2 AS grp
+                FROM events
+            )
+        )
+        SELECT n_a, n_b, conv_a, conv_b,
+               round(conv_a::DOUBLE / n_a, 6) AS rate_a,
+               round(conv_b::DOUBLE / n_b, 6) AS rate_b,
+               round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+                     / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat,
+               abs(round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+                     / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 4)) > 1.96
+                   AS significant
+        FROM g
+    """,
+    doc="Two-proportion z-test between deterministic hash-split halves "
+    "(md5-slice user assignment — the portable bucketing an "
+    "experimentation platform uses), on the purchase share of events: "
+    "pooled-variance z statistic, 5% two-sided significance on the "
+    "ROUNDED z. On a hash split of homogeneous traffic this is the A/A "
+    "calibration run (expected: not significant). One 4-counter fold — "
+    "no joins, no windows; every count is an exact integer so both "
+    "engines compute the identical statistic. (Unit = event; for "
+    "user-level units aggregate per user first and feed the same "
+    "fold.)",
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    grp = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    tagged = ev.select("event_type", grp.alias("grp"))
+    g = tagged.agg(
+        F.count(F.when(F.col("grp") == 0, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("grp") == 1, 1)).cast("bigint").alias("n_b"),
+        F.count(
+            F.when(
+                (F.col("grp") == 0) & (F.col("event_type") == "purchase"), 1
+            )
+        )
+        .cast("bigint")
+        .alias("conv_a"),
+        F.count(
+            F.when(
+                (F.col("grp") == 1) & (F.col("event_type") == "purchase"), 1
+            )
+        )
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = F.round(
+        (ra - rb)
+        / F.sqrt(
+            pool
+            * (1.0 - pool)
+            * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+        4,
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -385,3 +385,135 @@ def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("d", 6) > F.col("ks_crit")).alias("drifted"),
         )
     )
+
+
+_BOOT_B = 64
+# Poisson(1) CDF thresholds for the inverse-CDF weight draw.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+@REG.add(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+        WITH rep AS (
+            SELECT event_type, value, b,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                        || ':' || b), 1, 8))::UBIGINT / 4294967296.0 AS u
+            FROM events
+            CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b)
+        ),
+        wtd AS (
+            SELECT event_type, b, value,
+                   CASE WHEN u < {_POIS_CDF[0]} THEN 0
+                        WHEN u < {_POIS_CDF[1]} THEN 1
+                        WHEN u < {_POIS_CDF[2]} THEN 2
+                        WHEN u < {_POIS_CDF[3]} THEN 3
+                        WHEN u < {_POIS_CDF[4]} THEN 4
+                        WHEN u < {_POIS_CDF[5]} THEN 5
+                        ELSE 6 END AS w
+            FROM rep
+        ),
+        means AS (
+            SELECT event_type, b,
+                   round(sum(w * value) / nullif(sum(w), 0), 6) AS m
+            FROM wtd GROUP BY event_type, b
+        ),
+        ranked AS (
+            SELECT event_type, m,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY m ASC, b ASC) AS rn
+            FROM means
+        ),
+        obs AS (
+            SELECT event_type, count(*) AS n,
+                   round(avg(value), 6) AS mean_obs
+            FROM events GROUP BY event_type
+        )
+        SELECT o.event_type,
+               CAST(o.n AS BIGINT) AS n_events,
+               o.mean_obs,
+               min(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+               min(CASE WHEN rn = {_BOOT_B - 1} THEN m END) AS ci_hi
+        FROM obs o JOIN ranked r USING (event_type)
+        GROUP BY o.event_type, o.n, o.mean_obs
+    """,
+    doc=f"Poisson-bootstrap 95% confidence interval for the mean value per "
+    f"event type — THE bootstrap that works on distributed data "
+    f"(Poisson(1) weights per (row, replicate) need no global resample): "
+    f"{_BOOT_B} replicates, weight drawn by inverse-CDF from a portable "
+    "md5-slice uniform, CI from fixed ranks 2 and 63 of the per-"
+    "replicate means (~2.5/97.5%). Replicate means are rounded to 6 dp "
+    "BEFORE ranking with a replicate-id tiebreak, so both engines rank "
+    "the identical ladder. One scan fanned x64 map-side; the shuffle "
+    "carries (type, replicate) partial sums only.",
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    rep = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    w = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .when(u < _POIS_CDF[4], 4)
+        .when(u < _POIS_CDF[5], 5)
+        .otherwise(6)
+    )
+    means = (
+        rep.select("event_type", "b", "value", w.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value"))
+                / F.nullif(F.sum("w"), F.lit(0)),
+                6,
+            ).alias("m")
+        )
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.col("m").asc(), F.col("b").asc()
+    )
+    ranked = means.withColumn("rn", F.row_number().over(rk))
+    obs = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_obs"),
+    )
+    return (
+        obs.join(ranked, "event_type")
+        .groupBy("event_type", "n_events", "mean_obs")
+        .agg(
+            F.min(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.min(
+                F.when(F.col("rn") == _BOOT_B - 1, F.col("m"))
+            ).alias("ci_hi"),
+        )
+    )

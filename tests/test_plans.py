@@ -874,3 +874,29 @@ def test_benford_single_scan_tiny_broadcast(q):
     1-row total broadcast — nothing else."""
     f = assert_plan(q("benford_law_audit"), max_scan_columns=1)
     assert f["nested_loop_joins"] <= 1 and "Window" not in f["plan"]
+
+
+def test_kcore_peels_are_equi_semi_joins(q):
+    """Every peeling round is a degree aggregate + two semi-joins on
+    node ids; a nested-loop/cartesian here is the N^2 failure mode."""
+    assert_plan(q("kcore_near_dup"), forbid_nested_loop=True)
+
+
+def test_bootstrap_fanout_is_map_side(q):
+    """The x64 replicate fan-out happens map-side (explode before the
+    (type, replicate) partial aggregate); the ranking window is
+    type-partitioned; the obs-side join is an equi hash join."""
+    import re as _re
+
+    f = assert_plan(q("poisson_bootstrap_ci"), forbid_nested_loop=True)
+    assert f["partial_aggs"] >= 1
+    for m in _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"]):
+        assert "event_type" in m, f["plan"][:1500]
+
+
+def test_ab_test_single_fold(q):
+    """One 4-counter aggregate over a 2-column scan — no joins, no
+    windows, no shuffle beyond the single-row final agg."""
+    f = assert_plan(q("ab_test_proportions"), forbid_nested_loop=True, max_scan_columns=2)
+    assert "Window" not in f["plan"]
+    assert f["broadcast_hash_joins"] == 0 and f["sort_merge_joins"] == 0
