@@ -517,3 +517,219 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi"),
         )
     )
+
+
+_OOF_FOLDS = 5
+
+
+@REG.add(
+    "target_encoding_oof",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT event_type, value,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                       ::UBIGINT % {_OOF_FOLDS} AS fold
+            FROM events
+        ),
+        per AS (
+            SELECT event_type, fold, count(*) AS n_f, sum(value) AS s_f
+            FROM tagged GROUP BY event_type, fold
+        ),
+        tot AS (
+            SELECT event_type, sum(n_f) AS n, sum(s_f) AS s
+            FROM per GROUP BY event_type
+        )
+        SELECT p.event_type,
+               CAST(p.fold AS INT) AS fold,
+               CAST(p.n_f AS BIGINT) AS n_rows,
+               round((t.s - p.s_f) / (t.n - p.n_f), 6) AS encoding,
+               round(t.s / t.n, 6) AS global_mean
+        FROM per p JOIN tot t USING (event_type)
+    """,
+    doc=f"Leakage-safe out-of-fold target encoding of event_type against "
+    f"value ({_OOF_FOLDS} md5-hash folds): each fold's encoding is the "
+    "mean over the OTHER folds — (S - s_f)/(N - n_f) from one partial-"
+    "aggregated pass, the feature-engineering primitive that prevents "
+    "target leakage in production ML pipelines. One scan, one "
+    "(type, fold) aggregate, one |types|-row equi-join; fold assignment "
+    "is the repo's portable md5-slice hash so both engines build "
+    "identical folds.",
+)
+def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _OOF_FOLDS
+    )
+    per = (
+        ev.select("event_type", "value", fold.alias("fold"))
+        .groupBy("event_type", "fold")
+        .agg(F.count("*").alias("n_f"), F.sum("value").alias("s_f"))
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n_f").alias("n"), F.sum("s_f").alias("s")
+    )
+    return per.join(tot, "event_type").select(
+        "event_type",
+        F.col("fold").cast("int").alias("fold"),
+        F.col("n_f").cast("bigint").alias("n_rows"),
+        F.round(
+            (F.col("s") - F.col("s_f")) / (F.col("n") - F.col("n_f")), 6
+        ).alias("encoding"),
+        F.round(F.col("s") / F.col("n"), 6).alias("global_mean"),
+    )
+
+
+@REG.add(
+    "median_ci_order_stat",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        marks AS (
+            SELECT event_type, n,
+                   greatest(1, CAST(floor((n - 1.96 * sqrt(n)) / 2)
+                                    AS BIGINT)) AS k_lo,
+                   least(n, CAST(ceil(1 + (n + 1.96 * sqrt(n)) / 2)
+                                 AS BIGINT)) AS k_hi,
+                   CAST(floor((n + 1) / 2) AS BIGINT) AS k_med
+            FROM (SELECT DISTINCT event_type, n FROM ranked)
+        )
+        SELECT r.event_type,
+               CAST(min(r.n) AS BIGINT) AS n_values,
+               round(min(CASE WHEN rn = k_med THEN value END), 6) AS median,
+               round(min(CASE WHEN rn = k_lo THEN value END), 6) AS ci_lo,
+               round(min(CASE WHEN rn = k_hi THEN value END), 6) AS ci_hi
+        FROM ranked r JOIN marks m USING (event_type)
+        GROUP BY r.event_type
+    """,
+    doc="Exact nonparametric 95% CI for the per-type median via binomial "
+    "order statistics (ranks n/2 +- 1.96*sqrt(n)/2 — the distribution-"
+    "free interval that needs no resampling and no normality): one "
+    "type-partitioned rank window with a deterministic event_id "
+    "tiebreak, then three order statistics read off by rank. The CI "
+    "values are actual data points, so no float accumulation exists "
+    "anywhere.",
+)
+def median_ci_order_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    n = F.col("n")
+    k_lo = F.greatest(
+        F.lit(1), F.floor((n - 1.96 * F.sqrt(n)) / 2).cast("bigint")
+    )
+    k_hi = F.least(
+        n.cast("bigint"),
+        F.ceil(1 + (n + 1.96 * F.sqrt(n)) / 2).cast("bigint"),
+    )
+    k_med = F.floor((n + 1) / 2).cast("bigint")
+    marked = ranked.select(
+        "event_type",
+        "value",
+        "rn",
+        "n",
+        k_lo.alias("k_lo"),
+        k_hi.alias("k_hi"),
+        k_med.alias("k_med"),
+    )
+    return marked.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_values"),
+        F.round(
+            F.min(F.when(F.col("rn") == F.col("k_med"), F.col("value"))), 6
+        ).alias("median"),
+        F.round(
+            F.min(F.when(F.col("rn") == F.col("k_lo"), F.col("value"))), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.min(F.when(F.col("rn") == F.col("k_hi"), F.col("value"))), 6
+        ).alias("ci_hi"),
+    )
+
+
+_TRIM_PCT = 0.05
+
+
+@REG.add(
+    "trimmed_winsorized_stats",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        marked AS (
+            SELECT event_type, value, rn, n,
+                   CAST(ceil({_TRIM_PCT} * n) AS BIGINT) AS k
+            FROM ranked
+        )
+        SELECT event_type,
+               CAST(min(n) AS BIGINT) AS n_values,
+               round(avg(value), 6) AS mean_raw,
+               round(avg(CASE WHEN rn > k AND rn <= n - k
+                              THEN value END), 6) AS mean_trimmed,
+               round((sum(CASE WHEN rn > k AND rn <= n - k
+                               THEN value ELSE 0 END)
+                      + min(k) * min(CASE WHEN rn = k + 1 THEN value END)
+                      + min(k) * min(CASE WHEN rn = n - k THEN value END))
+                     / min(n), 6) AS mean_winsorized
+        FROM marked
+        GROUP BY event_type
+    """,
+    doc=f"Robust location statistics per event type: the "
+    f"{int(_TRIM_PCT * 100)}%-trimmed mean (drop k=ceil(pn) rows each "
+    "tail) and the winsorized mean (clamp each tail to the boundary "
+    "order statistic) next to the raw mean — how much outliers move "
+    "the metric, read from one type-partitioned rank window and one "
+    "grouped conditional aggregate. Tail boundaries are actual data "
+    "points selected by integer rank, so both engines clamp to "
+    "identical values.",
+)
+def trimmed_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    ).withColumn("k", F.ceil(_TRIM_PCT * F.col("n")).cast("bigint"))
+    kept = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    return ranked.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_values"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg(F.when(kept, F.col("value"))), 6).alias("mean_trimmed"),
+        F.round(
+            (
+                F.sum(F.when(kept, F.col("value")).otherwise(F.lit(0.0)))
+                + F.min("k")
+                * F.min(
+                    F.when(F.col("rn") == F.col("k") + 1, F.col("value"))
+                )
+                + F.min("k")
+                * F.min(
+                    F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("value"))
+                )
+            )
+            / F.min("n"),
+            6,
+        ).alias("mean_winsorized"),
+    )

@@ -900,3 +900,24 @@ def test_ab_test_single_fold(q):
     f = assert_plan(q("ab_test_proportions"), forbid_nested_loop=True, max_scan_columns=2)
     assert "Window" not in f["plan"]
     assert f["broadcast_hash_joins"] == 0 and f["sort_merge_joins"] == 0
+
+
+def test_oof_encoding_single_pass_equi_join(q):
+    """One (type, fold) partial aggregate and one |types|-row equi join
+    — no windows, no nested loops."""
+    f = assert_plan(q("target_encoding_oof"), forbid_nested_loop=True)
+    assert "Window" not in f["plan"] and f["partial_aggs"] >= 1
+
+
+def test_order_stat_windows_type_partitioned(q):
+    """Rank/count windows for the median CI and the robust means are
+    type-partitioned — never global."""
+    import re as _re
+
+    for name in ("median_ci_order_stat", "trimmed_winsorized_stats"):
+        f = assert_plan(q(name), forbid_nested_loop=True)
+        wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
+        assert wins and all("event_type" in m for m in wins), (
+            name,
+            f["plan"][:1200],
+        )
