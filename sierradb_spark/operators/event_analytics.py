@@ -1293,3 +1293,154 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+_SHAP_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+# Shapley weight by coalition size for |U|=4: s!(4-s-1)!/4!
+_SHAP_W = {0: 0.25, 1: 1.0 / 12.0, 2: 1.0 / 12.0, 3: 0.25}
+
+
+@REG.add(
+    "shapley_channel_attribution",
+    oracle="""
+        WITH um AS (
+            SELECT user_id,
+                   CAST(sum(DISTINCT CASE event_type
+                        WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                        WHEN 'signup' THEN 4 WHEN 'error' THEN 8
+                        ELSE 0 END) AS BIGINT) AS mask,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS conv
+            FROM events GROUP BY user_id
+        ),
+        cnt AS (
+            SELECT mask, count(*) AS n, sum(conv) AS c
+            FROM um GROUP BY mask
+        ),
+        tot AS (SELECT sum(n) AS nu FROM cnt),
+        subsets AS (SELECT unnest(range(16)) AS s),
+        v AS (
+            SELECT s.s, coalesce(sum(c.c), 0) AS cv
+            FROM subsets s LEFT JOIN cnt c ON (c.mask & s.s) = c.mask
+            GROUP BY s.s
+        ),
+        chan AS (
+            SELECT * FROM (VALUES (1, 'view'), (2, 'click'),
+                                  (4, 'signup'), (8, 'error'))
+                 AS t(bit, channel)
+        ),
+        terms AS (
+            SELECT ch.channel, ch.bit,
+                   CASE bit_count(CAST(v0.s AS BIGINT))
+                        WHEN 0 THEN 0.25
+                        WHEN 1 THEN (1.0::DOUBLE) / 12
+                        WHEN 2 THEN (1.0::DOUBLE) / 12
+                        ELSE 0.25 END
+                   * (v1.cv - v0.cv) AS term
+            FROM chan ch
+            JOIN v v0 ON (v0.s & ch.bit) = 0
+            JOIN v v1 ON v1.s = (v0.s | ch.bit)
+        ),
+        touched AS (
+            SELECT ch.channel, sum(cnt.n) AS n_touched
+            FROM chan ch JOIN cnt ON (cnt.mask & ch.bit) <> 0
+            GROUP BY ch.channel
+        )
+        SELECT t.channel,
+               CAST(coalesce(tc.n_touched, 0) AS BIGINT) AS n_touched_users,
+               round(sum(t.term) / min(tot.nu), 6) AS shapley_conversions
+        FROM terms t
+        LEFT JOIN touched tc ON tc.channel = t.channel
+        CROSS JOIN tot
+        GROUP BY t.channel, tc.n_touched
+    """,
+    doc="Exact Shapley-value channel attribution over the 4 non-purchase "
+    "touch channels: each user collapses to a 4-bit touched-channel "
+    "mask + converted flag; the coalition value v(S) is the converter "
+    "count among users whose whole touch-set fits in S, and the Shapley "
+    "sum runs over ALL 2^4 coalitions with exact factorial weights — "
+    "the data-driven attribution marketers approximate by sampling, "
+    "exact here because the channel universe is small. Everything after "
+    "the per-user fold is arithmetic over a 16-row coalition table "
+    "(counts are integers; both engines compute identical values). "
+    "phi sums to v(U)-v(empty) by construction.",
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    um = ev.groupBy("user_id").agg(
+        F.sum_distinct(bit).cast("bigint").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cnt = um.groupBy("mask").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("c")
+    )
+    tot = cnt.agg(F.sum("n").alias("nu"))
+    subsets = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(cnt),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("cv"))
+    )
+    chan = spark.createDataFrame(
+        [(b, name) for name, b in _SHAP_CHANNELS], "bit long, channel string"
+    )
+    w = (
+        F.when(F.bit_count(F.col("v0.s")) == 0, F.lit(0.25))
+        .when(F.bit_count(F.col("v0.s")) == 1, F.lit(1.0 / 12.0))
+        .when(F.bit_count(F.col("v0.s")) == 2, F.lit(1.0 / 12.0))
+        .otherwise(F.lit(0.25))
+    )
+    v0, v1 = v.alias("v0"), v.alias("v1")
+    terms = (
+        chan.join(
+            F.broadcast(v0),
+            F.col("v0.s").bitwiseAND(F.col("bit")) == 0,
+        )
+        .join(
+            F.broadcast(v1),
+            F.col("v1.s") == F.col("v0.s").bitwiseOR(F.col("bit")),
+        )
+        .select(
+            "channel",
+            "bit",
+            (w * (F.col("v1.cv") - F.col("v0.cv"))).alias("term"),
+        )
+    )
+    touched = (
+        chan.join(
+            F.broadcast(cnt),
+            F.col("mask").bitwiseAND(F.col("bit")) != 0,
+        )
+        .groupBy("channel")
+        .agg(F.sum("n").alias("n_touched"))
+    )
+    return (
+        terms.join(F.broadcast(touched), "channel", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("channel", "n_touched")
+        .agg(
+            F.round(F.sum("term") / F.min("nu"), 6).alias(
+                "shapley_conversions"
+            )
+        )
+        .select(
+            "channel",
+            F.coalesce(F.col("n_touched"), F.lit(0))
+            .cast("bigint")
+            .alias("n_touched_users"),
+            "shapley_conversions",
+        )
+    )

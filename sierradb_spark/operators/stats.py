@@ -733,3 +733,180 @@ def trimmed_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_winsorized"),
     )
+
+
+@REG.add(
+    "value_concentration_gini",
+    oracle="""
+        WITH uv AS (
+            SELECT event_type, user_id, sum(value) AS uval
+            FROM events GROUP BY event_type, user_id
+        ),
+        ranked AS (
+            SELECT event_type, uval,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY uval, user_id) AS i,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   sum(uval) OVER (PARTITION BY event_type) AS s
+            FROM uv
+        )
+        SELECT event_type,
+               CAST(min(n) AS BIGINT) AS n_users,
+               round((2 * sum(i * uval) - (min(n) + 1) * min(s))
+                     / (min(n) * min(s)), 6) AS gini,
+               round(sum((uval / s) * (uval / s)), 6) AS hhi,
+               round(max(uval) / min(s), 6) AS top1_share
+        FROM ranked GROUP BY event_type
+    """,
+    doc="Concentration of per-user value within each event type: the Gini "
+    "coefficient (rank formula over the user-partitioned ascending "
+    "order), the Herfindahl-Hirschman index of user shares, and the top "
+    "user's share — the 'is engagement dominated by whales' diagnostics. "
+    "One per-user aggregate, one type-partitioned rank window, one "
+    "grouped fold; all values non-negative in this corpus (rank-formula "
+    "precondition).",
+)
+def value_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    uv = ev.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("uval")
+    )
+    w = Window.partitionBy("event_type").orderBy("uval", "user_id")
+    wn = Window.partitionBy("event_type")
+    ranked = uv.select(
+        "event_type",
+        "uval",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wn).alias("n"),
+        F.sum("uval").over(wn).alias("s"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_users"),
+        F.round(
+            (
+                2 * F.sum(F.col("i") * F.col("uval"))
+                - (F.min("n") + 1) * F.min("s")
+            )
+            / (F.min("n") * F.min("s")),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum((F.col("uval") / F.col("s")) * (F.col("uval") / F.col("s"))),
+            6,
+        ).alias("hhi"),
+        F.round(F.max("uval") / F.min("s"), 6).alias("top1_share"),
+    )
+
+
+_MAD_K = 3.5 * 1.4826  # robust-z cutoff x MAD-to-sigma consistency factor
+
+
+@REG.add(
+    "mad_robust_outliers",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   min(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                            THEN value END) AS med,
+                   min(n) AS n
+            FROM ranked GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.event_id, m.med, m.n,
+                   abs(e.value - m.med) AS dv
+            FROM events e JOIN med m USING (event_type)
+        ),
+        r2a AS (
+            SELECT event_type, med, n, dv,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY dv, event_id) AS rn2
+            FROM dev
+        ),
+        r2 AS (
+            SELECT event_type, med, n, dv,
+                   min(CASE WHEN rn2 = CAST(floor((n + 1) / 2) AS BIGINT)
+                            THEN dv END) OVER
+                       (PARTITION BY event_type) AS mad
+            FROM r2a
+        )
+        SELECT event_type,
+               CAST(min(n) AS BIGINT) AS n_values,
+               round(min(med), 6) AS median,
+               round(min(mad), 6) AS mad,
+               CAST(count(CASE WHEN dv > {_MAD_K} * mad THEN 1 END)
+                    AS BIGINT) AS n_outliers,
+               round(count(CASE WHEN dv > {_MAD_K} * mad THEN 1 END)::DOUBLE
+                     / min(n), 6) AS outlier_share
+        FROM r2 GROUP BY event_type
+    """,
+    doc="Robust outlier detection per event type via the median absolute "
+    "deviation: robust z = |x - median| / (1.4826 * MAD), flagged beyond "
+    "3.5 — the detector that does not let the outliers it hunts inflate "
+    "its own scale (unlike mean/stddev z-scores). Median and MAD are "
+    "exact order statistics selected by integer rank under type-"
+    "partitioned windows with id tiebreaks; the threshold comparison "
+    "runs on identical doubles in both engines, so counts are exact.",
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("med"),
+        F.min("n").alias("n"),
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "event_id",
+        "med",
+        "n",
+        F.abs(F.col("value") - F.col("med")).alias("dv"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dv", "event_id")
+    r2 = dev.select(
+        "event_type",
+        "med",
+        "n",
+        "dv",
+        F.min(
+            F.when(
+                F.row_number().over(w2)
+                == F.floor((F.col("n") + 1) / 2).cast("bigint"),
+                F.col("dv"),
+            )
+        )
+        .over(wn)
+        .alias("mad"),
+    )
+    hit = F.col("dv") > _MAD_K * F.col("mad")
+    return r2.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_values"),
+        F.round(F.min("med"), 6).alias("median"),
+        F.round(F.min("mad"), 6).alias("mad"),
+        F.count(F.when(hit, 1)).cast("bigint").alias("n_outliers"),
+        F.round(
+            F.count(F.when(hit, 1)).cast("double") / F.min("n"), 6
+        ).alias("outlier_share"),
+    )

@@ -921,3 +921,23 @@ def test_order_stat_windows_type_partitioned(q):
             name,
             f["plan"][:1200],
         )
+
+
+def test_shapley_coalition_table_broadcast(q):
+    """Everything after the per-user mask fold runs over 16-row
+    coalition tables: the containment/term joins are broadcast (no
+    sort-merge, no cartesian)."""
+    f = assert_plan(q("shapley_channel_attribution"))
+    assert f["sort_merge_joins"] == 0, f["plan"][:1500]
+
+
+def test_gini_mad_windows_type_partitioned(q):
+    import re as _re
+
+    for name in ("value_concentration_gini", "mad_robust_outliers"):
+        f = assert_plan(q(name), forbid_nested_loop=True)
+        wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
+        assert wins and all("event_type" in m for m in wins), (
+            name,
+            f["plan"][:1200],
+        )
