@@ -910,3 +910,161 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(hit, 1)).cast("double") / F.min("n"), 6
         ).alias("outlier_share"),
     )
+
+
+_PSI_BINS = 16
+
+
+@REG.add(
+    "psi_value_drift",
+    oracle=f"""
+        WITH b AS (
+            SELECT min(value) AS mn, max(value) AS mx,
+                   min(ts) AS t0, max(ts) AS t1
+            FROM events
+        ),
+        tagged AS (
+            SELECT event_type,
+                   coalesce(CAST(least({_PSI_BINS - 1}, greatest(0,
+                       floor((value - mn) / nullif(mx - mn, 0)
+                             * {_PSI_BINS}))) AS INT), 0) AS bin,
+                   CAST(epoch_us(ts) - epoch_us(t0)
+                        > (epoch_us(t1) - epoch_us(t0)) / 2 AS INT)
+                       AS half
+            FROM events, b
+        ),
+        cnt AS (
+            SELECT event_type, bin, half, count(*) AS c
+            FROM tagged GROUP BY event_type, bin, half
+        ),
+        grid AS (
+            SELECT t.event_type, g.bin, h.half
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(range({_PSI_BINS})) AS bin) g
+            CROSS JOIN (SELECT unnest([0, 1]) AS half) h
+        ),
+        dense AS (
+            SELECT g.event_type, g.bin, g.half, coalesce(c.c, 0) AS c
+            FROM grid g LEFT JOIN cnt c USING (event_type, bin, half)
+        ),
+        tot AS (
+            SELECT event_type, half, sum(c) AS n
+            FROM dense GROUP BY event_type, half
+        ),
+        shares AS (
+            SELECT d.event_type, d.bin, d.half,
+                   (d.c + 1.0) / (t.n + {_PSI_BINS}) AS p
+            FROM dense d JOIN tot t USING (event_type, half)
+        ),
+        wide AS (
+            SELECT r.event_type, r.bin, r.p AS p_ref, c.p AS p_cur
+            FROM shares r JOIN shares c
+              ON r.event_type = c.event_type AND r.bin = c.bin
+             AND r.half = 0 AND c.half = 1
+        )
+        SELECT w.event_type,
+               CAST(min(t0.n) AS BIGINT) AS n_ref,
+               CAST(min(t1.n) AS BIGINT) AS n_cur,
+               round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+               round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) > 0.2
+                   AS drifted
+        FROM wide w
+        JOIN tot t0 ON t0.event_type = w.event_type AND t0.half = 0
+        JOIN tot t1 ON t1.event_type = w.event_type AND t1.half = 1
+        GROUP BY w.event_type
+    """,
+    doc=f"Population stability index of per-type value distributions, "
+    f"first time-half vs second time-half ({_PSI_BINS} equal-width bins "
+    "from ONE broadcast bounds row, Laplace-smoothed shares so no bin "
+    "is zero): PSI = sum((cur-ref)*ln(cur/ref)), flagged at the "
+    "standard 0.2 threshold — the ML-monitoring drift metric next to "
+    "the KS statistic's CDF view. Counts are exact integers; shares "
+    "and logs are identical doubles in both engines; everything after "
+    "the (type,bin,half) count is O(types x bins).",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))  # noqa: E731
+    raw_bin = F.floor(
+        (F.col("value") - F.col("mn"))
+        / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
+        * _PSI_BINS
+    )
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.coalesce(
+            F.least(F.lit(_PSI_BINS - 1), F.greatest(F.lit(0), raw_bin)).cast(
+                "int"
+            ),
+            F.lit(0),
+        ).alias("bin"),
+        (
+            (us("ts") - us("t0")) > (us("t1") - us("t0")) / 2
+        )
+        .cast("int")
+        .alias("half"),
+    )
+    cnt = tagged.groupBy("event_type", "bin", "half").agg(
+        F.count("*").alias("c")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
+        )
+        .select(
+            "event_type", "bin", F.explode(F.array(F.lit(0), F.lit(1))).alias("half")
+        )
+    )
+    dense = (
+        grid.join(cnt, ["event_type", "bin", "half"], "left")
+        .select(
+            "event_type", "bin", "half", F.coalesce("c", F.lit(0)).alias("c")
+        )
+        # O(types x bins x 2) rows; pin so the six downstream branches
+        # read the tiny table instead of replaying the events scan.
+        .localCheckpoint(eager=True)
+    )
+    tot = dense.groupBy("event_type", "half").agg(F.sum("c").alias("n"))
+    shares = dense.join(tot, ["event_type", "half"]).select(
+        "event_type",
+        "bin",
+        "half",
+        ((F.col("c") + 1.0) / (F.col("n") + _PSI_BINS)).alias("p"),
+    )
+    ref = shares.where(F.col("half") == 0).select(
+        "event_type", "bin", F.col("p").alias("p_ref")
+    )
+    cur = shares.where(F.col("half") == 1).select(
+        "event_type", "bin", F.col("p").alias("p_cur")
+    )
+    t0 = tot.where(F.col("half") == 0).select(
+        "event_type", F.col("n").alias("n_ref")
+    )
+    t1 = tot.where(F.col("half") == 1).select(
+        "event_type", F.col("n").alias("n_cur")
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.col("p_cur") / F.col("p_ref")
+    )
+    psi = F.round(F.sum(term), 6)
+    return (
+        ref.join(cur, ["event_type", "bin"])
+        .join(t0, "event_type")
+        .join(t1, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n_ref").cast("bigint").alias("n_ref"),
+            F.min("n_cur").cast("bigint").alias("n_cur"),
+            psi.alias("psi"),
+            (psi > 0.2).alias("drifted"),
+        )
+    )

@@ -831,3 +831,126 @@ def changepoint_binary_segmentation(
             ).alias("gain"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (weekly season, sequential fold)
+# ---------------------------------------------------------------------------
+
+_HW_A, _HW_B, _HW_G = 0.5, 0.3, 0.4  # level / trend / seasonal factors
+_HW_M = 7  # season length (weekly)
+_HW_H = 7  # forecast horizon (days ahead)
+
+# State (SQL 1-based): acc = [level, trend, n, s1..s7]; x = [y].
+# The seasonal slot for day n (0-based) is n % 7. lvl/sold are inlined
+# wherever referenced (lambdas cannot bind locals); identical inlining
+# on both engines keeps the fold bit-exact.
+_HW_SOLD = f"acc[4 + (CAST(acc[3] AS INT) % {_HW_M})]"
+_HW_LVL = (
+    f"({_HW_A} * (x[1] - {_HW_SOLD}) + {1 - _HW_A} * (acc[1] + acc[2]))"
+)
+_HW_TRD = f"({_HW_B} * ({_HW_LVL} - acc[1]) + {1 - _HW_B} * acc[2])"
+_HW_SNW = f"({_HW_G} * (x[1] - {_HW_LVL}) + {1 - _HW_G} * {_HW_SOLD})"
+_SQL_HW_STEP = (
+    f"[{_HW_LVL}, {_HW_TRD}, acc[3] + 1] || "
+    f"list_transform(acc[4:{3 + _HW_M}], (sx, i) -> "
+    f"CASE WHEN i - 1 = CAST(acc[3] AS INT) % {_HW_M} "
+    f"THEN {_HW_SNW} ELSE sx END)"
+)
+
+
+@REG.add(
+    "holt_winters_forecast",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   round(sum(value), 6) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        series AS (
+            SELECT event_type, list(y ORDER BY day) AS ys
+            FROM daily GROUP BY event_type
+        ),
+        folded AS (
+            SELECT event_type, len(ys) AS n_days,
+                   list_reduce(
+                       list_prepend(
+                           [ys[1], 0.0, 1.0{', 0.0' * _HW_M}],
+                           list_transform(ys[2:], v -> [v])),
+                       (acc, x) -> {_SQL_HW_STEP}) AS st
+            FROM series
+        )
+        SELECT event_type,
+               CAST(n_days AS BIGINT) AS n_days,
+               round(st[1], 4) AS level,
+               round(st[2], 4) AS trend,
+               round(list_max(st[4:{3 + _HW_M}])
+                     - list_min(st[4:{3 + _HW_M}]), 4) AS seasonal_range,
+               round(st[1] + {_HW_H} * st[2]
+                     + st[4 + ((CAST(st[3] AS INT) + {_HW_H} - 1)
+                               % {_HW_M})], 4) AS forecast_{_HW_H}d
+        FROM folded
+    """,
+    doc=f"Holt-Winters additive seasonal smoothing (alpha={_HW_A}, "
+    f"beta={_HW_B}, gamma={_HW_G}, weekly season) over each type's "
+    "daily value series — the forecasting upgrade over holt_linear "
+    "when traffic has a day-of-week shape. Init: level = day 1, trend "
+    "= 0, seasonals = 0 (learned in the first weeks); the recurrence "
+    "updates ONE seasonal slot per day via an index-aware lambda "
+    "inside the same sequential fold both engines evaluate in "
+    "identical order (nested-lambda accumulator capture, 10-double "
+    "state). Reports final state, seasonal amplitude, and the "
+    f"{_HW_H}-day-ahead forecast level + h*trend + s[slot]. One daily "
+    "aggregate then one bounded fold per key — no windows.",
+)
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    a, b, g, m = _HW_A, _HW_B, _HW_G, _HW_M
+
+    def step(acc, x):
+        y = F.get(x, 0)
+        n = F.get(acc, 2)
+        idx = n.cast("int") % m
+        sold = F.get(acc, F.lit(3) + idx)
+        lvl = a * (y - sold) + (1 - a) * (F.get(acc, 0) + F.get(acc, 1))
+        trd = b * (lvl - F.get(acc, 0)) + (1 - b) * F.get(acc, 1)
+        snw = g * (y - lvl) + (1 - g) * sold
+        seas = F.transform(
+            F.slice(acc, 4, m),
+            lambda sx, i: F.when(i == idx, snw).otherwise(sx),
+        )
+        return F.concat(F.array(lvl, trd, n + 1), seas)
+
+    init = F.concat(
+        F.array(F.get(ys, 0), F.lit(0.0), F.lit(1.0)),
+        F.array(*[F.lit(0.0)] * m),
+    )
+    rest = F.slice(ys, 2, F.greatest(F.size(ys) - 1, F.lit(0)))
+    st = F.aggregate(F.transform(rest, lambda v: F.array(v)), init, step)
+    seas = F.slice(st, 4, m)
+    fc_idx = (F.get(st, 2).cast("int") + _HW_H - 1) % m
+    return series.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_days"),
+        F.round(F.get(st, 0), 4).alias("level"),
+        F.round(F.get(st, 1), 4).alias("trend"),
+        F.round(
+            F.array_max(seas) - F.array_min(seas), 4
+        ).alias("seasonal_range"),
+        F.round(
+            F.get(st, 0)
+            + _HW_H * F.get(st, 1)
+            + F.get(st, F.lit(3) + fc_idx),
+            4,
+        ).alias(f"forecast_{_HW_H}d"),
+    )

@@ -941,3 +941,18 @@ def test_gini_mad_windows_type_partitioned(q):
             name,
             f["plan"][:1200],
         )
+
+
+def test_holt_winters_is_fold_no_window(q):
+    """Like holt_linear: one daily aggregate then a bounded per-key
+    sequential fold — no window functions at all."""
+    f = assert_plan(q("holt_winters_forecast"), forbid_nested_loop=True)
+    assert "Window" not in f["plan"], f["plan"][:1200]
+
+
+def test_psi_tiny_grid_equi_joins(q):
+    """After the (type,bin,half) count everything is O(types x bins):
+    equi joins only, the one nested loop is the 1-row bounds broadcast
+    (planned once per subtree reuse)."""
+    f = assert_plan(q("psi_value_drift"))
+    assert f["nested_loop_joins"] <= 2 and "Window" not in f["plan"]
