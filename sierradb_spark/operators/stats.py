@@ -1068,3 +1068,210 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (psi > 0.2).alias("drifted"),
         )
     )
+
+
+@REG.add(
+    "theil_sen_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   round(avg(value), 6) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        idx AS (
+            SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS i
+            FROM daily
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   (b.y - a.y) / (b.i - a.i) AS m,
+                   row_number() OVER (
+                       PARTITION BY a.event_type
+                       ORDER BY (b.y - a.y) / (b.i - a.i), a.i, b.i) AS rn,
+                   count(*) OVER (PARTITION BY a.event_type) AS np
+            FROM idx a JOIN idx b
+              ON a.event_type = b.event_type AND a.i < b.i
+        ),
+        ols AS (
+            SELECT event_type, regr_slope(y, i) AS ols_m
+            FROM idx GROUP BY event_type
+        )
+        SELECT s.event_type,
+               CAST(min(np) AS BIGINT) AS n_pairs,
+               round(min(CASE WHEN rn = CAST(floor((np + 1) / 2) AS BIGINT)
+                              THEN m END), 6) AS theil_sen_slope,
+               round(min(o.ols_m), 6) AS ols_slope
+        FROM slopes s JOIN ols o USING (event_type)
+        GROUP BY s.event_type
+    """,
+    doc="Theil-Sen robust trend per event type: the MEDIAN of all "
+    "pairwise day-slopes of the daily mean series, next to the OLS "
+    "slope it robustifies (up to ~29% outlier days cannot move it). "
+    "The pair join is per-type over the DAILY aggregate — O(days^2) "
+    "pairs per type, bounded by corpus age, never by event count; the "
+    "median is an exact order statistic by integer rank with an (i,j) "
+    "tiebreak.",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("y")
+    )
+    idx = daily.select(
+        "event_type",
+        "y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    m = (F.col("b.y") - F.col("a.y")) / (F.col("b.i") - F.col("a.i"))
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.i") < F.col("b.i")),
+    ).select(F.col("a.event_type").alias("event_type"), m.alias("m"),
+             F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+    w = Window.partitionBy("event_type").orderBy("m", "i", "j")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "m",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("np"),
+    )
+    ols = idx.groupBy("event_type").agg(
+        F.regr_slope(F.col("y"), F.col("i").cast("double")).alias("ols_m")
+    )
+    return (
+        ranked.join(ols, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("np").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("rn")
+                        == F.floor((F.col("np") + 1) / 2).cast("bigint"),
+                        F.col("m"),
+                    )
+                ),
+                6,
+            ).alias("theil_sen_slope"),
+            F.round(F.min("ols_m"), 6).alias("ols_slope"),
+        )
+    )
+
+
+@REG.add(
+    "empirical_bayes_user_means",
+    oracle="""
+        WITH per_u AS (
+            SELECT event_type, user_id, count(*) AS n_u,
+                   sum(value) AS s_u, sum(value * value) AS ss_u
+            FROM events GROUP BY event_type, user_id
+        ),
+        per_t AS (
+            SELECT event_type,
+                   count(*) AS u,
+                   sum(n_u) AS n,
+                   sum(s_u) AS s,
+                   sum(ss_u - s_u * s_u / n_u) AS sse_within,
+                   sum(n_u * n_u) AS sum_n2
+            FROM per_u GROUP BY event_type
+        ),
+        moments AS (
+            SELECT event_type, u, n, s / n AS mu,
+                   sse_within / (n - u) AS s2w,
+                   greatest(0.0,
+                       ((SELECT sum(n_u * (s_u / n_u - t.s / t.n)
+                                    * (s_u / n_u - t.s / t.n))
+                         FROM per_u p WHERE p.event_type = t.event_type)
+                        - (u - 1) * (sse_within / (n - u)))
+                       / (n - sum_n2::DOUBLE / n)) AS tau2
+            FROM per_t t
+        )
+        SELECT m.event_type,
+               CAST(min(u) AS BIGINT) AS n_users,
+               round(min(mu), 6) AS grand_mean,
+               round(min(s2w), 6) AS s2_within,
+               round(min(tau2), 6) AS tau2,
+               round(avg(CASE WHEN min_tau2 = 0 THEN 0.0
+                              ELSE min_tau2
+                                   / (min_tau2 + min_s2w / p.n_u) END), 6)
+                   AS mean_shrink_weight
+        FROM (SELECT event_type, u, mu, s2w, tau2,
+                     min(tau2) OVER (PARTITION BY event_type) AS min_tau2,
+                     min(s2w) OVER (PARTITION BY event_type) AS min_s2w
+              FROM moments) m
+        JOIN per_u p USING (event_type)
+        GROUP BY m.event_type
+    """,
+    doc="Empirical-Bayes (James-Stein style) shrinkage diagnostics for "
+    "per-user mean value within each event type: one-way random-effects "
+    "method of moments — within-user variance s2w, between-user "
+    "variance tau2 (clamped at 0), and the average shrinkage weight "
+    "tau2/(tau2 + s2w/n_u) that a production metrics pipeline applies "
+    "before ranking small-sample users. Two aggregates (per-user, "
+    "per-type moment fold) and one |users|-row equi-join; all variance "
+    "pieces come from sums/sums-of-squares so both engines compute the "
+    "identical doubles before the 6-dp rounding.",
+)
+def empirical_bayes_user_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_u = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_u"),
+        F.sum("value").alias("s_u"),
+        F.sum(F.col("value") * F.col("value")).alias("ss_u"),
+    )
+    per_t = per_u.groupBy("event_type").agg(
+        F.count("*").alias("u"),
+        F.sum("n_u").alias("n"),
+        F.sum("s_u").alias("s"),
+        F.sum(
+            F.col("ss_u") - F.col("s_u") * F.col("s_u") / F.col("n_u")
+        ).alias("sse_within"),
+        F.sum(F.col("n_u") * F.col("n_u")).alias("sum_n2"),
+    )
+    mu = F.col("s") / F.col("n")
+    mean_u = F.col("s_u") / F.col("n_u")
+    between = per_u.join(per_t, "event_type").groupBy("event_type").agg(
+        F.sum(F.col("n_u") * (mean_u - mu) * (mean_u - mu)).alias("ssb")
+    )
+    stats = per_t.join(between, "event_type").select(
+        "event_type",
+        "u",
+        "n",
+        mu.alias("mu"),
+        (F.col("sse_within") / (F.col("n") - F.col("u"))).alias("s2w"),
+        F.greatest(
+            F.lit(0.0),
+            (
+                F.col("ssb")
+                - (F.col("u") - 1)
+                * (F.col("sse_within") / (F.col("n") - F.col("u")))
+            )
+            / (
+                F.col("n")
+                - F.col("sum_n2").cast("double") / F.col("n")
+            ),
+        ).alias("tau2"),
+    )
+    wgt = F.when(F.col("tau2") == 0, F.lit(0.0)).otherwise(
+        F.col("tau2") / (F.col("tau2") + F.col("s2w") / F.col("n_u"))
+    )
+    return (
+        per_u.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("u").cast("bigint").alias("n_users"),
+            F.round(F.min("mu"), 6).alias("grand_mean"),
+            F.round(F.min("s2w"), 6).alias("s2_within"),
+            F.round(F.min("tau2"), 6).alias("tau2"),
+            F.round(F.avg(wgt), 6).alias("mean_shrink_weight"),
+        )
+    )

@@ -956,3 +956,21 @@ def test_psi_tiny_grid_equi_joins(q):
     (planned once per subtree reuse)."""
     f = assert_plan(q("psi_value_drift"))
     assert f["nested_loop_joins"] <= 2 and "Window" not in f["plan"]
+
+
+def test_theil_sen_pairs_per_type_equi(q):
+    """The slope pair join is an equi join on event_type over the DAILY
+    aggregate (days^2 pairs per type, bounded by corpus age); rank
+    windows are type-partitioned."""
+    import re as _re
+
+    f = assert_plan(q("theil_sen_trend"), forbid_nested_loop=True)
+    wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
+    assert wins and all("event_type" in m for m in wins), f["plan"][:1200]
+
+
+def test_empirical_bayes_two_aggregates(q):
+    """Per-user and per-type moment folds plus |users|-row equi joins —
+    partial aggregation map-side, no windows, no nested loops."""
+    f = assert_plan(q("empirical_bayes_user_means"), forbid_nested_loop=True)
+    assert f["partial_aggs"] >= 1 and "Window" not in f["plan"]
