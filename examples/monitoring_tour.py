@@ -96,9 +96,35 @@ def run(sf_dir: str) -> None:
     print("== Holt forecast (7-day-ahead level+trend) ==")
     q("holt_linear_forecast").orderBy("event_type").show(truncate=False)
 
+    print("== Holt-Winters: + weekly seasonality ==")
+    q("holt_winters_forecast").orderBy("event_type").show(truncate=False)
+
     print("== Markov stationary distribution vs empirical mix ==")
     q("markov_stationary_distribution").orderBy("event_type").show(
         truncate=False
+    )
+
+    print("== Drift: KS (CDF gap) and PSI (share shift), per type ==")
+    q("ks_drift_by_event_type").orderBy("event_type").show(truncate=False)
+    q("psi_value_drift").orderBy("event_type").show(truncate=False)
+
+    print("== Changepoint: best binary-segmentation split per type ==")
+    q("changepoint_binary_segmentation").orderBy("event_type").show(
+        truncate=False
+    )
+
+    print("== Robust location + outliers (MAD z, trimmed/winsorized) ==")
+    q("mad_robust_outliers").orderBy("event_type").show(truncate=False)
+    q("trimmed_winsorized_stats").orderBy("event_type").show(truncate=False)
+
+    print("== Inference: bootstrap CI, median CI, A/A z-test ==")
+    q("poisson_bootstrap_ci").orderBy("event_type").show(truncate=False)
+    q("median_ci_order_stat").orderBy("event_type").show(truncate=False)
+    q("ab_test_proportions").show(truncate=False)
+
+    print("== Session survival (Kaplan-Meier product-limit curve) ==")
+    q("kaplan_meier_retention").orderBy("duration_minutes").show(
+        10, truncate=False
     )
 
 
