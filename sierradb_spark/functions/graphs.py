@@ -544,3 +544,59 @@ def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy("u").agg(
         F.count("*").cast("bigint").alias("core_degree")
     ).select(F.col("u").alias("doc_id"), "core_degree")
+
+
+@REG.add(
+    "degree_assortativity",
+    oracle="WITH "
+    + _SQL_WIDE_MINS
+    + ","
+    + _SQL_CAND_EDGES
+    + """,
+        deg AS MATERIALIZED (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        de AS (
+            SELECT du.d::DOUBLE AS dx, dv.d::DOUBLE AS dy
+            FROM edges e
+            JOIN deg du ON du.u = e.u
+            JOIN deg dv ON dv.u = e.v
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+               round(avg(dx), 4) AS mean_degree,
+               round(corr(dx, dy), 6) AS assortativity
+        FROM de
+    """,
+    doc="Degree assortativity of the near-dup graph: the Pearson "
+    "correlation of endpoint degrees over the (symmetrized) edge list — "
+    "positive means template hubs link to other hubs (one mega-family "
+    "to dedup), negative means hub-and-spoke boilerplate radiating into "
+    "singletons. Edges come from the band join (never N^2); the degree "
+    "table joins back twice by node id and corr folds into one moment "
+    "tuple map-side.",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+
+    cand = minhash_wide_candidates(spark, sf_dir)
+    edges = (
+        cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint(eager=True)  # read 3x below (two deg joins + count)
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u").alias("ju"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("dy"))
+    de = (
+        edges.join(du, edges["u"] == du["ju"])
+        .join(dv, edges["v"] == dv["jv"])
+        .select(
+            F.col("dx").cast("double").alias("dx"),
+            F.col("dy").cast("double").alias("dy"),
+        )
+    )
+    return de.agg(
+        F.count("*").cast("bigint").alias("n_directed_edges"),
+        F.round(F.avg("dx"), 4).alias("mean_degree"),
+        F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
+    )

@@ -1444,3 +1444,165 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shapley_conversions",
         )
     )
+
+
+@REG.add(
+    "time_to_convert_stats",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_buy
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT user_id,
+                   CAST(floor((epoch_us(t_buy) - epoch_us(t_view))
+                              / 60000000.0) AS BIGINT) AS mins
+            FROM firsts
+            WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+              AND t_buy >= t_view
+        ),
+        ranked AS (
+            SELECT mins,
+                   row_number() OVER (ORDER BY mins, user_id) AS rn,
+                   count(*) OVER () AS n
+            FROM conv
+        ),
+        tot AS (SELECT count(*) AS n_users FROM firsts)
+        SELECT CAST(min(t.n_users) AS BIGINT) AS n_users,
+               CAST(min(r.n) AS BIGINT) AS n_converted,
+               round(min(r.n)::DOUBLE / min(t.n_users), 6) AS conversion,
+               min(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                        THEN mins END) AS p50_minutes,
+               min(CASE WHEN rn = greatest(1,
+                        CAST(ceil(0.9 * n) AS BIGINT)) THEN mins END)
+                   AS p90_minutes,
+               max(mins) AS max_minutes
+        FROM ranked r CROSS JOIN tot t
+    """,
+    doc="Time-to-convert funnel timing: minutes from a user's first "
+    "'view' to their first 'purchase' (converters = both present, in "
+    "order), with exact p50/p90 order statistics and the conversion "
+    "share. The rank runs over the CONVERTERS aggregate (one row per "
+    "converting user — already a contraction of the event table); at "
+    "true scale the percentile swaps to approx_percentile with this "
+    "exact form as its oracle, same as the sketch family does.",
+)
+def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    conv = firsts.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select(
+        "user_id",
+        F.floor((us("t_buy") - us("t_view")) / 60000000.0)
+        .cast("bigint")
+        .alias("mins"),
+    )
+    # Percentiles WITHOUT a global window: converters collapse to a
+    # minutes histogram (bounded by corpus age in minutes, not user
+    # count); the cumulative is a broadcast nested-loop join over that
+    # tiny aggregate, and rank-threshold selection equals the oracle's
+    # direct row_number() definition (same argument as vocab_coverage).
+    hist = conv.groupBy("mins").agg(F.count("*").alias("c"))
+    h1, h2 = hist.alias("h1"), hist.alias("h2")
+    cum = (
+        h1.join(F.broadcast(h2), F.col("h2.mins") <= F.col("h1.mins"))
+        .groupBy(F.col("h1.mins").alias("mins"))
+        .agg(F.sum("h2.c").alias("cum"))
+    )
+    nconv = hist.agg(F.sum("c").alias("n"))
+    tot = firsts.agg(F.count("*").alias("n_users"))
+    n = F.col("n")
+    r50 = F.floor((n + 1) / 2).cast("bigint")
+    r90 = F.greatest(F.lit(1), F.ceil(0.9 * n).cast("bigint"))
+    return (
+        cum.crossJoin(F.broadcast(nconv))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("n_users").cast("bigint").alias("n_users"),
+            F.min("n").cast("bigint").alias("n_converted"),
+            F.round(
+                F.min("n").cast("double") / F.min("n_users"), 6
+            ).alias("conversion"),
+            F.min(
+                F.when(F.col("cum") >= r50, F.col("mins"))
+            ).alias("p50_minutes"),
+            F.min(
+                F.when(F.col("cum") >= r90, F.col("mins"))
+            ).alias("p90_minutes"),
+            F.max("mins").alias("max_minutes"),
+        )
+    )
+
+
+
+_POWER_LIFTS = (0.01, 0.02, 0.05, 0.10)  # relative MDE grid
+_Z_ALPHA = 1.959963984540054  # two-sided 5%
+_Z_BETA = 0.8416212335729143  # 80% power
+
+
+@REG.add(
+    "ab_test_power",
+    oracle=f"""
+        WITH base AS (
+            SELECT count(*) AS n,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS conv
+            FROM events
+        ),
+        grid AS (SELECT unnest(([{', '.join(str(x) for x in _POWER_LIFTS)}])::DOUBLE[])
+                     AS lift)
+        SELECT round(lift, 4) AS relative_lift,
+               round(conv::DOUBLE / n, 6) AS base_rate,
+               round(conv::DOUBLE / n * (1 + lift), 6) AS target_rate,
+               CAST(ceil(
+                   pow({_Z_ALPHA} + {_Z_BETA}, 2)
+                   * ((conv::DOUBLE / n) * (1 - conv::DOUBLE / n)
+                      + (conv::DOUBLE / n * (1 + lift))
+                        * (1 - conv::DOUBLE / n * (1 + lift)))
+                   / pow(conv::DOUBLE / n * lift, 2)) AS BIGINT)
+                   AS n_per_arm
+        FROM base CROSS JOIN grid
+    """,
+    doc="Sample-size (power) analysis for the purchase-rate experiment: "
+    "for each relative MDE on the observed base rate, the users-per-arm "
+    "needed at alpha=5% two-sided / 80% power (classic two-proportion "
+    "normal approximation) — the planning companion to "
+    "ab_test_proportions. One 2-counter aggregate crossed with a "
+    "4-row literal grid; z quantiles are fixed literals so both "
+    "engines evaluate the identical closed form.",
+)
+def ab_test_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("conv"),
+    )
+    grid = spark.createDataFrame(
+        [(float(x),) for x in _POWER_LIFTS], "lift double"
+    )
+    p = F.col("conv").cast("double") / F.col("n")
+    p2 = p * (1 + F.col("lift"))
+    n_arm = F.ceil(
+        F.pow(F.lit(_Z_ALPHA + _Z_BETA), F.lit(2.0))
+        * (p * (1 - p) + p2 * (1 - p2))
+        / F.pow(p * F.col("lift"), F.lit(2.0))
+    ).cast("bigint")
+    return base.crossJoin(F.broadcast(grid)).select(
+        F.round("lift", 4).alias("relative_lift"),
+        F.round(p, 6).alias("base_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        n_arm.alias("n_per_arm"),
+    )

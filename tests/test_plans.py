@@ -974,3 +974,22 @@ def test_empirical_bayes_two_aggregates(q):
     partial aggregation map-side, no windows, no nested loops."""
     f = assert_plan(q("empirical_bayes_user_means"), forbid_nested_loop=True)
     assert f["partial_aggs"] >= 1 and "Window" not in f["plan"]
+
+
+def test_time_to_convert_no_global_window(q):
+    """Percentiles come from the minutes-histogram cumulative (broadcast
+    nested loops over the tiny aggregate) — no window at all."""
+    f = assert_plan(q("time_to_convert_stats"))
+    assert "Window" not in f["plan"], f["plan"][:1200]
+    assert f["nested_loop_joins"] <= 3  # hist cum + two 1-row totals
+
+
+def test_ab_power_two_counter_fold(q):
+    f = assert_plan(q("ab_test_power"), max_scan_columns=1)
+    assert "Window" not in f["plan"]
+
+
+def test_assortativity_equi_degree_joins(q):
+    """Degree joins back by node id as hash joins; corr folds map-side."""
+    f = assert_plan(q("degree_assortativity"), forbid_nested_loop=True)
+    assert f["partial_aggs"] >= 1
