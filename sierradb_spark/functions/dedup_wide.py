@@ -1049,3 +1049,140 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_share"),
         F.round(F.avg("score"), 4).alias("avg_score"),
     )
+
+
+@REG.add(
+    "band_agreement_calibration",
+    oracle=f"""
+        WITH {_SQL_WIDE_MINS},
+        agree AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_bands
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx
+             AND a.band_digest = b.band_digest
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh)
+        SELECT CAST(n_bands AS INT) AS bands_agree,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(avg(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                     / nullif(len(a.ss) + len(b.ss)
+                              - len(list_intersect(a.ss, b.ss)), 0)), 6)
+                   AS mean_jaccard,
+               round(min(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+                     / nullif(len(a.ss) + len(b.ss)
+                              - len(list_intersect(a.ss, b.ss)), 0)), 6)
+                   AS min_jaccard
+        FROM agree g
+        JOIN sets a ON a.doc_id = g.doc_a
+        JOIN sets b ON b.doc_id = g.doc_b
+        GROUP BY n_bands
+    """,
+    doc="LSH calibration curve: candidate pairs grouped by HOW MANY of "
+    "the 16 bands agree, with the exact Jaccard of each group (mean + "
+    "min) — the measured link between band-collision strength and true "
+    "similarity that validates the (b, r) choice against this corpus. "
+    "Pairs come from the band equi-join (collision-scaled); exact "
+    "intersections run only on colliding pairs, joined by doc_id "
+    "equi-key.",
+)
+def band_agreement_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = minhash_wide_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    agree = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_digest") == F.col("b.band_digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+    d = with_shingles(load(spark, sf_dir, "documents"), "doc_id")
+    sets = (
+        d.where(F.col("n_toks") >= SHINGLE_K)
+        .select("doc_id", F.array_distinct("shingles").alias("ss"))
+        .repartition("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = inter.cast("double") / F.nullif(
+        F.size("sa") + F.size("sb") - inter, F.lit(0)
+    )
+    return (
+        agree.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(F.col("n_bands").cast("int").alias("bands_agree"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg(jac), 6).alias("mean_jaccard"),
+            F.round(F.min(jac), 6).alias("min_jaccard"),
+        )
+    )
+
+
+_PLANNER_CONFIGS = ((32, 2), (16, 4), (8, 8), (4, 16))  # 64 hashes each
+_PLANNER_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@REG.add(
+    "lsh_parameter_planner",
+    oracle=f"""
+        WITH cfg AS (
+            SELECT * FROM (VALUES
+                {', '.join(f'({b}, {r})' for b, r in _PLANNER_CONFIGS)})
+                AS t(b, r)
+        ),
+        th AS (
+            SELECT unnest(([{', '.join(str(t) for t in _PLANNER_THRESHOLDS)}])
+                       ::DOUBLE[]) AS t
+        )
+        SELECT b, r, round(t, 2) AS jaccard,
+               round(1 - pow(1 - pow(t, r), b), 6) AS p_candidate,
+               round(pow((1.0::DOUBLE) / b, (1.0::DOUBLE) / r), 4)
+                   AS curve_threshold
+        FROM cfg CROSS JOIN th
+    """,
+    doc="Analytic LSH parameter planner for a 64-hash MinHash budget: "
+    "for every (bands, rows) split and Jaccard level, the collision "
+    "probability 1-(1-t^r)^b and the S-curve threshold (1/b)^(1/r) — "
+    "the table you read BEFORE picking the banding that "
+    "band_agreement_calibration then validates empirically. Pure "
+    "closed-form arithmetic over a literal grid (no scan); kept as a "
+    "registry query so the chosen production parameters (16x4, "
+    "threshold ~0.5) stay pinned against the formula.",
+)
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = spark.createDataFrame(list(_PLANNER_CONFIGS), "b int, r int")
+    th = spark.createDataFrame(
+        [(float(t),) for t in _PLANNER_THRESHOLDS], "t double"
+    )
+    return cfg.crossJoin(F.broadcast(th)).select(
+        "b",
+        "r",
+        F.round("t", 2).alias("jaccard"),
+        F.round(
+            1
+            - F.pow(
+                1 - F.pow(F.col("t"), F.col("r").cast("double")),
+                F.col("b").cast("double"),
+            ),
+            6,
+        ).alias("p_candidate"),
+        F.round(
+            F.pow(
+                1.0 / F.col("b").cast("double"),
+                1.0 / F.col("r").cast("double"),
+            ),
+            4,
+        ).alias("curve_threshold"),
+    )

@@ -993,3 +993,16 @@ def test_assortativity_equi_degree_joins(q):
     """Degree joins back by node id as hash joins; corr folds map-side."""
     f = assert_plan(q("degree_assortativity"), forbid_nested_loop=True)
     assert f["partial_aggs"] >= 1
+
+
+def test_band_calibration_equi_band_join(q):
+    """Agreement pairs come from the band equi-join; exact jaccard only
+    touches colliding pairs via doc_id equi joins — never a
+    nested-loop over the corpus."""
+    assert_plan(q("band_agreement_calibration"), forbid_nested_loop=True)
+
+
+def test_lsh_planner_is_pure_arithmetic(q):
+    """Literal grids only: no file scan in the plan at all."""
+    f = assert_plan(q("lsh_parameter_planner"))
+    assert "FileScan" not in f["plan"], f["plan"][:800]
