@@ -1275,3 +1275,125 @@ def empirical_bayes_user_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(wgt), 6).alias("mean_shrink_weight"),
         )
     )
+
+
+@REG.add(
+    "overdispersion_index",
+    oracle="""
+        WITH duc AS (
+            SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+                   count(*) AS c
+            FROM events GROUP BY event_type, user_id, CAST(ts AS DATE)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               round(avg(c), 6) AS mean_count,
+               round(var_samp(c), 6) AS var_count,
+               round(var_samp(c) / avg(c), 6) AS dispersion_index,
+               var_samp(c) / avg(c) > 1.5 AS overdispersed
+        FROM duc GROUP BY event_type
+    """,
+    doc="Overdispersion diagnostic for per-(user, day) event counts: the "
+    "variance-to-mean ratio per type (1 = Poisson; >1 = bursty/clumped "
+    "traffic, the signal that a negative-binomial model — and wider "
+    "alerting bands — fit better than Poisson assumptions). One count "
+    "aggregate + one moment fold; var_samp/avg agree across engines "
+    "because counts are exact integers folded into a single moment "
+    "tuple.",
+)
+def overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    duc = ev.groupBy(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("c"))
+    c = F.col("c").cast("double")
+    return duc.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(F.avg(c), 6).alias("mean_count"),
+        F.round(F.var_samp(c), 6).alias("var_count"),
+        F.round(F.var_samp(c) / F.avg(c), 6).alias("dispersion_index"),
+        (F.var_samp(c) / F.avg(c) > 1.5).alias("overdispersed"),
+    )
+
+
+# F critical value for (6, inf) df at alpha = 0.05 (fixed literal, like
+# the z quantiles in ab_test_power).
+_F_CRIT_6 = 2.0986
+
+
+@REG.add(
+    "dow_anova_ftest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   dayofweek(CAST(ts AS DATE)) AS dow,
+                   round(sum(value), 6) AS y
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        g AS (
+            SELECT event_type, dow, count(*) AS n_g, avg(y) AS m_g,
+                   sum(y * y) AS ss_g, sum(y) AS s_g
+            FROM daily GROUP BY event_type, dow
+        ),
+        t AS (
+            SELECT event_type,
+                   count(*) AS k,
+                   sum(n_g) AS n,
+                   sum(s_g) AS s,
+                   sum(ss_g) AS ss,
+                   sum(s_g * s_g / n_g) AS ss_groups
+            FROM g GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(k AS BIGINT) AS n_groups,
+               round((ss_groups - s * s / n) / (k - 1), 4) AS ms_between,
+               round((ss - ss_groups) / (n - k), 4) AS ms_within,
+               round(((ss_groups - s * s / n) / (k - 1))
+                     / ((ss - ss_groups) / (n - k)), 4) AS f_stat,
+               round(((ss_groups - s * s / n) / (k - 1))
+                     / ((ss - ss_groups) / (n - k)), 4) > {_F_CRIT_6}
+                   AS seasonal
+        FROM t
+    """,
+    doc="One-way ANOVA F-test for day-of-week seasonality of the daily "
+    "value series per event type: between-group vs within-group mean "
+    "squares over the 7 weekday groups, flagged against the fixed "
+    "F(6, inf) 5% critical value — 'does this metric need a weekly "
+    "seasonal model' answered before fitting one (the decision gate in "
+    "front of holt_winters_forecast). All sums fold from the same "
+    "rounded daily aggregate the forecasting family uses; the sums-of-"
+    "squares identity (SSB = sum(s_g^2/n_g) - S^2/N) keeps it one "
+    "grouped pass.",
+)
+def dow_anova_ftest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    daily = daily.withColumn("dow", F.dayofweek("day"))
+    g = daily.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_g"),
+        F.sum(F.col("y") * F.col("y")).alias("ss_g"),
+        F.sum("y").alias("s_g"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("ss_groups"),
+    )
+    msb = (F.col("ss_groups") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("k") - 1
+    )
+    msw = (F.col("ss") - F.col("ss_groups")) / (F.col("n") - F.col("k"))
+    return t.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.round(msb, 4).alias("ms_between"),
+        F.round(msw, 4).alias("ms_within"),
+        F.round(msb / msw, 4).alias("f_stat"),
+        (F.round(msb / msw, 4) > _F_CRIT_6).alias("seasonal"),
+    )

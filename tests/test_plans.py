@@ -1006,3 +1006,11 @@ def test_lsh_planner_is_pure_arithmetic(q):
     """Literal grids only: no file scan in the plan at all."""
     f = assert_plan(q("lsh_parameter_planner"))
     assert "FileScan" not in f["plan"], f["plan"][:800]
+
+
+def test_overdispersion_anova_single_pass(q):
+    """Both count-model diagnostics fold from grouped aggregates with
+    map-side partials — no windows, no joins beyond the moment folds."""
+    for name in ("overdispersion_index", "dow_anova_ftest"):
+        f = assert_plan(q(name), forbid_nested_loop=True)
+        assert "Window" not in f["plan"] and f["partial_aggs"] >= 1, name
