@@ -1397,3 +1397,152 @@ def dow_anova_ftest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(msb / msw, 4).alias("f_stat"),
         (F.round(msb / msw, 4) > _F_CRIT_6).alias("seasonal"),
     )
+
+
+@REG.add(
+    "mann_whitney_u_test",
+    oracle="""
+        WITH tagged AS (
+            SELECT event_type, value,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                       ::UBIGINT % 2 AS grp,
+                   event_id
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, grp,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rk
+            FROM tagged
+        ),
+        agg AS (
+            SELECT event_type,
+                   count(*) FILTER (WHERE grp = 0) AS n_a,
+                   count(*) FILTER (WHERE grp = 1) AS n_b,
+                   sum(rk) FILTER (WHERE grp = 0) AS r_a
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(r_a - n_a * (n_a + 1) / 2 AS BIGINT) AS u_stat,
+               round(((r_a - n_a * (n_a + 1) / 2)
+                      - n_a::DOUBLE * n_b / 2)
+                     / sqrt(n_a::DOUBLE * n_b * (n_a + n_b + 1) / 12), 4)
+                   AS z_stat,
+               abs(round(((r_a - n_a * (n_a + 1) / 2)
+                      - n_a::DOUBLE * n_b / 2)
+                     / sqrt(n_a::DOUBLE * n_b * (n_a + n_b + 1) / 12), 4))
+                   > 1.96 AS significant
+        FROM agg
+    """,
+    doc="Mann-Whitney U test per event type between deterministic "
+    "md5-hash-split halves — the nonparametric two-sample test that "
+    "needs no normality (ranks instead of values; the robust sibling "
+    "of ab_test_proportions' z on proportions). Ranks are exact "
+    "integers from ONE type-partitioned window with an id tiebreak "
+    "(values are continuous doubles — tie correction omitted and "
+    "documented); U, z, and the 5% flag are closed-form over integer "
+    "rank sums, so both engines agree exactly.",
+)
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    grp = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        grp.alias("grp"),
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("rk"))).alias("r_a"),
+    )
+    na, nb, ra = (
+        F.col("n_a"),
+        F.col("n_b"),
+        F.col("r_a"),
+    )
+    u = ra - na * (na + 1) / 2
+    z = F.round(
+        (u - na.cast("double") * nb / 2)
+        / F.sqrt(na.cast("double") * nb * (na + nb + 1) / 12),
+        4,
+    )
+    return agg.select(
+        "event_type",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        u.cast("bigint").alias("u_stat"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+@REG.add(
+    "spearman_rank_correlation",
+    oracle="""
+        WITH base AS (
+            SELECT event_type, event_id, value,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rv,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY k, event_id) AS rkk
+            FROM base
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(corr(rv, rkk), 6) AS spearman_rho,
+               round(corr(rv, rkk)
+                     * sqrt((count(*) - 2)
+                            / (1 - corr(rv, rkk) * corr(rv, rkk))), 4)
+                   AS t_stat
+        FROM ranked GROUP BY event_type
+    """,
+    doc="Spearman rank correlation between value and the JSON payload's "
+    "k property, per event type — monotone association without assuming "
+    "linearity (the robust sibling of lineitem_price_stats' Pearson "
+    "family), with the t statistic. Both variables reduce to exact "
+    "integer ranks (two type-partitioned windows, id tiebreaks — the "
+    "standard big-data Spearman where tie correction is negligible for "
+    "continuous values), so corr() folds identical integers in both "
+    "engines.",
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).where(F.col("k").isNotNull())
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wk = Window.partitionBy("event_type").orderBy("k", "event_id")
+    ranked = base.select(
+        "event_type",
+        F.row_number().over(wv).cast("double").alias("rv"),
+        F.row_number().over(wk).cast("double").alias("rkk"),
+    )
+    rho = F.corr("rv", "rkk")
+    return ranked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(rho, 6).alias("spearman_rho"),
+        F.round(
+            rho * F.sqrt((F.count("*") - 2) / (1 - rho * rho)), 4
+        ).alias("t_stat"),
+    )

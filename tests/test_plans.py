@@ -1014,3 +1014,15 @@ def test_overdispersion_anova_single_pass(q):
     for name in ("overdispersion_index", "dow_anova_ftest"):
         f = assert_plan(q(name), forbid_nested_loop=True)
         assert "Window" not in f["plan"] and f["partial_aggs"] >= 1, name
+
+
+def test_nonparametric_ranks_type_partitioned(q):
+    import re as _re
+
+    for name in ("mann_whitney_u_test", "spearman_rank_correlation"):
+        f = assert_plan(q(name), forbid_nested_loop=True)
+        wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
+        assert wins and all("event_type" in m for m in wins), (
+            name,
+            f["plan"][:1200],
+        )
