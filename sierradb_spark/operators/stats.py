@@ -1546,3 +1546,184 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             rho * F.sqrt((F.count("*") - 2) / (1 - rho * rho)), 4
         ).alias("t_stat"),
     )
+
+
+@REG.add(
+    "cramers_v_association",
+    oracle="""
+        WITH cell AS (
+            SELECT lang, source, count(*) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        rowt AS (SELECT lang, sum(o) AS rn FROM cell GROUP BY lang),
+        colt AS (SELECT source, sum(o) AS cn FROM cell GROUP BY source),
+        tot AS (
+            SELECT sum(o) AS n,
+                   (SELECT count(*) FROM rowt) AS r,
+                   (SELECT count(*) FROM colt) AS c
+            FROM cell
+        ),
+        chi AS (
+            SELECT sum(pow(cell.o - rowt.rn::DOUBLE * colt.cn / tot.n, 2)
+                       / (rowt.rn::DOUBLE * colt.cn / tot.n)) AS chi2
+            FROM cell
+            JOIN rowt USING (lang)
+            JOIN colt USING (source)
+            CROSS JOIN tot
+        )
+        SELECT CAST(tot.n AS BIGINT) AS n_docs,
+               CAST(tot.r AS BIGINT) AS n_langs,
+               CAST(tot.c AS BIGINT) AS n_sources,
+               round(chi.chi2, 4) AS chi2,
+               round(sqrt(chi.chi2 / (tot.n
+                     * (least(tot.r, tot.c) - 1))), 6) AS cramers_v
+        FROM chi CROSS JOIN tot
+    """,
+    doc="Cramér's V association between language and source in the "
+    "document corpus — 'are sources language-siloed' quantified on a "
+    "0-1 scale (0 = independent mixture, 1 = fully determined), with "
+    "the underlying chi-square. The contingency table is one grouped "
+    "count (|langs| x |sources| cells); expected counts come from "
+    "broadcast marginals; every input to the formula is an exact "
+    "integer. The mixture-health check run before trusting per-source "
+    "language statistics.",
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rowt = cell.groupBy("lang").agg(F.sum("o").alias("rn"))
+    colt = cell.groupBy("source").agg(F.sum("o").alias("cn"))
+    tot = cell.agg(F.sum("o").alias("n")).crossJoin(
+        F.broadcast(rowt.agg(F.count("*").alias("r")))
+    ).crossJoin(F.broadcast(colt.agg(F.count("*").alias("c"))))
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("n")
+    chi = (
+        cell.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.pow(F.col("o") - e, F.lit(2.0)) / e).alias("chi2"),
+            F.min("n").alias("n"),
+            F.min("r").alias("r"),
+            F.min("c").alias("c"),
+        )
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("r").cast("bigint").alias("n_langs"),
+        F.col("c").cast("bigint").alias("n_sources"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@REG.add(
+    "cohort_value_matrix",
+    oracle="""
+        WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+        firsts AS (
+            SELECT user_id,
+                   CAST(floor(datediff('day', d0, CAST(min(ts) AS DATE))
+                              / 7) AS BIGINT) AS cohort_week
+            FROM events CROSS JOIN bounds GROUP BY user_id, d0
+        ),
+        contrib AS (
+            SELECT f.cohort_week,
+                   CAST(floor(datediff('day', b.d0, CAST(e.ts AS DATE))
+                              / 7) AS BIGINT) - f.cohort_week AS age_week,
+                   e.value
+            FROM events e
+            JOIN firsts f USING (user_id)
+            CROSS JOIN bounds b
+        ),
+        cellv AS (
+            SELECT cohort_week, age_week,
+                   round(sum(value), 6) AS week_value
+            FROM contrib GROUP BY cohort_week, age_week
+        ),
+        size_c AS (
+            SELECT cohort_week, count(*) AS n_users
+            FROM firsts GROUP BY cohort_week
+        )
+        SELECT c.cohort_week, c.age_week,
+               CAST(s.n_users AS BIGINT) AS cohort_users,
+               round(sum(c2.week_value) / s.n_users, 4)
+                   AS cum_value_per_user
+        FROM cellv c
+        JOIN cellv c2 ON c2.cohort_week = c.cohort_week
+                     AND c2.age_week <= c.age_week
+        JOIN size_c s ON s.cohort_week = c.cohort_week
+        GROUP BY c.cohort_week, c.age_week, s.n_users
+    """,
+    doc="Cohort LTV matrix: users grouped by first-activity week, each "
+    "cell the CUMULATIVE value per user at cohort-age k weeks — the "
+    "triangle a growth team reads next to retention_cohorts' count "
+    "view. The cumulative rides a self-join over the (cohorts x ages) "
+    "aggregate — bounded by corpus age squared in weeks, never by "
+    "users or events — so no window touches anything row-scaled; "
+    "weekly cell sums are rounded before accumulation (the one "
+    "order-dependent float), accumulated identically in both engines.",
+)
+def cohort_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.to_date(F.min("ts")).alias("d0"))
+    firsts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "d0")
+        .agg(
+            F.floor(
+                F.datediff(F.to_date(F.min("ts")), F.col("d0")) / 7
+            )
+            .cast("bigint")
+            .alias("cohort_week")
+        )
+        .select("user_id", "cohort_week")
+    )
+    contrib = (
+        ev.join(firsts, "user_id")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.to_date("ts"), F.col("d0")) / 7
+                ).cast("bigint")
+                - F.col("cohort_week")
+            ).alias("age_week"),
+            "value",
+        )
+    )
+    cellv = contrib.groupBy("cohort_week", "age_week").agg(
+        F.round(F.sum("value"), 6).alias("week_value")
+    )
+    size_c = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("n_users")
+    )
+    c1, c2 = cellv.alias("c1"), cellv.alias("c2")
+    return (
+        c1.join(
+            F.broadcast(c2),
+            (F.col("c2.cohort_week") == F.col("c1.cohort_week"))
+            & (F.col("c2.age_week") <= F.col("c1.age_week")),
+        )
+        .groupBy(
+            F.col("c1.cohort_week").alias("cohort_week"),
+            F.col("c1.age_week").alias("age_week"),
+        )
+        .agg(F.sum("c2.week_value").alias("cum"))
+        .join(F.broadcast(size_c), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            F.col("n_users").cast("bigint").alias("cohort_users"),
+            F.round(F.col("cum") / F.col("n_users"), 4).alias(
+                "cum_value_per_user"
+            ),
+        )
+    )

@@ -1026,3 +1026,16 @@ def test_nonparametric_ranks_type_partitioned(q):
             name,
             f["plan"][:1200],
         )
+
+
+def test_cramers_v_broadcast_marginals(q):
+    """Contingency cells join broadcast marginals; no windows."""
+    f = assert_plan(q("cramers_v_association"))
+    assert "Window" not in f["plan"] and f["sort_merge_joins"] == 0
+
+
+def test_cohort_matrix_cumulative_on_aggregate(q):
+    """The LTV cumulative is a broadcast join over the (cohorts x ages)
+    aggregate — no window touches row-scaled data."""
+    f = assert_plan(q("cohort_value_matrix"))
+    assert "Window" not in f["plan"], f["plan"][:1200]
