@@ -1606,3 +1606,132 @@ def ab_test_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2, 6).alias("target_rate"),
         n_arm.alias("n_per_arm"),
     )
+
+
+_STEPS_HORIZON = 12
+_STEPS_TARGET = "purchase"
+
+
+def _sql_expected_steps() -> str:
+    parts = [
+        """
+        seq AS (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT event_type AS src, next_type AS dst, count(*) AS c
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        ),
+        pm AS (
+            SELECT src, dst,
+                   c::DOUBLE / sum(c) OVER (PARTITION BY src) AS p
+            FROM pairs
+        ),
+        types AS (
+            SELECT DISTINCT src AS t FROM pairs
+            UNION SELECT DISTINCT dst FROM pairs
+        ),
+        e0 AS (SELECT t, 0.0 AS e FROM types)
+        """
+    ]
+    for k in range(1, _STEPS_HORIZON + 1):
+        parts.append(
+            f"""
+        e{k} AS (
+            SELECT ty.t,
+                   CASE WHEN ty.t = '{_STEPS_TARGET}' THEN 0.0
+                        ELSE round(1.0 + coalesce(sum(pm.p * prev.e), 0.0), 9)
+                   END AS e
+            FROM types ty
+            LEFT JOIN pm ON pm.src = ty.t
+            LEFT JOIN e{k - 1} prev ON prev.t = pm.dst
+            GROUP BY ty.t
+        )
+        """
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT t AS event_type,
+               round(e, 4) AS expected_steps_{_STEPS_HORIZON}h
+        FROM e{_STEPS_HORIZON}
+        """
+    )
+
+
+@REG.add(
+    "expected_steps_to_purchase",
+    oracle=_sql_expected_steps(),
+    doc=f"Finite-horizon expected steps to reach '{_STEPS_TARGET}' from "
+    f"each event type, under the empirical transition chain: "
+    f"{_STEPS_HORIZON} rounds of value iteration e_i <- 1 + sum_j "
+    "P_ij e_j with the target absorbing at 0 — 'how far is each state "
+    "from conversion', truncated at the horizon so the quantity is "
+    "well-defined even for states that may never convert. Each round "
+    "multiplies the O(|types|) value vector against the O(|types|^2) "
+    "broadcast transition matrix with 9-dp per-round rounding (the "
+    "kmeans/pagerank iteration discipline); the event table is "
+    "touched once. Oracle: the rounds unrolled as chained CTEs.",
+)
+def expected_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("c").alias("tc"))
+    pm = (
+        pairs.join(tot, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("c").cast("double") / F.col("tc")).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    types = (
+        pm.select(F.col("src").alias("t"))
+        .union(pm.select(F.col("dst").alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = types.select("t", F.lit(0.0).alias("e"))
+    for _ in range(_STEPS_HORIZON):
+        nxt = (
+            types.join(F.broadcast(pm), types["t"] == pm["src"], "left")
+            .join(
+                F.broadcast(e.select(F.col("t").alias("dt"), "e")),
+                F.col("dst") == F.col("dt"),
+                "left",
+            )
+            .groupBy(types["t"].alias("t"))
+            .agg(
+                F.round(
+                    1.0 + F.coalesce(F.sum(F.col("p") * F.col("e")), F.lit(0.0)),
+                    9,
+                ).alias("e_raw")
+            )
+            .select(
+                "t",
+                F.when(F.col("t") == _STEPS_TARGET, F.lit(0.0))
+                .otherwise(F.col("e_raw"))
+                .alias("e"),
+            )
+        )
+        e = nxt.localCheckpoint(eager=True)
+    return e.select(
+        F.col("t").alias("event_type"),
+        F.round("e", 4).alias(f"expected_steps_{_STEPS_HORIZON}h"),
+    )

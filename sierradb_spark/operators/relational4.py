@@ -305,3 +305,114 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", "n_name", "n_concentrated")
     )
+
+
+@REG.add(
+    "pareto_skyline_orders",
+    oracle="""
+        WITH pd AS (
+            SELECT o_orderdate AS d, max(o_totalprice) AS mp
+            FROM orders GROUP BY o_orderdate
+        ),
+        sky AS (
+            SELECT p.d, p.mp
+            FROM pd p LEFT JOIN pd q ON q.d > p.d AND q.mp >= p.mp
+            WHERE q.d IS NULL
+        )
+        SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+        FROM orders o
+        JOIN sky s ON o.o_orderdate = s.d AND o.o_totalprice = s.mp
+    """,
+    doc="Skyline (Pareto-frontier) of orders maximizing BOTH recency and "
+    "total price — the multi-criteria operator ('show me orders not "
+    "beaten on every axis') classic engines special-case. 2D skylines "
+    "collapse exactly: per-date max price first (the skyline is a "
+    "subset of per-date maxima), then dominance testing on the DATES "
+    "aggregate — bounded by distinct dates, never row count — via a "
+    "broadcast anti-join; order rows rejoin by (date, price) equi-key. "
+    "Ties on the frontier (same date+price) all survive, matching the "
+    "standard skyline definition.",
+)
+def pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    pd_ = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("mp")
+    )
+    p, q = pd_.alias("p"), pd_.alias("q")
+    sky = p.join(
+        F.broadcast(q),
+        (F.col("q.d") > F.col("p.d")) & (F.col("q.mp") >= F.col("p.mp")),
+        "left_anti",
+    ).select(F.col("d"), F.col("mp"))
+    return o.join(
+        F.broadcast(sky),
+        (o["o_orderdate"] == sky["d"]) & (o["o_totalprice"] == sky["mp"]),
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@REG.add(
+    "cohens_d_priority",
+    oracle="""
+        WITH g AS (
+            SELECT count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                       AS n1,
+                   avg(o_totalprice) FILTER
+                       (WHERE o_orderpriority = '1-URGENT') AS m1,
+                   var_samp(o_totalprice) FILTER
+                       (WHERE o_orderpriority = '1-URGENT') AS v1,
+                   count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n2,
+                   avg(o_totalprice) FILTER
+                       (WHERE o_orderpriority = '5-LOW') AS m2,
+                   var_samp(o_totalprice) FILTER
+                       (WHERE o_orderpriority = '5-LOW') AS v2
+            FROM orders
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_urgent,
+               CAST(n2 AS BIGINT) AS n_low,
+               round(m1, 2) AS mean_urgent,
+               round(m2, 2) AS mean_low,
+               round((m1 - m2)
+                     / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                            / (n1 + n2 - 2)), 6) AS cohens_d,
+               abs(round((m1 - m2)
+                     / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                            / (n1 + n2 - 2)), 6)) >= 0.2 AS at_least_small
+        FROM g
+    """,
+    doc="Cohen's d effect size between urgent and low-priority order "
+    "values (pooled-variance standardized mean difference) — the "
+    "'significant but does it MATTER' companion to the test "
+    "statistics: a z-test flags any difference at scale; d says "
+    "whether it clears even the 'small effect' 0.2 bar. One "
+    "conditional-aggregate fold; means/variances come from exact "
+    "moment tuples.",
+)
+def cohens_d_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    u = F.col("o_orderpriority") == "1-URGENT"
+    lo = F.col("o_orderpriority") == "5-LOW"
+    price = F.col("o_totalprice")
+    g = o.agg(
+        F.count(F.when(u, 1)).alias("n1"),
+        F.avg(F.when(u, price)).alias("m1"),
+        F.var_samp(F.when(u, price)).alias("v1"),
+        F.count(F.when(lo, 1)).alias("n2"),
+        F.avg(F.when(lo, price)).alias("m2"),
+        F.var_samp(F.when(lo, price)).alias("v2"),
+    )
+    d = F.round(
+        (F.col("m1") - F.col("m2"))
+        / F.sqrt(
+            ((F.col("n1") - 1) * F.col("v1") + (F.col("n2") - 1) * F.col("v2"))
+            / (F.col("n1") + F.col("n2") - 2)
+        ),
+        6,
+    )
+    return g.select(
+        F.col("n1").cast("bigint").alias("n_urgent"),
+        F.col("n2").cast("bigint").alias("n_low"),
+        F.round("m1", 2).alias("mean_urgent"),
+        F.round("m2", 2).alias("mean_low"),
+        d.alias("cohens_d"),
+        (F.abs(d) >= 0.2).alias("at_least_small"),
+    )

@@ -1039,3 +1039,19 @@ def test_cohort_matrix_cumulative_on_aggregate(q):
     aggregate — no window touches row-scaled data."""
     f = assert_plan(q("cohort_value_matrix"))
     assert "Window" not in f["plan"], f["plan"][:1200]
+
+
+def test_skyline_dominance_on_dates_aggregate(q):
+    """Dominance testing runs on the per-date aggregate (broadcast
+    anti-join); order rows rejoin by equi-key — no cartesian over
+    orders."""
+    f = assert_plan(q("pareto_skyline_orders"), max_scan_columns=3)
+    assert f["cartesian_products"] == 0
+
+
+def test_expected_steps_broadcast_iteration(q):
+    """Each value-iteration round joins the O(|types|) vector broadcast-
+    side; no sort-merge join anywhere in the chain (the markov
+    discipline)."""
+    f = assert_plan(q("expected_steps_to_purchase"))
+    assert f["sort_merge_joins"] == 0, f["plan"][:1500]
