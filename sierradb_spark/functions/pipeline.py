@@ -319,16 +319,17 @@ def sequence_packing(
     # partitioning, so this groupBy adds no second corpus shuffle).
     totals = c.groupBy("shard_id").agg(F.max("local_cum").alias("tot"))
     # Exclusive prefix over the totals = each shard's base offset in the
-    # global token stream. This window is UNpartitioned on purpose: its
-    # input is the aggregated O(#shards) totals table (3 longs per 500
-    # docs), never the corpus — the single reducer sorts thousands of
-    # rows at 100 TB, not billions.
-    wt = Window.orderBy("shard_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    bases = totals.select(
-        "shard_id",
-        F.coalesce(F.sum("tot").over(wt), F.lit(0)).alias("shard_base"),
+    # global token stream. The cumulative runs as a broadcast non-equi
+    # self-join over the aggregated O(#shards) totals table (3 longs per
+    # 500 docs) — never the corpus, and never an unpartitioned window
+    # (integer sums, so join-order and running-sum forms are identical).
+    t1, t2 = totals.alias("t1"), totals.alias("t2")
+    bases = (
+        t1.join(
+            F.broadcast(t2), F.col("t2.shard_id") < F.col("t1.shard_id"), "left"
+        )
+        .groupBy(F.col("t1.shard_id").alias("shard_id"))
+        .agg(F.coalesce(F.sum("t2.tot"), F.lit(0)).alias("shard_base"))
     )
     cum = c.join(F.broadcast(bases), "shard_id").withColumn(
         "cum_before",
