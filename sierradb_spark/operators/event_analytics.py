@@ -1735,3 +1735,139 @@ def expected_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("event_type"),
         F.round("e", 4).alias(f"expected_steps_{_STEPS_HORIZON}h"),
     )
+
+
+@REG.add(
+    "longest_activity_streak",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events
+        ),
+        grp AS (
+            SELECT user_id, day,
+                   CAST(day AS DATE) - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INT)
+                       AS island
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, count(*) AS len
+            FROM grp GROUP BY user_id, island
+        ),
+        per_user AS (
+            SELECT user_id, max(len) AS best, count(*) AS n_streaks
+            FROM streaks GROUP BY user_id
+        )
+        SELECT CAST(best AS BIGINT) AS streak_days,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(min(n_streaks) AS BIGINT) AS min_streaks,
+               CAST(max(n_streaks) AS BIGINT) AS max_streaks
+        FROM per_user GROUP BY best
+    """,
+    doc="Longest consecutive-day activity streak per user, histogrammed "
+    "— the engagement 'streak' metric, computed with the classic "
+    "gaps-and-islands identity (day minus the per-user day rank is "
+    "constant within a consecutive run). One distinct-days aggregate, "
+    "one user-partitioned rank window, two count folds; nothing "
+    "row-scaled crosses an unpartitioned boundary.",
+)
+def longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("len")
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.max("len").alias("best"), F.count("*").alias("n_streaks")
+    )
+    return per_user.groupBy("best").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.min("n_streaks").cast("bigint").alias("min_streaks"),
+        F.max("n_streaks").cast("bigint").alias("max_streaks"),
+    ).select(
+        F.col("best").cast("bigint").alias("streak_days"),
+        "n_users",
+        "min_streaks",
+        "max_streaks",
+    )
+
+
+@REG.add(
+    "session_bounce_stats",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > {30 * 60 * 1_000_000}
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid
+            FROM seq
+        ),
+        spans AS (
+            SELECT user_id, sid, count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT)
+                   AS n_bounces,
+               round(count(*) FILTER (WHERE n_events = 1)::DOUBLE
+                     / count(*), 6) AS bounce_rate,
+               round(avg(n_events), 4) AS avg_events_per_session,
+               CAST(max(n_events) AS BIGINT) AS max_events_in_session
+        FROM spans
+    """,
+    doc="Session bounce metrics over the 30-min-gap sessionization "
+    "(windows.py convention, same construction Kaplan-Meier uses): "
+    "share of single-event sessions, average session depth, and the "
+    "deepest session — the product-health trio read next to the "
+    "survival curve. User-partitioned windows only; the final fold is "
+    "integer counts.",
+)
+def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    prev = F.lag(us).over(w)
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            prev.isNull() | ((us - prev) > 30 * 60 * 1_000_000), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        seq.select("user_id", F.sum("brk").over(wc).alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.count("*").alias("n_events"))
+    )
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return spans.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(bounce.cast("double") / F.count("*"), 6).alias("bounce_rate"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.max("n_events").cast("bigint").alias("max_events_in_session"),
+    )

@@ -1055,3 +1055,15 @@ def test_expected_steps_broadcast_iteration(q):
     discipline)."""
     f = assert_plan(q("expected_steps_to_purchase"))
     assert f["sort_merge_joins"] == 0, f["plan"][:1500]
+
+
+def test_streak_bounce_user_partitioned(q):
+    import re as _re
+
+    for name in ("longest_activity_streak", "session_bounce_stats"):
+        f = assert_plan(q(name), forbid_nested_loop=True)
+        wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
+        assert wins and all("user_id" in m for m in wins), (
+            name,
+            f["plan"][:1200],
+        )
