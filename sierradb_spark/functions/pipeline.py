@@ -578,3 +578,94 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+_WASTE_CTXS = (512, 1024, 2048, 4096)
+
+
+@REG.add(
+    "packing_waste_curve",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), ' +'),
+                                   x -> x <> '')) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS cum_before
+            FROM t
+        ),
+        grid AS (SELECT unnest([{', '.join(str(c) for c in _WASTE_CTXS)}])
+                     AS ctx)
+        SELECT ctx,
+               CAST(max(floor(coalesce(cum_before, 0) / ctx)) + 1 AS BIGINT)
+                   AS n_packs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(1.0 - sum(n_tokens)::DOUBLE
+                     / ((max(floor(coalesce(cum_before, 0) / ctx)) + 1)
+                        * ctx), 6) AS waste_share
+        FROM cum CROSS JOIN grid
+        GROUP BY ctx
+    """,
+    doc="Packing-waste curve: for each candidate context length, how "
+    "many packed sequences the doc_id-ordered greedy stream produces "
+    "and what share of the token budget is padding — the design query "
+    "read BEFORE fixing the 2048 the production sequence_packing uses. "
+    "The oracle states the definition with a ranked running sum; the "
+    "Spark side reuses the shard-partitioned prefix machinery "
+    "(shard-local cumsum + broadcast shard bases, no unpartitioned "
+    "window), producing identical global offsets by the contiguity "
+    "argument sequence_packing documents.",
+)
+def packing_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(F.col("text")), " +"), lambda w: w != "")
+    ).cast("long")
+    shard = F.floor(F.col("doc_id") / _PACK_SHARD_DOCS).cast("long")
+    t = d.select(
+        "doc_id", n_tokens.alias("n_tokens"), shard.alias("shard_id")
+    ).localCheckpoint(eager=False)
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("local_cum", F.sum("n_tokens").over(w))
+    totals = c.groupBy("shard_id").agg(F.max("local_cum").alias("tot"))
+    t1, t2 = totals.alias("t1"), totals.alias("t2")
+    bases = (
+        t1.join(
+            F.broadcast(t2), F.col("t2.shard_id") < F.col("t1.shard_id"), "left"
+        )
+        .groupBy(F.col("t1.shard_id").alias("shard_id"))
+        .agg(F.coalesce(F.sum("t2.tot"), F.lit(0)).alias("shard_base"))
+    )
+    cum = c.join(F.broadcast(bases), "shard_id").select(
+        "n_tokens",
+        (F.col("shard_base") + F.col("local_cum") - F.col("n_tokens")).alias(
+            "cum_before"
+        ),
+    )
+    grid = spark.createDataFrame([(c,) for c in _WASTE_CTXS], "ctx long")
+    packs = F.max(F.floor(F.col("cum_before") / F.col("ctx"))) + 1
+    return (
+        cum.crossJoin(F.broadcast(grid))
+        .groupBy("ctx")
+        .agg(
+            packs.cast("bigint").alias("n_packs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                1.0
+                - F.sum("n_tokens").cast("double")
+                / ((packs) * F.col("ctx")),
+                6,
+            ).alias("waste_share"),
+        )
+    )

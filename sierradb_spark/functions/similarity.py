@@ -763,3 +763,96 @@ def gemm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     ).limit(10)
+
+
+@REG.add(
+    "embedding_label_margin",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS emb
+            FROM embeddings
+        ),
+        u AS (
+            SELECT vec_id, label, unnest(range(len(emb))) AS i,
+                   unnest(emb) AS x
+            FROM v
+        ),
+        cent AS (
+            SELECT label, i, round(avg(x), 9) AS mu
+            FROM u GROUP BY label, i
+        ),
+        cv AS (
+            SELECT label AS clabel, list(mu ORDER BY i) AS cvec
+            FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT v.vec_id, v.label, cv.clabel,
+                   round({_sql_cos('v.emb', 'cv.cvec')}, 6) AS c
+            FROM v CROSS JOIN cv
+        ),
+        agg AS (
+            SELECT vec_id, label,
+                   max(CASE WHEN clabel = label THEN c END) AS own,
+                   max(CASE WHEN clabel <> label THEN c END) AS best_other
+            FROM scored GROUP BY vec_id, label
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(own - best_other), 6) AS mean_margin,
+               CAST(count(CASE WHEN own <= best_other THEN 1 END)
+                    AS BIGINT) AS n_confusable,
+               round(count(CASE WHEN own <= best_other THEN 1 END)::DOUBLE
+                     / count(*), 6) AS confusable_share
+        FROM agg GROUP BY label
+    """,
+    doc="Per-label separability margin: each vector's cosine to its OWN "
+    "label centroid minus its best cosine to any OTHER centroid — "
+    "positive mean = compact well-separated class; the confusable share "
+    "(margin <= 0) names the labels whose members sit closer to a "
+    "foreign centroid, the curation signal for relabeling/filtering. "
+    "Centroids are per-dimension averages rounded to 9 dp (the kmeans "
+    "determinism convention) and broadcast (|labels| rows); the corpus "
+    "is scanned once for centroids (map-side partial on (label, dim)) "
+    "and once for scoring.",
+)
+def embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", _dvec("embedding").alias("emb"))
+    u = v.select(
+        "label", F.posexplode("emb").alias("i", "x")
+    )
+    cent = u.groupBy("label", "i").agg(F.round(F.avg("x"), 9).alias("mu"))
+    cv = (
+        cent.groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mu"))),
+                lambda s: s["mu"],
+            ).alias("cvec")
+        )
+    )
+    scored = v.crossJoin(F.broadcast(cv)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(cosine_col(F.col("emb"), F.col("cvec")), 6).alias("c"),
+    )
+    agg = scored.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("c"))
+        ).alias("own"),
+        F.max(
+            F.when(F.col("clabel") != F.col("label"), F.col("c"))
+        ).alias("best_other"),
+    )
+    conf = F.count(F.when(F.col("own") <= F.col("best_other"), 1))
+    return agg.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg(F.col("own") - F.col("best_other")), 6).alias(
+            "mean_margin"
+        ),
+        conf.cast("bigint").alias("n_confusable"),
+        F.round(conf.cast("double") / F.count("*"), 6).alias(
+            "confusable_share"
+        ),
+    )

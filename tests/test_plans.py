@@ -1067,3 +1067,20 @@ def test_streak_bounce_user_partitioned(q):
             name,
             f["plan"][:1200],
         )
+
+
+def test_waste_curve_shard_partitioned_prefix(q):
+    """The cum table reuses the shard-partitioned prefix (no
+    unpartitioned window); the ctx grid is a tiny broadcast."""
+    import re as _re
+
+    f = assert_plan(q("packing_waste_curve"))
+    for m in _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"]):
+        assert m.strip(), "unpartitioned window in waste curve"
+
+
+def test_label_margin_broadcast_centroids(q):
+    """Centroids broadcast (|labels| rows); corpus scanned twice
+    (centroid partial agg + scoring), never joined to itself."""
+    f = assert_plan(q("embedding_label_margin"))
+    assert f["sort_merge_joins"] == 0 and f["partial_aggs"] >= 1
