@@ -1727,3 +1727,55 @@ def cohort_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_WILSON_Z = 1.959963984540054  # two-sided 95%
+
+
+@REG.add(
+    "event_mix_wilson_ci",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type, count(*) AS k FROM events GROUP BY event_type
+        ),
+        t AS (SELECT sum(k) AS n FROM c)
+        SELECT event_type,
+               CAST(k AS BIGINT) AS n_events,
+               round(k::DOUBLE / n, 6) AS share,
+               round(((k::DOUBLE / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n))
+                      - {_WILSON_Z} * sqrt((k::DOUBLE / n)
+                            * (1 - k::DOUBLE / n) / n
+                            + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
+                     / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+               round(((k::DOUBLE / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n))
+                      + {_WILSON_Z} * sqrt((k::DOUBLE / n)
+                            * (1 - k::DOUBLE / n) / n
+                            + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
+                     / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+        FROM c CROSS JOIN t
+    """,
+    doc="Wilson score 95% interval for each event type's share of the "
+    "mix — the binomial interval that behaves at extreme shares and "
+    "small counts where the normal approximation fails (the interval "
+    "the bootstrap CI and the z-test lean on implicitly, in closed "
+    "form). One grouped count + a 1-row total broadcast; inputs are "
+    "exact integers, z is a fixed literal, so both engines evaluate "
+    "the identical formula.",
+)
+def event_mix_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("k"))
+    t = c.agg(F.sum("k").alias("n"))
+    z = _WILSON_Z
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    return c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        F.col("k").cast("bigint").alias("n_events"),
+        F.round(p, 6).alias("share"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

@@ -1084,3 +1084,8 @@ def test_label_margin_broadcast_centroids(q):
     (centroid partial agg + scoring), never joined to itself."""
     f = assert_plan(q("embedding_label_margin"))
     assert f["sort_merge_joins"] == 0 and f["partial_aggs"] >= 1
+
+
+def test_wilson_ci_single_count_fold(q):
+    f = assert_plan(q("event_mix_wilson_ci"), max_scan_columns=1)
+    assert "Window" not in f["plan"] and f["nested_loop_joins"] <= 1
