@@ -1779,3 +1779,138 @@ def event_mix_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@REG.add(
+    "daily_value_bands",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, value,
+                   row_number() OVER (PARTITION BY event_type,
+                                          CAST(ts AS DATE)
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type,
+                                      CAST(ts AS DATE)) AS n
+            FROM events
+        )
+        SELECT event_type, day,
+               CAST(min(n) AS BIGINT) AS n_events,
+               round(min(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                              THEN value END), 6) AS p50,
+               round(min(CASE WHEN rn = greatest(1,
+                        CAST(ceil(0.9 * n) AS BIGINT)) THEN value END), 6)
+                   AS p90
+        FROM ranked GROUP BY event_type, day
+    """,
+    doc="Daily exact p50/p90 value bands per event type — the band feed "
+    "a monitoring dashboard charts and the EWMA/changepoint detectors "
+    "consume. Exact order statistics by integer rank under "
+    "(type, day)-partitioned windows with id tiebreaks (each partition "
+    "is one day of one type — at 100 TB swap in approx_percentile with "
+    "this exact form as its oracle, the sketch-family convention).",
+)
+def daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    w = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        "value", "event_id"
+    )
+    wn = Window.partitionBy("event_type", F.to_date("ts"))
+    ranked = ev.select(
+        "event_type",
+        day,
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type", "day").agg(
+        F.min("n").cast("bigint").alias("n_events"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.floor((F.col("n") + 1) / 2).cast("bigint"),
+                    F.col("value"),
+                )
+            ),
+            6,
+        ).alias("p50"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(
+                        F.lit(1), F.ceil(0.9 * F.col("n")).cast("bigint")
+                    ),
+                    F.col("value"),
+                )
+            ),
+            6,
+        ).alias("p90"),
+    )
+
+
+@REG.add(
+    "weekend_lift_welch_t",
+    oracle="""
+        WITH tagged AS (
+            SELECT event_type, value,
+                   CAST(dayofweek(CAST(ts AS DATE)) IN (0, 6) AS INT)
+                       AS wkd
+            FROM events
+        ),
+        g AS (
+            SELECT event_type,
+                   count(*) FILTER (WHERE wkd = 1) AS n1,
+                   avg(value) FILTER (WHERE wkd = 1) AS m1,
+                   var_samp(value) FILTER (WHERE wkd = 1) AS v1,
+                   count(*) FILTER (WHERE wkd = 0) AS n2,
+                   avg(value) FILTER (WHERE wkd = 0) AS m2,
+                   var_samp(value) FILTER (WHERE wkd = 0) AS v2
+            FROM tagged GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n1 AS BIGINT) AS n_weekend,
+               CAST(n2 AS BIGINT) AS n_weekday,
+               round(m1 / m2 - 1, 6) AS weekend_lift,
+               round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS welch_t,
+               abs(round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4)) > 1.96
+                   AS significant
+        FROM g
+    """,
+    doc="Weekend-vs-weekday value lift per event type with Welch's "
+    "unequal-variance t statistic — the two-sample mean test that does "
+    "NOT assume equal variances or equal group sizes (the honest "
+    "default; Student's pooled t is the special case). One conditional "
+    "moment fold; the normal critical value applies at these df "
+    "(documented). Weekend = Sat/Sun in each engine's own dayofweek "
+    "convention (Spark 1=Sun..7=Sat; DuckDB 0=Sun..6=Sat).",
+)
+def weekend_lift_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wkd = F.dayofweek(F.to_date("ts")).isin(1, 7)
+    g = ev.select("event_type", "value", wkd.cast("int").alias("wkd")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.when(F.col("wkd") == 1, 1)).alias("n1"),
+        F.avg(F.when(F.col("wkd") == 1, F.col("value"))).alias("m1"),
+        F.var_samp(F.when(F.col("wkd") == 1, F.col("value"))).alias("v1"),
+        F.count(F.when(F.col("wkd") == 0, 1)).alias("n2"),
+        F.avg(F.when(F.col("wkd") == 0, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(F.col("wkd") == 0, F.col("value"))).alias("v2"),
+    )
+    t = F.round(
+        (F.col("m1") - F.col("m2"))
+        / F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")),
+        4,
+    )
+    return g.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_weekend"),
+        F.col("n2").cast("bigint").alias("n_weekday"),
+        F.round(F.col("m1") / F.col("m2") - 1, 6).alias("weekend_lift"),
+        t.alias("welch_t"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )

@@ -1089,3 +1089,13 @@ def test_label_margin_broadcast_centroids(q):
 def test_wilson_ci_single_count_fold(q):
     f = assert_plan(q("event_mix_wilson_ci"), max_scan_columns=1)
     assert "Window" not in f["plan"] and f["nested_loop_joins"] <= 1
+
+
+def test_daily_bands_partitioned_welch_fold(q):
+    import re as _re
+
+    f = assert_plan(q("daily_value_bands"), forbid_nested_loop=True)
+    wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
+    assert wins and all("event_type" in m for m in wins)
+    f2 = assert_plan(q("weekend_lift_welch_t"), forbid_nested_loop=True)
+    assert "Window" not in f2["plan"] and f2["partial_aggs"] >= 1
