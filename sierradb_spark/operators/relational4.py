@@ -416,3 +416,157 @@ def cohens_d_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.alias("cohens_d"),
         (F.abs(d) >= 0.2).alias("at_least_small"),
     )
+
+
+@REG.add(
+    "interpurchase_time_stats",
+    oracle="""
+        WITH gaps AS (
+            SELECT o_custkey,
+                   datediff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+            FROM orders
+        ),
+        g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+        hist AS (SELECT gap, count(*) AS c FROM g GROUP BY gap),
+        cum AS (
+            SELECT h.gap, sum(r.c) AS cc
+            FROM hist h JOIN hist r ON r.gap <= h.gap
+            GROUP BY h.gap
+        ),
+        tot AS (SELECT sum(c) AS n FROM hist)
+        SELECT CAST(min(n) AS BIGINT) AS n_gaps,
+               min(CASE WHEN cc * 2 >= n THEN gap END) AS p50_days,
+               min(CASE WHEN cc * 10 >= 9 * n THEN gap END) AS p90_days,
+               CAST(max(gap) AS BIGINT) AS max_days
+        FROM cum CROSS JOIN tot
+    """,
+    doc="Inter-purchase time distribution: days between a customer's "
+    "consecutive orders, with exact p50/p90 — the repurchase-cycle "
+    "metric inventory and retention planning read. Gaps come from one "
+    "customer-partitioned lag window; the percentiles come from the "
+    "day-gap histogram cumulative (bounded by corpus age in days — "
+    "broadcast join, no global window), with integer rank thresholds "
+    "(cc*2 >= n is the windowless lower median).",
+)
+def interpurchase_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    hist = gaps.groupBy("gap").agg(F.count("*").alias("c"))
+    h, r = hist.alias("h"), hist.alias("r")
+    cum = (
+        h.join(F.broadcast(r), F.col("r.gap") <= F.col("h.gap"))
+        .groupBy(F.col("h.gap").alias("gap"))
+        .agg(F.sum("r.c").alias("cc"))
+    )
+    tot = hist.agg(F.sum("c").alias("n"))
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.min("n").cast("bigint").alias("n_gaps"),
+        F.min(
+            F.when(F.col("cc") * 2 >= F.col("n"), F.col("gap"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(F.col("cc") * 10 >= 9 * F.col("n"), F.col("gap"))
+        ).alias("p90_days"),
+        F.max("gap").cast("bigint").alias("max_days"),
+    )
+
+
+_PARETO_PCTS = (1, 10, 20)
+
+
+@REG.add(
+    "revenue_concentration_8020",
+    oracle=f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        hist AS (SELECT cents, count(*) AS c, sum(cents) AS mass
+                 FROM rev GROUP BY cents),
+        above AS (
+            SELECT h.cents, h.c, h.mass,
+                   coalesce(sum(r.c), 0) AS n_above,
+                   coalesce(sum(r.mass), 0) AS mass_above
+            FROM hist h LEFT JOIN hist r ON r.cents > h.cents
+            GROUP BY h.cents, h.c, h.mass
+        ),
+        tot AS (SELECT sum(c) AS n, sum(mass) AS total FROM hist),
+        grid AS (SELECT unnest([{', '.join(str(p) for p in _PARETO_PCTS)}])
+                     AS pct)
+        SELECT pct,
+               CAST(min(n) AS BIGINT) AS n_customers,
+               round(min(CASE
+                   WHEN n_above * 100 < pct * n
+                        AND (n_above + c) * 100 >= pct * n
+                   THEN (mass_above
+                         + ceil((pct * n - 100.0 * n_above) / 100.0)
+                           * cents)::DOUBLE / total END), 6)
+                   AS top_share
+        FROM above CROSS JOIN tot CROSS JOIN grid
+        GROUP BY pct
+    """,
+    doc="Revenue concentration: the share of total revenue held by the "
+    "top 1/10/20% of customers — the Pareto read-out behind account "
+    "tiering. Per-customer revenue folds to INTEGER CENTS, so the "
+    "descending cumulative (customers above each revenue level, and "
+    "their mass) is exact integer arithmetic over the revenue-level "
+    "histogram via a broadcast join — the same windowless-quantile "
+    "construction as vocab_coverage_curve, applied to money. The "
+    "within-level remainder takes whole customers (ceil), matching the "
+    "rank definition.",
+)
+def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+    )
+    hist = rev.groupBy("cents").agg(
+        F.count("*").alias("c"), F.sum("cents").alias("mass")
+    )
+    h, r = hist.alias("h"), hist.alias("r")
+    above = (
+        h.join(F.broadcast(r), F.col("r.cents") > F.col("h.cents"), "left")
+        .groupBy(
+            F.col("h.cents").alias("cents"),
+            F.col("h.c").alias("c"),
+            F.col("h.mass").alias("mass"),
+        )
+        .agg(
+            F.coalesce(F.sum("r.c"), F.lit(0)).alias("n_above"),
+            F.coalesce(F.sum("r.mass"), F.lit(0)).alias("mass_above"),
+        )
+    )
+    tot = hist.agg(F.sum("c").alias("n"), F.sum("mass").alias("total"))
+    grid = spark.createDataFrame(
+        [(int(p),) for p in _PARETO_PCTS], "pct int"
+    )
+    k = F.ceil(
+        (F.col("pct") * F.col("n") - 100.0 * F.col("n_above")) / 100.0
+    )
+    hit = (F.col("n_above") * 100 < F.col("pct") * F.col("n")) & (
+        (F.col("n_above") + F.col("c")) * 100 >= F.col("pct") * F.col("n")
+    )
+    share = (
+        (F.col("mass_above") + k * F.col("cents")).cast("double")
+        / F.col("total")
+    )
+    return (
+        above.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("pct")
+        .agg(
+            F.min("n").cast("bigint").alias("n_customers"),
+            F.round(F.min(F.when(hit, share)), 6).alias("top_share"),
+        )
+    )

@@ -1099,3 +1099,15 @@ def test_daily_bands_partitioned_welch_fold(q):
     assert wins and all("event_type" in m for m in wins)
     f2 = assert_plan(q("weekend_lift_welch_t"), forbid_nested_loop=True)
     assert "Window" not in f2["plan"] and f2["partial_aggs"] >= 1
+
+
+def test_interpurchase_pareto_windowless_quantiles(q):
+    """Both use the histogram-cumulative broadcast-join quantile (no
+    global window); the lag window is customer-partitioned."""
+    import re as _re
+
+    f = assert_plan(q("interpurchase_time_stats"))
+    wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
+    assert wins and all("o_custkey" in m for m in wins)
+    f2 = assert_plan(q("revenue_concentration_8020"), max_scan_columns=2)
+    assert "Window" not in f2["plan"], f2["plan"][:1200]
