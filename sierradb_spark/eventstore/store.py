@@ -62,7 +62,7 @@ import shutil
 import time
 import uuid as _uuid
 from dataclasses import dataclass
-from typing import Iterator, Literal, Optional, Sequence
+from typing import Callable, Iterator, Literal, Optional, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -885,7 +885,11 @@ class EventStore:
         return self._apply_batch(enriched.select(*cols), fast=fast)
 
     def _apply_batch(
-        self, batch: DataFrame, fast: bool, batch_token: str | None = None
+        self,
+        batch: DataFrame,
+        fast: bool,
+        batch_token: str | None = None,
+        pre_commit: "Callable[[DataFrame], None] | None" = None,
     ) -> DataFrame:
         """Validate + assign + commit one batch. Returns per-request results.
 
@@ -912,6 +916,15 @@ class EventStore:
         escape. A lost attempt's staged files stay unreferenced
         (invisible) and are swept by :meth:`compact`, identical to a
         crashed writer's leftovers.
+
+        ``pre_commit``: optional callback invoked with the pinned
+        per-request result DataFrame AFTER validation/assignment but
+        BEFORE the manifest commit. Side effects that must survive a
+        crash-then-replay (the streaming dead-letter write: a replayed
+        batch whose token is already in the chain takes the fast path
+        above and never re-materializes its rejects) belong here — the
+        callback must be replay-idempotent, because a lost CAS retry
+        re-runs it with the recomputed result.
         """
         # ONE chain resolution serves both the replay fast path and the
         # first commit attempt (a second listing+fold per batch is pure
@@ -1014,6 +1027,8 @@ class EventStore:
                     .localCheckpoint(eager=True)  # pin before commit + return
                 )
             try:
+                if pre_commit is not None:
+                    pre_commit(result)
                 self._commit(result.where(F.col("accepted")), state, batch_token)
                 return result
             except ConcurrentWriteError as e:

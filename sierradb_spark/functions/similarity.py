@@ -385,7 +385,12 @@ def add_to_ivf_index(new_vectors: DataFrame, path: str) -> int:
             key=lambda r: r["cell_id"],
         )
     ]
-    assigned = assign_cells(new_vectors, cent_rows)
+    # Pin the assignment before the write: without it, the returned
+    # count() would re-run the full assignment lineage (a second pass
+    # over new_vectors + the centroid argmax), and a non-deterministic
+    # source (fresh sample / stream batch) could make the returned
+    # count differ from the rows actually written.
+    assigned = assign_cells(new_vectors, cent_rows).localCheckpoint(eager=True)
     assigned.write.mode("append").partitionBy("cell_id").parquet(
         os.path.join(path, "vectors")
     )
@@ -753,6 +758,12 @@ def gemm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cosine": cos,
                 }
             )
+            # Zero-norm vectors score NaN. pandas sorts NaN last, but
+            # Spark's global orderBy treats NaN as GREATER than any
+            # double — a NaN row surviving a small batch (<10 finite
+            # rows) would outrank every real match in the final top-10.
+            # Drop them here, matching assign_cells' zero-norm handling.
+            out = out[np.isfinite(out["cosine"])]
             yield out.sort_values(
                 ["cosine", "vec_id"], ascending=[False, True]
             ).head(10)

@@ -44,7 +44,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reads the same file, so oracle comparisons agree.
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session.get_spark owns this conf; the guarded set below exists
+        # only for FOREIGN sessions (e.g. the driver's own harness
+        # session), where reading nanos timestamps would otherwise
+        # throw. Sessions from our factory never hit the mutation.
+        if (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+            != "true"
+        ):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

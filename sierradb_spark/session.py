@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The events table carries TIMESTAMP(NANOS) parquet timestamps,
+        # which Spark only reads as raw longs (registry.load converts
+        # them to µs-precision timestamps). Owned HERE so loading a
+        # table is side-effect-free for sessions built by this factory.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

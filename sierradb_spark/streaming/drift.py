@@ -87,6 +87,17 @@ def _fold_bins(ref_target: int):
                 if seq <= last_seq:
                     late += 1
                     continue
+                if not (0 <= b < PSI_BINS):
+                    # Out-of-range bin from a buggy/poison upstream row:
+                    # folding it would either raise (b >= PSI_BINS, an
+                    # IndexError inside applyInPandasWithState wedges
+                    # the whole streaming query) or silently corrupt
+                    # the frozen reference (b = -1 increments the LAST
+                    # bin). Route it to the late/invalid counter and
+                    # advance the high-water so a replay skips it too.
+                    late += 1
+                    last_seq = seq
+                    continue
                 if ref_n < ref_target:
                     ref[b] += 1
                     ref_n += 1

@@ -247,11 +247,17 @@ class StreamIngest:
         able to wedge the stream (the reference surfaces rejects as
         per-request RESP3 errors to a connected client; a queue-fed
         pipeline has no one to tell, so the dead-letter table IS that
-        error channel). Per-batch overwrite makes replays idempotent;
-        reading the root dir yields a ``batch`` partition column. Costs
-        one cheap probe job per micro-batch over the already-pinned
-        result blocks (write happens only when a batch has rejects);
-        disabled by default."""
+        error channel). The write runs as a pre-commit hook INSIDE
+        ``_apply_batch`` — after validation/assignment, before the
+        manifest commit — so a crash between manifest-rename and
+        checkpoint-commit cannot lose rejects: by the time the commit
+        is durable the dead letters already are, and a replay of a
+        committed batch (token fast path, empty result) finds them in
+        place. Per-batch overwrite makes replays and lost-CAS retries
+        idempotent; reading the root dir yields a ``batch`` partition
+        column. Costs one cheap probe job per micro-batch over the
+        already-pinned result blocks (write happens only when a batch
+        has rejects); disabled by default."""
         if not requests.isStreaming:
             raise ValueError("requests must be a streaming DataFrame")
 
@@ -283,21 +289,29 @@ class StreamIngest:
                 "metadata",
                 "reject_reason",
             ]
-            result = self.store._apply_batch(
-                enriched.select(*req_cols),
-                fast=fast,
-                batch_token=f"{query_key}-{batch_id}",
-            )
-            if dead_letter_dir is not None:
+            def write_dead_letters(result: DataFrame) -> None:
+                # Pre-commit hook: runs before the manifest rename, so
+                # rejects are durable no later than the commit they
+                # belong to (a crash after the commit replays into the
+                # batch-token fast path, which returns an empty result
+                # and would otherwise lose them forever). isEmpty is a
+                # limit-1 probe over the pinned result blocks; the
+                # per-batch overwrite makes lost-CAS retries and
+                # pre-commit-crash replays idempotent.
                 rejected = result.where(~F.col("accepted"))
-                # isEmpty is a limit-1 probe over the pinned result
-                # blocks; a replay-skipped batch returns an empty
-                # result, leaving the prior incarnation's dead letters
-                # in place.
                 if not rejected.isEmpty():
                     rejected.write.mode("overwrite").parquet(
                         os.path.join(dead_letter_dir, f"batch={batch_id}")
                     )
+
+            result = self.store._apply_batch(
+                enriched.select(*req_cols),
+                fast=fast,
+                batch_token=f"{query_key}-{batch_id}",
+                pre_commit=(
+                    write_dead_letters if dead_letter_dir is not None else None
+                ),
+            )
             if (
                 compact_every
                 and batch_id > 0

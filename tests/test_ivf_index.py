@@ -246,3 +246,50 @@ def test_incremental_add_routes_like_build_and_loses_nothing(
     assert [tuple(r) for r in approx.collect()] == [
         tuple(r) for r in brute.collect()
     ]
+
+
+def test_gemm_topk_drops_zero_norm_vectors(spark, sf_dir, tmp_path):
+    """A zero-norm vector scores NaN, and Spark's global orderBy ranks
+    NaN ABOVE every double — without the generator-side drop, a NaN row
+    surviving a small Arrow batch (<10 finite rows here) would outrank
+    every real match. With it, the result is exactly the finite-only
+    brute-force answer."""
+    import math
+    import os
+
+    from sierradb_spark.functions.similarity import gemm_topk_cosine
+
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8)
+    dims = len(e.head()["embedding"])
+    zero = spark.createDataFrame(
+        [(10_000_000, 0, [0.0] * dims)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    sf2 = str(tmp_path / "sf_zero")
+    os.makedirs(sf2, exist_ok=True)
+    e.unionByName(zero, allowMissingColumns=True).write.mode(
+        "overwrite"
+    ).parquet(f"{sf2}/embeddings.parquet")
+
+    got = [tuple(r) for r in gemm_topk_cosine(spark, sf2).collect()]
+
+    rows = e.collect()
+    [q] = [r for r in rows if r["vec_id"] == 0]
+    qv = [float(x) for x in q["embedding"]]
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    def cos(emb):
+        d = sum(a * b for a, b in zip(emb, qv))
+        c = d / (math.sqrt(sum(a * a for a in emb)) * qn)
+        return math.copysign(math.floor(abs(c) * 1e4 + 0.5) / 1e4, c)
+
+    want = sorted(
+        (
+            (r["vec_id"], r["label"], cos([float(x) for x in r["embedding"]]))
+            for r in rows
+            if r["vec_id"] != 0
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )[:10]
+    assert got == want  # zero vector gone, no NaN anywhere
+    assert all(not math.isnan(c) for _, _, c in got)

@@ -881,3 +881,53 @@ def test_stream_ingest_dead_letter_queue(store, spark, tmp_path):
         ("ok-8", b"p3", "invalid expected_version: bogus"),
     }
     assert "batch" in dead.columns  # hive-partitioned by micro-batch
+
+
+def test_dead_letters_are_durable_before_the_manifest_commit(
+    store, spark, tmp_path
+):
+    """The crash-window guarantee: the dead-letter write is a PRE-commit
+    hook inside _apply_batch, so by the time the batch token is in the
+    manifest chain the rejects are already on disk. (The old post-commit
+    write lost them forever if a crash landed between manifest-rename
+    and checkpoint-commit — the replay takes the token fast path and
+    returns an empty result.) Verified by asserting, from inside the
+    hook itself, that the token is not yet committed; then replaying
+    the token and confirming the fast path leaves the letters intact."""
+    from sierradb_spark.streaming.ingest import enrich_requests
+
+    reqs = [("s-ok", "Evt", b"good", b"", "any"),
+            (None, "Evt", b"poison", b"", "any")]
+    schema = (
+        "stream_id string, event_name string, payload binary, "
+        "metadata binary, expected_version string"
+    )
+    enriched = enrich_requests(
+        spark.createDataFrame(reqs, schema), store.config
+    ).select(
+        "arrival", "txn_id", "stream_id", "event_name", "expected_version",
+        "event_id", "partition_key", "partition_id", "timestamp_ns",
+        "payload", "metadata", "reject_reason",
+    )
+    dlq = str(tmp_path / "dlq")
+    token = "crashwin-0"
+    seen = {}
+
+    def hook(result):
+        # ordering proof: at hook time the commit has NOT happened yet
+        seen["token_pre_committed"] = token in store._read_state().batch_tokens
+        result.where(~F.col("accepted")).write.mode("overwrite").parquet(
+            os.path.join(dlq, "batch=0")
+        )
+
+    store._apply_batch(enriched, fast=False, batch_token=token,
+                       pre_commit=hook)
+    assert seen == {"token_pre_committed": False}
+    assert token in store._read_state().batch_tokens  # commit landed after
+
+    # replay of the committed token: fast path, empty result, letters kept
+    replay = store._apply_batch(enriched, fast=False, batch_token=token,
+                                pre_commit=hook)
+    assert replay.count() == 0
+    dead = spark.read.parquet(dlq)
+    assert [bytes(r["payload"]) for r in dead.collect()] == [b"poison"]

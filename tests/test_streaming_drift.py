@@ -113,6 +113,42 @@ def test_stream_psi_matches_batch_split_across_restarts(spark, tmp_path):
         assert psi == want_psi, (key, psi, want_psi)  # bit-for-bit
 
 
+def test_out_of_range_bins_are_invalid_not_folded(spark, tmp_path):
+    """A poison upstream row with bin outside [0, PSI_BINS) must neither
+    wedge the streaming query (bin >= PSI_BINS would IndexError inside
+    applyInPandasWithState) nor corrupt the histograms (bin = -1 would
+    silently increment the LAST bin): it routes to the late/invalid
+    counter and the PSI is bit-identical to the poison-free run."""
+    binned = _binned(spark).where(F.col("key") == "view").cache()
+    max_seq = binned.agg(F.max("seq")).head()[0]
+
+    clean = (str(tmp_path / "c_land"), str(tmp_path / "c_ckpt"),
+             str(tmp_path / "c_out"))
+    _run_chunk(spark, binned, *clean)
+    want = {
+        (r["ref_n"], r["cur_n"], r["psi"])
+        for r in spark.read.parquet(clean[2]).collect()
+    }
+
+    poison = spark.createDataFrame(
+        [("view", int(max_seq) + 1, -1),
+         ("view", int(max_seq) + 2, PSI_BINS),
+         ("view", int(max_seq) + 3, PSI_BINS + 7)],
+        "key string, seq long, bin int",
+    )
+    dirty = (str(tmp_path / "d_land"), str(tmp_path / "d_ckpt"),
+             str(tmp_path / "d_out"))
+    _run_chunk(spark, binned, *dirty)
+    _run_chunk(spark, poison, *dirty)  # must not raise / wedge
+
+    res = spark.read.parquet(dirty[2]).orderBy("cur_n").collect()
+    last = [r for r in res if r["late_rows"] > 0]
+    assert len(last) == 1 and last[0]["late_rows"] == 3
+    assert last[0]["batch_rows"] == 0  # nothing folded
+    assert (last[0]["ref_n"], last[0]["cur_n"], last[0]["psi"]) in want
+    binned.unpersist()
+
+
 def test_replayed_chunk_is_late_not_folded(spark, tmp_path):
     binned = _binned(spark).where(F.col("key") == "view").cache()
     land, ckpt, out = (str(tmp_path / d) for d in ("land", "ckpt", "out"))
