@@ -32,9 +32,30 @@ from sierradb_spark.operators import REGISTRY  # noqa: E402
 from sierradb_spark.session import get_spark  # noqa: E402
 
 
+def _load_probe() -> float:
+    """Fixed single-thread CPU probe (median of 5 x 512x512 GEMM): a
+    host-weather signal recorded before and after the suite. The
+    container shares its host; an external load episode moves every
+    timing in lockstep (measured r6: suite 14.4 -> 17.8 s with zero
+    repo changes while host load hit 15). Probe deltas let a reader
+    separate 'the code got slower' from 'the host got busier' —
+    interpretation notes in docs/SCALE.md."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((512, 512))
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 4)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    probe_pre = _load_probe()
     spark = get_spark(app_name="bench")
 
     headline = {n: q for n, q in REGISTRY.queries.items() if q.headline}
@@ -286,6 +307,7 @@ def main() -> int:
                 "sustained_ingest": sustained,
                 "corpus_dedup": corpus_dedup,
                 "iterative": iterative,
+                "load_probe": {"pre": probe_pre, "post": _load_probe()},
             }
         )
     )

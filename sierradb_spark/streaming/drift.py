@@ -143,8 +143,10 @@ def psi_drift_stream(
     """Drift-monitor stream over a (key, seq, bin) stream: one output
     row per (key, micro-batch) with the PSI of everything after the
     frozen ``ref_target``-row reference, Laplace-smoothed exactly like
-    the batch ``psi_value_drift`` oracle. Late (seq <= high-water)
-    rows are counted and skipped."""
+    the batch ``psi_value_drift`` oracle. Late (seq <= high-water) and
+    invalid (bin outside [0, PSI_BINS)) rows are counted in
+    ``late_rows`` and skipped — a poison row must neither wedge the
+    query nor corrupt the frozen reference histogram."""
     return binned_stream.groupBy("key").applyInPandasWithState(
         _fold_bins(ref_target),
         PSI_OUTPUT_SCHEMA,
