@@ -1008,9 +1008,16 @@ class EventStore:
                 # Pin the assignment once: the events write, the heads
                 # aggregation, and the caller's inspection of the results
                 # all reuse the same blocks instead of re-running the
-                # join+window.
+                # join+window. Lazy pin (same trick as the batch pin
+                # above): the FIRST consumer — the events write inside
+                # _commit — materializes the blocks in its own pass, so
+                # the assignment costs no standalone job. Everything
+                # after reads the pinned blocks; recomputation of a
+                # not-yet-cached partition is deterministic anyway
+                # because the inputs are the pinned batch + the heads
+                # log on disk.
                 result = self._assign_fast(enr, base_seq).localCheckpoint(
-                    eager=True
+                    eager=False
                 )
             else:
                 enr = enr.withColumn(
@@ -1024,7 +1031,10 @@ class EventStore:
                     .applyInPandas(
                         _validate_and_assign, schema=APPEND_RESULT_SCHEMA
                     )
-                    .localCheckpoint(eager=True)  # pin before commit + return
+                    # Lazy pin (see the fast path above): the events
+                    # write materializes it; later consumers reuse the
+                    # blocks.
+                    .localCheckpoint(eager=False)
                 )
             try:
                 if pre_commit is not None:
