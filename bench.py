@@ -207,6 +207,37 @@ def main() -> int:
             f"compactions={compact_secs}",
             file=sys.stderr,
         )
+        # Subscription catch-up throughput (EPSUB * over the store the
+        # sustained phase just filled): one availableNow pass through
+        # the manifest-log source -> matcher -> executor-side sink
+        # append, delivering every committed event exactly once. This
+        # is S1-S6's perf story measured end to end — catch-up cost is
+        # proportional to undelivered data (the manifest log names
+        # exactly the committed files), so delivered ev/s here is the
+        # number a re-subscribing consumer sees at any table size. Own
+        # JSON section: a throughput probe, not a headline query.
+        from sierradb_spark.streaming.subscribe import (
+            PartitionMatcher,
+            Subscription,
+            read_subscription_sink,
+        )
+
+        sub = Subscription(store, PartitionMatcher())
+        sink = os.path.join(scratch, "sub_sink")
+        t0 = time.perf_counter()
+        sub.catchup_to_sink(sink, os.path.join(scratch, "sub_ckpt"))
+        sub_wall = round(time.perf_counter() - t0, 3)
+        n_delivered = read_subscription_sink(spark, sink).count()
+        subscription = {
+            "events_delivered": n_delivered,
+            "catchup_seconds": sub_wall,
+            "events_per_second": round(n_delivered / sub_wall, 1),
+        }
+        print(
+            f"# subscription_catchup: {n_delivered} events in {sub_wall}s "
+            f"({subscription['events_per_second']} ev/s)",
+            file=sys.stderr,
+        )
         # Streaming corpus dedup throughput: fold the documents table
         # through StreamingCorpusDedup in deterministic micro-batches
         # (doc_id % n), compacting the band index midway — the
@@ -305,6 +336,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sustained_ingest": sustained,
+                "subscription_catchup": subscription,
                 "corpus_dedup": corpus_dedup,
                 "iterative": iterative,
                 "load_probe": {"pre": probe_pre, "post": _load_probe()},
