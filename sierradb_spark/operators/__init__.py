@@ -138,6 +138,33 @@ _FRONT_50 = [
     # text + data-quality never-checked flagships
     "tfidf_top_terms", "referential_integrity_audit",
 ]
+# r07 rotation plan: the 51 queries below are the LAST of the
+# never-driver-checked backlog once this window lands (every other
+# registry entry is green in CORRECTNESS_r01–r05 or in this window).
+# Rotate them (plus window-size filler from the oldest evidence) in
+# next round; all 51 already hash-match at sf0.1 (PARITY_sf0.1.md):
+#   hybrid_filtered_topk, embedding_label_margin,
+#   temperature_mixture_weights, quality_weighted_sample,
+#   packing_waste_curve, length_tail_index, benchmark_contamination,
+#   blocklist_filter_stats, domain_mixture_plan, udaf_geomean_value,
+#   udtf_sentence_split, near_dup_components_lsh,
+#   embedding_bucketed_recall, semdedup_cell_stats,
+#   band_agreement_calibration, lsh_parameter_planner,
+#   unigram_surprisal_scores, type_token_ratio_by_source,
+#   lexicon_sentiment_scores, tseries_pattern_search,
+#   value_outlier_stats, event_transition_matrix, event_daily_autocorr,
+#   interarrival_time_stats, time_to_convert_stats,
+#   expected_steps_to_purchase, grouping_sets_revenue,
+#   frequent_event_values, pareto_skyline_orders,
+#   interpurchase_time_stats, revenue_concentration_8020,
+#   rolling_7d_user_value, ewma_anomaly_daily, hourly_burst_detection,
+#   pii_detection_stats, chunk_dedup_stats, winnow_near_dup_pairs,
+#   bigram_surprisal_scores, doc_chunk_index, readability_scores,
+#   trigram_interpolated_surprisal, pmi_collocations,
+#   source_novelty_stats, local_clustering_histogram,
+#   knn_label_accuracy, lineitem_price_stats, event_value_trend,
+#   event_value_cusum, value_equidepth_histogram, cohort_value_matrix,
+#   dq_constraint_violations
 REGISTRY.reorder_front(_FRONT_50)
 
 __all__ = ["Query", "Registry", "REGISTRY", "load"]
