@@ -23,6 +23,7 @@ import random
 from dataclasses import dataclass, field
 
 import pytest
+from pyspark.sql import functions as F
 
 from sierradb_spark import ids
 from sierradb_spark import versions as V
@@ -125,7 +126,7 @@ _REQ_COLS = [
 ]
 
 
-def _tokened_apply(store: EventStore, spark, reqs, token: str):
+def _tokened_apply(store: EventStore, spark, reqs, token: str, pre_commit=None):
     """Apply [(stream, name, expected)] through the streaming-batch path
     with an idempotence token; returns the pinned enriched df + results."""
     from sierradb_spark.streaming.ingest import enrich_requests
@@ -138,7 +139,9 @@ def _tokened_apply(store: EventStore, spark, reqs, token: str):
         .select(*_REQ_COLS)
         .localCheckpoint(eager=True)  # pin generated ids across replays
     )
-    return enriched, store._apply_batch(enriched, fast=False, batch_token=token)
+    return enriched, store._apply_batch(
+        enriched, fast=False, batch_token=token, pre_commit=pre_commit
+    )
 
 
 def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> str:
@@ -376,7 +379,28 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
                 expected_results.append((ok, vers[0] if ok else None))
             token = f"fuzz-{seed}-{step}"
             prev_head = store._read_state().commit
-            enriched, res = _tokened_apply(store, spark, reqs, token)
+            # Half the tokened appends also exercise the dead-letter
+            # pre-commit hook (streaming/ingest.py's crash-window
+            # guarantee): the hook must observe the token NOT yet in
+            # the chain, the letters must exactly match the rejected
+            # requests, and the replay (token fast path, hook never
+            # invoked) must leave them in place.
+            dlq = None
+            hook_order: list[bool] = []
+            if rng.random() < 0.5:
+                dlq = str(tmp_path / f"dlq-{seed}-{step}")
+
+                def dlq_hook(result, _token=token, _dlq=dlq, _ord=hook_order):
+                    _ord.append(_token in store._read_state().batch_tokens)
+                    rej = result.where(~F.col("accepted"))
+                    if not rej.isEmpty():
+                        rej.write.mode("overwrite").parquet(
+                            os.path.join(_dlq, "batch=0")
+                        )
+            enriched, res = _tokened_apply(
+                store, spark, reqs, token,
+                pre_commit=dlq_hook if dlq is not None else None,
+            )
             record_commit(
                 prev_head,
                 [
@@ -389,7 +413,29 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
                 for r in res.orderBy("arrival").collect()
             ]
             assert got == expected_results, f"tokened append diverged step {step}"
-            replay = store._apply_batch(enriched, fast=False, batch_token=token)
+            if dlq is not None:
+                # The hook ran exactly once per commit ATTEMPT, always
+                # before the manifest landed; letters == the rejects.
+                assert hook_order and not any(hook_order), (
+                    f"hook ran after commit at step {step}"
+                )
+                want_dead = sorted(
+                    s for (s, _n, _e), (ok, _v) in zip(reqs, expected_results)
+                    if not ok
+                )
+                got_dead = (
+                    sorted(
+                        r["stream_id"]
+                        for r in spark.read.parquet(dlq).collect()
+                    )
+                    if want_dead
+                    else []
+                )
+                assert got_dead == want_dead, f"dead letters diverged step {step}"
+            replay = store._apply_batch(
+                enriched, fast=False, batch_token=token,
+                pre_commit=dlq_hook if dlq is not None else None,
+            )
             # A batch that committed anything is skipped whole on replay;
             # an all-rejected batch never recorded its token (no commit)
             # and simply re-rejects. Either way zero events may append.
@@ -398,6 +444,23 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
             )
             if any(ok for ok, _ in expected_results):
                 assert replay.count() == 0, f"replay not skipped at step {step}"
+                if dlq is not None:
+                    # fast-path replay: hook NOT re-invoked, letters intact
+                    assert len(hook_order) == 1, (
+                        f"hook re-ran on fast-path replay at step {step}"
+                    )
+                    want_dead = sorted(
+                        s
+                        for (s, _n, _e), (ok2, _v) in zip(
+                            reqs, expected_results
+                        )
+                        if not ok2
+                    )
+                    if want_dead:
+                        assert sorted(
+                            r["stream_id"]
+                            for r in spark.read.parquet(dlq).collect()
+                        ) == want_dead, f"letters lost on replay step {step}"
             n_appends += 1
         elif roll < 0.98:
             # Stale concurrent writer: a second handle holding old state
