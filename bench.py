@@ -230,6 +230,10 @@ def main() -> int:
         n_delivered = read_subscription_sink(spark, sink).count()
         subscription = {
             "events_delivered": n_delivered,
+            # auditability: delivered must equal what sustained ingest
+            # committed — exactly-once across the compacted manifest
+            # history, visible in the JSON, not just in tests.
+            "events_expected": n_batches * per_batch,
             "catchup_seconds": sub_wall,
             "events_per_second": round(n_delivered / sub_wall, 1),
         }
