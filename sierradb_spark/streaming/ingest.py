@@ -253,11 +253,13 @@ class StreamIngest:
         checkpoint-commit cannot lose rejects: by the time the commit
         is durable the dead letters already are, and a replay of a
         committed batch (token fast path, empty result) finds them in
-        place. Per-batch overwrite makes replays and lost-CAS retries
-        idempotent; reading the root dir yields a ``batch`` partition
-        column. Costs one cheap probe job per micro-batch over the
-        already-pinned result blocks (write happens only when a batch
-        has rejects); disabled by default."""
+        place. The per-batch write is unconditional and overwriting, so
+        replays and lost-CAS retries are idempotent AND a retry whose
+        recomputed reject set shrank to empty clears the stale letters
+        instead of leaving them; reading the root dir yields a
+        ``batch`` partition column. Costs one write job per micro-batch
+        over result blocks the commit pass shares; disabled by
+        default."""
         if not requests.isStreaming:
             raise ValueError("requests must be a streaming DataFrame")
 
@@ -294,15 +296,18 @@ class StreamIngest:
                 # rejects are durable no later than the commit they
                 # belong to (a crash after the commit replays into the
                 # batch-token fast path, which returns an empty result
-                # and would otherwise lose them forever). isEmpty is a
-                # limit-1 probe over the pinned result blocks; the
-                # per-batch overwrite makes lost-CAS retries and
-                # pre-commit-crash replays idempotent.
-                rejected = result.where(~F.col("accepted"))
-                if not rejected.isEmpty():
-                    rejected.write.mode("overwrite").parquet(
-                        os.path.join(dead_letter_dir, f"batch={batch_id}")
-                    )
+                # and would otherwise lose them forever). The write is
+                # UNCONDITIONAL: a lost-CAS retry (or a pre-commit-crash
+                # replay) recomputes the rejects against moved state,
+                # and a now-empty reject set must CLEAR the previous
+                # attempt's letters — a conditional write would leave
+                # them stale. Overwrite-of-empty truncates the batch
+                # dir through the same fs-agnostic writer; it also
+                # drops the old emptiness probe job (the pass it takes
+                # shares blocks with the events write that follows).
+                result.where(~F.col("accepted")).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(dead_letter_dir, f"batch={batch_id}"))
 
             result = self.store._apply_batch(
                 enriched.select(*req_cols),

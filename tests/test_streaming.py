@@ -883,6 +883,44 @@ def test_stream_ingest_dead_letter_queue(store, spark, tmp_path):
     assert "batch" in dead.columns  # hive-partitioned by micro-batch
 
 
+def test_clean_batch_clears_stale_dead_letters(store, spark, tmp_path):
+    """A retry/replay whose recomputed reject set is EMPTY must clear a
+    previous attempt's letters for that batch id, not leave them stale:
+    the dead-letter write is unconditional and overwriting. Simulated by
+    pre-populating batch=0 with a leftover letter and running a clean
+    batch through ingest."""
+    dlq = str(tmp_path / "dlq")
+    spark.createDataFrame(
+        [("stale-s", b"stale", "stale reason")],
+        "stream_id string, payload binary, error string",
+    ).write.parquet(os.path.join(dlq, "batch=0"))
+
+    schema = (
+        "stream_id string, event_name string, payload binary, "
+        "metadata binary, expected_version string"
+    )
+    src = str(tmp_path / "clean_requests")
+    spark.createDataFrame(
+        [("ok-a", "Evt", b"p", b"", "any"), ("ok-b", "Evt", b"p", b"", "any")],
+        schema,
+    ).write.parquet(src)
+    q = StreamIngest(store).start(
+        spark.readStream.schema(schema).parquet(src),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+        dead_letter_dir=dlq,
+    )
+    q.awaitTermination(300)
+    assert store.events().where("stream_id like 'ok-%'").count() == 2
+    # overwrite-of-empty truncated the stale letters
+    assert (
+        spark.read.schema("stream_id string, payload binary, error string")
+        .parquet(os.path.join(dlq, "batch=0"))
+        .count()
+        == 0
+    )
+
+
 def test_dead_letters_are_durable_before_the_manifest_commit(
     store, spark, tmp_path
 ):
