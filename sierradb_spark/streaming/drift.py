@@ -93,10 +93,12 @@ def _fold_bins(ref_target: int):
                     # IndexError inside applyInPandasWithState wedges
                     # the whole streaming query) or silently corrupt
                     # the frozen reference (b = -1 increments the LAST
-                    # bin). Route it to the late/invalid counter and
-                    # advance the high-water so a replay skips it too.
+                    # bin). Route it to the late/invalid counter WITHOUT
+                    # advancing the high-water: a poison row often has a
+                    # poison seq too, and advancing past a bogus huge
+                    # seq would permanently skip every later valid row.
+                    # A replayed poison row just re-trips this check.
                     late += 1
-                    last_seq = seq
                     continue
                 if ref_n < ref_target:
                     ref[b] += 1

@@ -133,7 +133,8 @@ def test_out_of_range_bins_are_invalid_not_folded(spark, tmp_path):
     poison = spark.createDataFrame(
         [("view", int(max_seq) + 1, -1),
          ("view", int(max_seq) + 2, PSI_BINS),
-         ("view", int(max_seq) + 3, PSI_BINS + 7)],
+         # poison seq AND poison bin: must not poison the high-water
+         ("view", 2**40, PSI_BINS + 7)],
         "key string, seq long, bin int",
     )
     dirty = (str(tmp_path / "d_land"), str(tmp_path / "d_ckpt"),
@@ -146,6 +147,17 @@ def test_out_of_range_bins_are_invalid_not_folded(spark, tmp_path):
     assert len(last) == 1 and last[0]["late_rows"] == 3
     assert last[0]["batch_rows"] == 0  # nothing folded
     assert (last[0]["ref_n"], last[0]["cur_n"], last[0]["psi"]) in want
+
+    # invalid rows left the high-water alone: the next VALID rows —
+    # with seqs far below the poison row's 2**40 — still fold.
+    tail = spark.createDataFrame(
+        [("view", int(max_seq) + 10, 0), ("view", int(max_seq) + 11, 1)],
+        "key string, seq long, bin int",
+    )
+    _run_chunk(spark, tail, *dirty)
+    res2 = spark.read.parquet(dirty[2]).collect()
+    folded = [r for r in res2 if r["batch_rows"] == 2 and r["late_rows"] == 0]
+    assert folded, "valid rows after poison were wrongly skipped"
     binned.unpersist()
 
 
