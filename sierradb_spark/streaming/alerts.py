@@ -68,6 +68,22 @@ def _fold_daily(
             continue
         pdf = pdf.sort_values("day")
         for day, y in zip(pdf["day"], pdf["y"]):
+            if pd.isna(day) or pd.isna(y) or not math.isfinite(float(y)):
+                # Poison row: a NaT day would raise in toordinal() and
+                # wedge the whole streaming query; a NaN/inf value would
+                # silently poison mu/var for every later day. Route it
+                # out with late=true (the reconciliation channel),
+                # touching neither the recurrence nor the high-water.
+                d_out = (
+                    None
+                    if pd.isna(day)
+                    else (day.date() if hasattr(day, "date") else day)
+                )
+                v_out = None if pd.isna(y) else float(y)
+                rows.append(
+                    (k, d_out, v_out, int(n), mu, None, False, True, int(anom))
+                )
+                continue
             ordinal = day.toordinal()
             day = day.date() if hasattr(day, "date") else day
             v = float(y)
@@ -113,7 +129,9 @@ def anomaly_alert_stream(daily_stream: DataFrame) -> DataFrame:
     """Alert stream over a (key, day, y) daily-metric stream: one output
     row per input day carrying the flag, the post-update EWMA state, and
     the running anomaly count. Late (out-of-order) days pass through
-    with late=true and do not touch state."""
+    with late=true and do not touch state; so do INVALID rows (null
+    day, NaN/inf value), which would otherwise wedge the query or
+    silently poison the recurrence."""
     return daily_stream.groupBy("key").applyInPandasWithState(
         _fold_daily,
         ALERT_OUTPUT_SCHEMA,

@@ -83,6 +83,12 @@ def _fold_bins(ref_target: int):
                 continue
             pdf = pdf.sort_values("seq")
             for seq, b in zip(pdf["seq"], pdf["bin"]):
+                if pd.isna(seq) or pd.isna(b):
+                    # NULL seq/bin arrives as NaN in the Arrow batch;
+                    # int(NaN) raises and would wedge the query. Same
+                    # routing as an out-of-range bin.
+                    late += 1
+                    continue
                 seq, b = int(seq), int(b)
                 if seq <= last_seq:
                     late += 1

@@ -114,6 +114,57 @@ def test_stream_matches_batch_fold_across_restarts(spark, tmp_path):
     daily.unpersist()
 
 
+def test_poison_rows_route_invalid_without_corrupting_state(spark, tmp_path):
+    """NaT days (would raise in toordinal and wedge the query) and
+    NaN/inf values (would silently poison mu/var for every later day)
+    must route out with late=true, leaving the recurrence bit-identical
+    to a poison-free fold — including for VALID days arriving after the
+    poison."""
+    daily = _daily(spark).where(F.col("key") == "view").cache()
+    days = sorted(r["day"] for r in daily.select("day").distinct().collect())
+    mid = days[len(days) // 2]
+
+    clean = (str(tmp_path / "c_land"), str(tmp_path / "c_ckpt"),
+             str(tmp_path / "c_out"))
+    _run_chunk(spark, daily, *clean)
+    want = {
+        (r["n_days"], round(r["ewma_level"], 10), r["anomaly_days"])
+        for r in spark.read.parquet(clean[2])
+        .orderBy("day").groupBy("key")
+        .agg(F.max("n_days").alias("n_days"),
+             F.last("ewma_level").alias("ewma_level"),
+             F.max("anomaly_days").alias("anomaly_days"))
+        .collect()
+    }
+
+    dirty = (str(tmp_path / "d_land"), str(tmp_path / "d_ckpt"),
+             str(tmp_path / "d_out"))
+    first_half = daily.where(F.col("day") <= F.lit(mid))
+    _run_chunk(spark, first_half, *dirty)
+    poison = spark.createDataFrame(
+        [("view", None, 1.0),            # NaT day
+         ("view", days[-1], float("nan")),   # NaN value
+         ("view", days[-1], float("inf"))],  # inf value
+        "key string, day date, y double",
+    )
+    _run_chunk(spark, poison, *dirty)  # must not raise / wedge
+    _run_chunk(spark, daily.where(F.col("day") > F.lit(mid)), *dirty)
+
+    res = spark.read.parquet(dirty[2])
+    assert res.where("late").count() == 3  # all three routed invalid
+    got = {
+        (r["n_days"], round(r["ewma_level"], 10), r["anomaly_days"])
+        for r in res.where(~F.col("late"))
+        .orderBy("day").groupBy("key")
+        .agg(F.max("n_days").alias("n_days"),
+             F.last("ewma_level").alias("ewma_level"),
+             F.max("anomaly_days").alias("anomaly_days"))
+        .collect()
+    }
+    assert got == want  # recurrence unpoisoned, high-water untouched
+    daily.unpersist()
+
+
 def test_late_day_passes_through_without_touching_state(spark, tmp_path):
     daily = _daily(spark).cache()
     days = sorted(r["day"] for r in daily.select("day").distinct().collect())

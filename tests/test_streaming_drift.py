@@ -134,7 +134,10 @@ def test_out_of_range_bins_are_invalid_not_folded(spark, tmp_path):
         [("view", int(max_seq) + 1, -1),
          ("view", int(max_seq) + 2, PSI_BINS),
          # poison seq AND poison bin: must not poison the high-water
-         ("view", 2**40, PSI_BINS + 7)],
+         ("view", 2**40, PSI_BINS + 7),
+         # NULLs arrive as NaN in the Arrow batch; int(NaN) would raise
+         ("view", None, 2),
+         ("view", int(max_seq) + 4, None)],
         "key string, seq long, bin int",
     )
     dirty = (str(tmp_path / "d_land"), str(tmp_path / "d_ckpt"),
@@ -144,7 +147,7 @@ def test_out_of_range_bins_are_invalid_not_folded(spark, tmp_path):
 
     res = spark.read.parquet(dirty[2]).orderBy("cur_n").collect()
     last = [r for r in res if r["late_rows"] > 0]
-    assert len(last) == 1 and last[0]["late_rows"] == 3
+    assert len(last) == 1 and last[0]["late_rows"] == 5
     assert last[0]["batch_rows"] == 0  # nothing folded
     assert (last[0]["ref_n"], last[0]["cur_n"], last[0]["psi"]) in want
 
