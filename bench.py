@@ -73,6 +73,13 @@ def main() -> int:
     load_table(spark, sf_dir, "events").limit(1).count()
     load_table(spark, sf_dir, "documents").limit(1).count()
 
+    # Per-phase probe samples: an external load burst confined to the
+    # middle of the run is invisible to endpoint-only sampling (observed
+    # r6: clean pre/post probes around a burst that hit only the query
+    # phase). One sample after each phase localizes which numbers a
+    # burst touched.
+    probes = {"pre": probe_pre}
+
     k = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K", "3")))
     timings: dict[str, float] = {}
     for name, q in headline.items():
@@ -89,6 +96,8 @@ def main() -> int:
             f"runs={[round(r, 3) for r in runs]} rows={n}",
             file=sys.stderr,
         )
+
+    probes["after_queries"] = _load_probe()
 
     # Ingest throughput: 20k-event append batch (validate + assign gapless
     # sequences + commit) into a scratch store — the reference's headline
@@ -188,6 +197,7 @@ def main() -> int:
             if half >= 1
             else 1.0
         )
+        probes["after_ingest"] = _load_probe()
         # Reported in its own JSON section, NOT in the headline timings:
         # the headline value is compared round-over-round on a stable
         # query set, and this phase is a throughput probe, not a query.
@@ -307,6 +317,7 @@ def main() -> int:
     # had none). Fewer reps than the headline set (default 2): each rep
     # is tens of seconds and run-to-run variance is proportionally
     # smaller than for sub-second queries.
+    probes["after_corpus"] = _load_probe()
     k_iter = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K_ITER", "2")))
     iter_names = [
         "label_prop_communities",
@@ -343,7 +354,7 @@ def main() -> int:
                 "subscription_catchup": subscription,
                 "corpus_dedup": corpus_dedup,
                 "iterative": iterative,
-                "load_probe": {"pre": probe_pre, "post": _load_probe()},
+                "load_probe": {**probes, "post": _load_probe()},
             }
         )
     )
