@@ -32,14 +32,15 @@ from sierradb_spark.operators import REGISTRY  # noqa: E402
 from sierradb_spark.session import get_spark  # noqa: E402
 
 
-def _load_probe() -> float:
-    """Fixed single-thread CPU probe (median of 5 x 512x512 GEMM): a
-    host-weather signal recorded before and after the suite. The
+def _load_probe() -> dict:
+    """Host-weather sample recorded at every phase boundary: the 1-min
+    system load average plus a fixed single-thread GEMM timing. The
     container shares its host; an external load episode moves every
     timing in lockstep (measured r6: suite 14.4 -> 17.8 s with zero
-    repo changes while host load hit 15). Probe deltas let a reader
-    separate 'the code got slower' from 'the host got busier' —
-    interpretation notes in docs/SCALE.md."""
+    repo changes while host load hit 15). The GEMM alone under-detects
+    contention on a many-core host (one thread still finds a free core
+    while 32-wide Spark stages queue), so loadavg — the direct signal —
+    is recorded alongside it. Interpretation notes in docs/SCALE.md."""
     import numpy as np
 
     rng = np.random.default_rng(7)
@@ -49,7 +50,11 @@ def _load_probe() -> float:
         t0 = time.perf_counter()
         (a @ a).sum()
         runs.append(time.perf_counter() - t0)
-    return round(statistics.median(runs), 4)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {"gemm": round(statistics.median(runs), 4), "load1": load1}
 
 
 def main() -> int:
