@@ -118,25 +118,50 @@ class StreamHeadsMaintainer:
 
         def sink(batch: DataFrame, _bid: int) -> None:
             # Merge updated keys into the snapshot (update output mode
-            # emits only streams touched this batch).
+            # emits only streams touched this batch). Publication is
+            # versioned-dir + atomic pointer (the store's manifest
+            # pattern), NOT overwrite-in-place: overwriting the live
+            # snapshot deletes it before rewriting, and a crash in that
+            # window — before the streaming checkpoint committed the
+            # batch — would lose every stream the replayed batch does
+            # not touch (update mode never re-emits untouched keys).
+            # With the pointer, readers and the merge itself only ever
+            # see a fully-written version; the replay just publishes a
+            # fresh version and re-points.
             updated = batch.cache()
             try:
-                if os.path.exists(self.out_path):
-                    old = spark.read.parquet(self.out_path)
+                current = self._current_version()
+                if current is not None:
+                    old = spark.read.parquet(current)
                     merged = old.join(
                         updated.select("stream_id"), "stream_id", "left_anti"
                     ).unionByName(updated)
                 else:
                     merged = updated
-                tmp = f"{self.out_path}.tmp-{secrets.token_hex(4)}"
-                try:
-                    merged.write.mode("overwrite").parquet(tmp)
-                    snap = spark.read.parquet(tmp)
-                    snap.write.mode("overwrite").parquet(self.out_path)
-                finally:
-                    import shutil
+                vdir = os.path.join(
+                    self.out_path, f"v-{secrets.token_hex(4)}"
+                )
+                merged.write.mode("overwrite").parquet(vdir)
+                ptr_tmp = os.path.join(
+                    self.out_path, f".ptr-{secrets.token_hex(4)}"
+                )
+                with open(ptr_tmp, "w") as f:
+                    f.write(os.path.basename(vdir))
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(ptr_tmp, os.path.join(self.out_path, "CURRENT"))
+                # sweep superseded versions only after the new pointer
+                # is live; a crash before this leaves harmless extras
+                import shutil
 
-                    shutil.rmtree(tmp, ignore_errors=True)
+                for d in os.listdir(self.out_path):
+                    p = os.path.join(self.out_path, d)
+                    if (
+                        d.startswith("v-")
+                        and p != vdir
+                        and os.path.isdir(p)
+                    ):
+                        shutil.rmtree(p, ignore_errors=True)
             finally:
                 updated.unpersist()
 
@@ -153,5 +178,23 @@ class StreamHeadsMaintainer:
             if q.isActive:
                 q.stop()
 
+    def _current_version(self) -> "str | None":
+        """Path of the pointed-to snapshot version, or None if no
+        snapshot has been published yet."""
+        import os
+
+        ptr = os.path.join(self.out_path, "CURRENT")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            name = f.read().strip()
+        path = os.path.join(self.out_path, name)
+        return path if os.path.isdir(path) else None
+
     def heads(self) -> DataFrame:
-        return self.store.spark.read.parquet(self.out_path)
+        current = self._current_version()
+        if current is None:
+            raise FileNotFoundError(
+                f"no heads snapshot published under {self.out_path}"
+            )
+        return self.store.spark.read.parquet(current)

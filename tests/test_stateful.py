@@ -47,6 +47,50 @@ def test_stream_heads_maintained_incrementally(store, tmp_path):
     assert got == _expected_heads(store)
 
 
+def test_snapshot_publication_is_pointer_atomic(store, tmp_path):
+    """The snapshot is published as a versioned dir + CURRENT pointer,
+    never an overwrite of the live directory: a crash that leaves a
+    half-written version (no pointer update) must not affect readers,
+    and the next run must publish normally and sweep the junk. (The old
+    overwrite-in-place lost every untouched stream's head if a crash
+    landed between the delete and the rewrite, because update-mode
+    replays only re-emit the streams in the replayed batch.)"""
+    import os
+
+    store.append([AppendRequest(f"p-{i % 4}", "E") for i in range(20)])
+    out = str(tmp_path / "heads")
+    m = StreamHeadsMaintainer(store, out)
+    ckpt = str(tmp_path / "ckpt")
+    m.run_once(ckpt)
+    before = {
+        r["stream_id"]: (r["head_version"], r["n_events"])
+        for r in m.heads().collect()
+    }
+    assert before == _expected_heads(store)
+    assert os.path.exists(os.path.join(out, "CURRENT"))
+
+    # simulate a crash mid-publication: a half-written version dir with
+    # no pointer update — readers must still see the published snapshot
+    junk = os.path.join(out, "v-deadbeef")
+    os.makedirs(junk)
+    open(os.path.join(junk, "part-00000.parquet"), "wb").close()
+    assert {
+        r["stream_id"]: (r["head_version"], r["n_events"])
+        for r in m.heads().collect()
+    } == before
+
+    # the next run publishes a fresh version, re-points, sweeps junk
+    store.append([AppendRequest("p-0", "E2")])
+    m.run_once(ckpt)
+    assert {
+        r["stream_id"]: (r["head_version"], r["n_events"])
+        for r in m.heads().collect()
+    } == _expected_heads(store)
+    assert not os.path.exists(junk)
+    versions = [d for d in os.listdir(out) if d.startswith("v-")]
+    assert len(versions) == 1  # superseded versions swept
+
+
 def test_heads_view_ignores_orphans_and_compaction_rewrites(store, tmp_path):
     """The stateful fold must see only COMMITTED events, each exactly
     once: an orphaned uncommitted parquet file in events/ must not fold
