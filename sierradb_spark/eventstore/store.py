@@ -1170,7 +1170,30 @@ class EventStore:
             fsync_dir(d)
         shutil.rmtree(staging, ignore_errors=True)
         if not added:
-            return  # nothing accepted; no commit
+            if batch_token is None:
+                return  # nothing accepted; no commit needed
+            # All-rejected streaming batch: publish an EMPTY manifest
+            # carrying the idempotence token. Without it the token never
+            # enters the chain, which (a) makes a replay re-run the full
+            # validation pipeline instead of the fast skip, and (b)
+            # breaks the dead-letter read contract — "token in chain"
+            # is how read_dead_letters distinguishes a committed batch's
+            # rejects from a crash orphan, and an all-rejected batch is
+            # exactly the batch whose dead letters matter most.
+            self._write_manifest(
+                {
+                    "commit": state.commit + 1,
+                    "base": False,
+                    "events_add": [],
+                    "heads_add": [],
+                    "heads_base": False,
+                    "watermarks": {
+                        str(p): int(s) for p, s in state.watermarks.items()
+                    },
+                    "batch_token": batch_token,
+                }
+            )
+            return
         # One driver-bound aggregation: per-stream heads (for the heads
         # log) — per-partition watermarks are its per-pid maxima.
         heads_pdf = (

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, Window
@@ -203,6 +204,116 @@ def enrich_requests(
     return df.withColumn("arrival", F.monotonically_increasing_id())
 
 
+def _committed_token_bounds(store: EventStore) -> tuple[frozenset, dict]:
+    """Committed batch tokens plus the newest committed batch id per
+    query key. Tokens look like ``<query_key>-<batch_id>``; base
+    manifests cap the carried token history (newest-first per key, see
+    store._cap_batch_tokens), so an OLD committed token can be absent
+    from the chain. Batch ids are monotone per query (foreachBatch is
+    serial and every processed batch publishes a token manifest — the
+    all-rejected case included), so ``id <= max committed id for its
+    key`` is equally proof of commitment. The two tests together are the
+    committed-batch discriminator; a token failing both belongs to a
+    batch whose commit never landed (crash between the pre-commit
+    dead-letter write and the manifest rename) — an orphan."""
+    committed = store._read_state().batch_tokens
+    max_id: dict[str, int] = {}
+    for t in committed:
+        key, _, suffix = t.rpartition("-")
+        if suffix.isdigit() and int(suffix) > max_id.get(key, -1):
+            max_id[key] = int(suffix)
+    return committed, max_id
+
+
+def read_dead_letters(store: EventStore, dead_letter_dir: str) -> DataFrame:
+    """The dead-letter table, restricted to COMMITTED batches' rejects.
+
+    The pre-commit write ordering (see ``StreamIngest.start``) means a
+    crash in the window between the dead-letter write and the manifest
+    rename leaves letters for a batch that never committed. If the
+    stream is then replayed, the replay overwrites them in place; but a
+    decommissioned stream leaves them as orphans a raw
+    ``spark.read.parquet(root)`` cannot distinguish from real rejects.
+    This reader is the read-side contract: it keeps a letter only if
+    its ``batch_token`` proves the batch committed (token in the
+    manifest chain, or batch id at-or-below the key's newest committed
+    id — see _committed_token_bounds). Use :func:`prune_dead_letters`
+    to delete orphans physically instead."""
+    committed, max_id = _committed_token_bounds(store)
+    df = store.spark.read.parquet(dead_letter_dir)
+    pred = (
+        F.col("batch_token").isin(list(committed))
+        if committed
+        else F.lit(False)
+    )
+    for key, mid in max_id.items():
+        pred = pred | (
+            (F.regexp_replace("batch_token", r"-[0-9]+$", "") == key)
+            & (
+                F.regexp_extract("batch_token", r"-([0-9]+)$", 1).cast("long")
+                <= mid
+            )
+        )
+    return df.where(pred)
+
+
+def prune_dead_letters(store: EventStore, dead_letter_dir: str) -> dict:
+    """Physically sweep the dead-letter root: remove EMPTY ``batch=*``
+    dirs (the unconditional per-batch overwrite leaves one per clean
+    micro-batch, and a long-running stream would otherwise accumulate an
+    unbounded small-dir listing) and ORPHANED dirs (letters whose batch
+    token never committed — crash between the pre-commit write and the
+    manifest rename, stream never replayed). Returns counts.
+
+    Driver-side and O(#dirs) parquet-footer reads — no Spark jobs. Must
+    not run concurrently with an in-flight micro-batch of the SAME
+    ingest (its just-written letters are not yet committed and would
+    read as orphans); the auto-invocation from ``StreamIngest``'s
+    compaction hook satisfies this because foreachBatch is serial."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    removed = {"empty": 0, "orphaned": 0}
+    if not os.path.isdir(dead_letter_dir):
+        return removed
+    committed, max_id = _committed_token_bounds(store)
+    for d in os.listdir(dead_letter_dir):
+        if not re.fullmatch(r"batch=\d+", d):
+            continue
+        path = os.path.join(dead_letter_dir, d)
+        if not os.path.isdir(path):
+            continue
+        n_rows, token = 0, None
+        for fn in sorted(os.listdir(path)):
+            if not fn.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(path, fn))
+            n_rows += pf.metadata.num_rows
+            if (
+                token is None
+                and pf.metadata.num_rows > 0
+                and "batch_token" in pf.schema_arrow.names
+            ):
+                for rg in range(pf.num_row_groups):
+                    col = pf.read_row_group(rg, columns=["batch_token"])
+                    if len(col) > 0:
+                        token = col["batch_token"][0].as_py()
+                        break
+        if n_rows == 0:
+            shutil.rmtree(path, ignore_errors=True)
+            removed["empty"] += 1
+        elif token is not None:
+            key, _, suffix = token.rpartition("-")
+            is_committed = token in committed or (
+                suffix.isdigit() and int(suffix) <= max_id.get(key, -1)
+            )
+            if not is_committed:
+                shutil.rmtree(path, ignore_errors=True)
+                removed["orphaned"] += 1
+    return removed
+
+
 class StreamIngest:
     """Continuous ingest into an EventStore table via foreachBatch."""
 
@@ -259,7 +370,12 @@ class StreamIngest:
         instead of leaving them; reading the root dir yields a
         ``batch`` partition column. Costs one write job per micro-batch
         over result blocks the commit pass shares; disabled by
-        default."""
+        default. Consumers should read through
+        :func:`read_dead_letters`, which filters out the one artifact
+        the pre-commit ordering can leave behind (letters for a batch
+        whose commit never landed and was never replayed); the
+        compaction hook prunes empty and orphaned batch dirs via
+        :func:`prune_dead_letters` on the same cadence."""
         if not requests.isStreaming:
             raise ValueError("requests must be a streaming DataFrame")
 
@@ -305,9 +421,17 @@ class StreamIngest:
                 # dir through the same fs-agnostic writer; it also
                 # drops the old emptiness probe job (the pass it takes
                 # shares blocks with the events write that follows).
-                result.where(~F.col("accepted")).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(dead_letter_dir, f"batch={batch_id}"))
+                # Each letter carries its batch_token: the pre-commit
+                # ordering means a crash between this write and the
+                # manifest rename leaves an ORPHAN dir (letters for a
+                # batch that never committed), and the token is how
+                # read_dead_letters / prune_dead_letters tell orphans
+                # from a committed batch's real rejects.
+                result.where(~F.col("accepted")).withColumn(
+                    "batch_token", F.lit(f"{query_key}-{batch_id}")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(dead_letter_dir, f"batch={batch_id}")
+                )
 
             result = self.store._apply_batch(
                 enriched.select(*req_cols),
@@ -325,6 +449,16 @@ class StreamIngest:
                 self.store.compact(
                     retain_seconds=compact_retain_seconds, order=compact_order
                 )
+                if dead_letter_dir is not None:
+                    # Maintenance piggybacks on the compaction cadence:
+                    # the unconditional per-batch write leaves one
+                    # (usually empty) batch=<id> dir per micro-batch,
+                    # and a long-running stream would otherwise grow an
+                    # unbounded small-dir listing under the root. Safe
+                    # mid-stream: every batch id below the one that just
+                    # committed is final (foreachBatch is serial), and
+                    # the current batch's dir holds a committed token.
+                    prune_dead_letters(self.store, dead_letter_dir)
             if on_batch is not None:
                 on_batch(batch_id, result)
 

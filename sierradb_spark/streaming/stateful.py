@@ -150,15 +150,30 @@ class StreamHeadsMaintainer:
                     f.flush()
                     os.fsync(f.fileno())
                 os.replace(ptr_tmp, os.path.join(self.out_path, "CURRENT"))
-                # sweep superseded versions only after the new pointer
-                # is live; a crash before this leaves harmless extras
+                # Sweep only after the new pointer is live; a crash
+                # before this leaves harmless extras. The JUST-superseded
+                # version is retained for one publication cycle: a
+                # concurrent heads() reader that resolved the old pointer
+                # moments before the re-point must be able to finish its
+                # scan; it is deleted on the next publication (by then no
+                # reader can still hold it without having re-read
+                # CURRENT). Orphan .ptr-* files (crash between tmp write
+                # and os.replace) are swept here too — os.replace
+                # consumed THIS publication's tmp, so any .ptr-* present
+                # is a dead leftover.
                 import shutil
 
+                prev = (
+                    os.path.basename(current) if current is not None else None
+                )
                 for d in os.listdir(self.out_path):
                     p = os.path.join(self.out_path, d)
-                    if (
+                    if d.startswith(".ptr-") and os.path.isfile(p):
+                        os.remove(p)
+                    elif (
                         d.startswith("v-")
                         and p != vdir
+                        and d != prev
                         and os.path.isdir(p)
                     ):
                         shutil.rmtree(p, ignore_errors=True)

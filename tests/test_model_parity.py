@@ -394,7 +394,11 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
                     _ord.append(_token in store._read_state().batch_tokens)
                     rej = result.where(~F.col("accepted"))
                     if not rej.isEmpty():
-                        rej.write.mode("overwrite").parquet(
+                        # token-stamped like the production hook, so the
+                        # read_dead_letters contract can be fuzzed below
+                        rej.withColumn(
+                            "batch_token", F.lit(_token)
+                        ).write.mode("overwrite").parquet(
                             os.path.join(_dlq, "batch=0")
                         )
             enriched, res = _tokened_apply(
@@ -436,31 +440,63 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
                 enriched, fast=False, batch_token=token,
                 pre_commit=dlq_hook if dlq is not None else None,
             )
-            # A batch that committed anything is skipped whole on replay;
-            # an all-rejected batch never recorded its token (no commit)
-            # and simply re-rejects. Either way zero events may append.
-            assert replay.where("accepted").count() == 0, (
-                f"replay appended events at step {step}"
+            # EVERY tokened batch commits its token — an all-rejected
+            # batch publishes an EMPTY manifest carrying it (store.py
+            # _commit) — so the replay is always the fast-path skip.
+            assert replay.count() == 0, f"replay not skipped at step {step}"
+            assert token in store._read_state().batch_tokens, (
+                f"token not committed at step {step}"
             )
-            if any(ok for ok, _ in expected_results):
-                assert replay.count() == 0, f"replay not skipped at step {step}"
-                if dlq is not None:
-                    # fast-path replay: hook NOT re-invoked, letters intact
-                    assert len(hook_order) == 1, (
-                        f"hook re-ran on fast-path replay at step {step}"
+            if not any(ok for ok, _ in expected_results):
+                # the all-rejected empty commit advances the chain but
+                # records no change-feed delta (record_commit above got
+                # an empty accepted list — nothing to record)
+                assert store._read_state().commit == prev_head + 1
+            if dlq is not None:
+                # fast-path replay: hook NOT re-invoked, letters intact
+                assert len(hook_order) == 1, (
+                    f"hook re-ran on fast-path replay at step {step}"
+                )
+                want_dead = sorted(
+                    s
+                    for (s, _n, _e), (ok2, _v) in zip(reqs, expected_results)
+                    if not ok2
+                )
+                if want_dead:
+                    assert sorted(
+                        r["stream_id"]
+                        for r in spark.read.parquet(dlq).collect()
+                    ) == want_dead, f"letters lost on replay step {step}"
+                    # Orphan discrimination (read contract): the real
+                    # letters' token is committed, so read_dead_letters
+                    # keeps them; a forged orphan dir (crash between the
+                    # pre-commit write and the manifest rename, never
+                    # replayed) is filtered out and physically pruned.
+                    from sierradb_spark.streaming.ingest import (
+                        prune_dead_letters,
+                        read_dead_letters,
                     )
-                    want_dead = sorted(
-                        s
-                        for (s, _n, _e), (ok2, _v) in zip(
-                            reqs, expected_results
-                        )
-                        if not ok2
+
+                    orphan_tok = f"fuzz-{seed}-{step}-orphan-999999"
+                    spark.read.parquet(
+                        os.path.join(dlq, "batch=0")
+                    ).withColumn(
+                        "batch_token", F.lit(orphan_tok)
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(dlq, "batch=999999")
                     )
-                    if want_dead:
-                        assert sorted(
-                            r["stream_id"]
-                            for r in spark.read.parquet(dlq).collect()
-                        ) == want_dead, f"letters lost on replay step {step}"
+                    assert sorted(
+                        r["stream_id"]
+                        for r in read_dead_letters(store, dlq).collect()
+                    ) == want_dead, f"orphan letters surfaced step {step}"
+                    removed = prune_dead_letters(store, dlq)
+                    assert removed["orphaned"] == 1, (
+                        f"orphan dir not pruned step {step}"
+                    )
+                    assert sorted(
+                        r["stream_id"]
+                        for r in spark.read.parquet(dlq).collect()
+                    ) == want_dead, f"prune touched real letters step {step}"
             n_appends += 1
         elif roll < 0.98:
             # Stale concurrent writer: a second handle holding old state

@@ -80,6 +80,7 @@ def test_snapshot_publication_is_pointer_atomic(store, tmp_path):
     } == before
 
     # the next run publishes a fresh version, re-points, sweeps junk
+    prev_current = os.path.basename(m._current_version())
     store.append([AppendRequest("p-0", "E2")])
     m.run_once(ckpt)
     assert {
@@ -87,8 +88,46 @@ def test_snapshot_publication_is_pointer_atomic(store, tmp_path):
         for r in m.heads().collect()
     } == _expected_heads(store)
     assert not os.path.exists(junk)
-    versions = [d for d in os.listdir(out) if d.startswith("v-")]
-    assert len(versions) == 1  # superseded versions swept
+    versions = sorted(d for d in os.listdir(out) if d.startswith("v-"))
+    # current + the JUST-superseded version (retained one publication
+    # cycle so a reader that resolved the old pointer moments before
+    # the re-point can finish its scan); older generations swept
+    assert len(versions) == 2 and prev_current in versions
+
+
+def test_superseded_snapshot_retained_one_cycle_then_swept(store, tmp_path):
+    """A heads() reader that resolved CURRENT just before a publication
+    must still find its version dir afterwards (retained one cycle);
+    the generation before THAT is deleted. Orphan .ptr-* files from a
+    crash between tmp-write and os.replace are swept too."""
+    import os
+
+    store.append([AppendRequest(f"r-{i % 3}", "E") for i in range(9)])
+    out = str(tmp_path / "heads")
+    m = StreamHeadsMaintainer(store, out)
+    ckpt = str(tmp_path / "ckpt")
+    m.run_once(ckpt)
+    gen1 = m._current_version()
+
+    # crash artifact: a tmp pointer that never got renamed
+    orphan_ptr = os.path.join(out, ".ptr-00000000")
+    with open(orphan_ptr, "w") as f:
+        f.write("v-bogus")
+
+    # a reader resolves CURRENT now (= gen1), then publication happens
+    store.append([AppendRequest("r-0", "E2")])
+    m.run_once(ckpt)
+    gen2 = m._current_version()
+    assert gen2 != gen1
+    assert os.path.isdir(gen1)  # the reader's resolved dir still scans
+    assert store.spark.read.parquet(gen1).count() > 0
+    assert not os.path.exists(orphan_ptr)  # crash leftovers swept
+
+    # next cycle: gen1 is two generations old and gets deleted
+    store.append([AppendRequest("r-1", "E3")])
+    m.run_once(ckpt)
+    assert os.path.isdir(gen2)
+    assert not os.path.exists(gen1)
 
 
 def test_heads_view_ignores_orphans_and_compaction_rewrites(store, tmp_path):

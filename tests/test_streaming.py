@@ -969,3 +969,190 @@ def test_dead_letters_are_durable_before_the_manifest_commit(
     assert replay.count() == 0
     dead = spark.read.parquet(dlq)
     assert [bytes(r["payload"]) for r in dead.collect()] == [b"poison"]
+
+
+def test_all_rejected_batch_commits_its_token(store, spark, tmp_path):
+    """A micro-batch whose EVERY request is rejected publishes an EMPTY
+    manifest carrying the idempotence token: the replay takes the fast
+    skip path, and the token-in-chain invariant (what the dead-letter
+    read contract is built on) holds for every processed batch, not
+    just batches that appended something."""
+    from sierradb_spark.streaming.ingest import enrich_requests
+
+    reqs = [(None, "Evt", b"bad1", b"", "any"), ("s", "Evt", b"bad2", b"", "bogus")]
+    schema = (
+        "stream_id string, event_name string, payload binary, "
+        "metadata binary, expected_version string"
+    )
+    enriched = enrich_requests(
+        spark.createDataFrame(reqs, schema), store.config
+    ).select(
+        "arrival", "txn_id", "stream_id", "event_name", "expected_version",
+        "event_id", "partition_key", "partition_id", "timestamp_ns",
+        "payload", "metadata", "reject_reason",
+    ).localCheckpoint(eager=True)
+    token = "allrej-0"
+    head_before = store._read_state().commit
+    res = store._apply_batch(enriched, fast=False, batch_token=token)
+    assert res.where("accepted").count() == 0 and res.count() == 2
+    state = store._read_state()
+    assert token in state.batch_tokens  # empty manifest carried it
+    assert state.commit == head_before + 1
+    assert store.events().count() == 0  # ...but added no events
+    # replay: fast skip, no recompute
+    assert store._apply_batch(
+        enriched, fast=False, batch_token=token
+    ).count() == 0
+
+
+def test_dead_letter_orphans_hidden_and_pruned(store, spark, tmp_path):
+    """The one artifact the pre-commit ordering can leave: letters for a
+    batch whose commit never landed and was never replayed (stream
+    decommissioned). read_dead_letters must hide them from consumers;
+    prune_dead_letters must delete them — and also the empty batch=*
+    dirs the unconditional per-batch overwrite accumulates — while
+    leaving committed batches' letters untouched, including letters of
+    a committed batch whose token was evicted from a base manifest's
+    capped history (proven committed by a NEWER committed id of the
+    same query key)."""
+    from sierradb_spark.streaming.ingest import (
+        prune_dead_letters,
+        read_dead_letters,
+    )
+
+    schema = (
+        "stream_id string, event_name string, payload binary, "
+        "metadata binary, expected_version string"
+    )
+    # Batch 0 has one reject, batch 1 is clean (empty letters dir).
+    src = str(tmp_path / "req")
+    spark.createDataFrame(
+        [(None, "Evt", b"poison", b"", "any"), ("ok-1", "Evt", b"p", b"", "any")],
+        schema,
+    ).write.parquet(os.path.join(src, "f0"))
+    dlq = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    ingest = StreamIngest(store)
+    reader = spark.readStream.schema(schema).parquet(os.path.join(src, "f0"))
+    q = ingest.start(reader, checkpoint=ckpt, available_now=True,
+                     dead_letter_dir=dlq)
+    q.awaitTermination(300)
+
+    committed = store._read_state().batch_tokens
+    assert len(committed) == 1
+    (real_token,) = committed
+    query_key = real_token.rpartition("-")[0]
+
+    # Forge the crash artifact: letters for batch 7 of the SAME query,
+    # token never committed (crash between pre-commit write and
+    # manifest rename; stream decommissioned before replay).
+    orphan_dir = os.path.join(dlq, "batch=7")
+    spark.read.parquet(os.path.join(dlq, "batch=0")).withColumn(
+        "batch_token", F.lit(f"{query_key}-7")
+    ).write.mode("overwrite").parquet(orphan_dir)
+    # And an empty dir from a clean batch.
+    empty_dir = os.path.join(dlq, "batch=3")
+    spark.read.parquet(os.path.join(dlq, "batch=0")).limit(0).write.mode(
+        "overwrite"
+    ).parquet(empty_dir)
+
+    # Raw read sees both real and orphan letters; the contract reader
+    # sees only the committed batch's.
+    assert spark.read.parquet(dlq).count() == 2
+    got = [
+        (r["batch_token"], bytes(r["payload"]))
+        for r in read_dead_letters(store, dlq).collect()
+    ]
+    assert got == [(real_token, b"poison")]
+
+    removed = prune_dead_letters(store, dlq)
+    assert removed == {"empty": 1, "orphaned": 1}
+    assert not os.path.exists(orphan_dir)
+    assert not os.path.exists(empty_dir)
+    assert [
+        bytes(r["payload"]) for r in spark.read.parquet(dlq).collect()
+    ] == [b"poison"]
+
+
+def test_evicted_token_letters_survive_by_monotone_rule(
+    store, spark, tmp_path
+):
+    """Base manifests cap the carried token history, so an OLD committed
+    batch's token can be absent from the chain. Its letters must still
+    read as committed: batch ids are monotone per query key, so an id
+    at-or-below the key's newest committed id proves commitment."""
+    from sierradb_spark.streaming.ingest import (
+        enrich_requests,
+        prune_dead_letters,
+        read_dead_letters,
+    )
+
+    schema = (
+        "stream_id string, event_name string, payload binary, "
+        "metadata binary, expected_version string"
+    )
+    enriched = enrich_requests(
+        spark.createDataFrame([("s-1", "Evt", b"p", b"", "any")], schema),
+        store.config,
+    ).select(
+        "arrival", "txn_id", "stream_id", "event_name", "expected_version",
+        "event_id", "partition_key", "partition_id", "timestamp_ns",
+        "payload", "metadata", "reject_reason",
+    )
+    # Commit batches 3 and 7 of query key "qk"; simulate eviction by
+    # never committing "qk-5" — but 5 < 7, so the monotone rule proves
+    # a batch=5 letters dir committed. An id ABOVE the max (qk-9) is an
+    # orphan.
+    store._apply_batch(enriched, fast=False, batch_token="qk-3")
+    store._apply_batch(enriched, fast=False, batch_token="qk-7")
+    dlq = str(tmp_path / "dlq")
+    letters = spark.createDataFrame(
+        [("bad", b"x", "reason")],
+        "stream_id string, payload binary, error string",
+    )
+    letters.withColumn("batch_token", F.lit("qk-5")).write.parquet(
+        os.path.join(dlq, "batch=5")
+    )
+    letters.withColumn("batch_token", F.lit("qk-9")).write.parquet(
+        os.path.join(dlq, "batch=9")
+    )
+    kept = sorted(
+        r["batch_token"] for r in read_dead_letters(store, dlq).collect()
+    )
+    assert kept == ["qk-5"]
+    removed = prune_dead_letters(store, dlq)
+    assert removed == {"empty": 0, "orphaned": 1}
+    assert os.path.isdir(os.path.join(dlq, "batch=5"))
+    assert not os.path.exists(os.path.join(dlq, "batch=9"))
+
+
+def test_compaction_hook_prunes_dead_letter_dirs(store, spark, tmp_path):
+    """Long-running ingest with compact_every engaged sweeps the empty
+    batch=* dirs its own unconditional writes create, bounding the
+    dead-letter root's listing."""
+    schema = (
+        "stream_id string, event_name string, payload binary, "
+        "metadata binary, expected_version string"
+    )
+    src = str(tmp_path / "req")
+    # 5 clean single-row files -> 5 micro-batches (maxFilesPerTrigger=1)
+    for i in range(5):
+        spark.createDataFrame(
+            [(f"ok-{i}", "Evt", b"p", b"", "any")], schema
+        ).write.parquet(os.path.join(src, f"f{i}"))
+    dlq = str(tmp_path / "dlq")
+    q = StreamIngest(store).start(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*")),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+        dead_letter_dir=dlq,
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+    assert store.events().count() == 5
+    # every batch was clean; the compaction-cadence prune removed the
+    # empty dirs written before the last prune point
+    leftover = [d for d in os.listdir(dlq) if d.startswith("batch=")]
+    assert len(leftover) <= 2  # only dirs written after the last prune
