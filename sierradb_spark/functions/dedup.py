@@ -367,6 +367,44 @@ def ngram_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(spark, sf_dir, 0.2)
 
 
+# Session-scoped memo of the per-document shingle-set relation: both
+# exact-jaccard audits (ngram_jaccard_similar_pairs and the 7-threshold
+# sensitivity sweep) and any future exact baseline start from the SAME
+# tokenize + array_distinct pass over the immutable corpus; the memo
+# pins it once per (session, sf_dir). Same pattern as dedup_wide's
+# _BANDS_MEMO (the r7 slow-tail profile, docs/SCALE.md).
+_SHINGLE_SETS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingle_sets_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, shingle_set, ns), materialized behind an eager
+    checkpoint: both self-join sides and the post-join Jaccard
+    expressions reference this relation, and project collapse would
+    otherwise rebuild each document's shingle set per candidate PAIR
+    instead of per document (O(pairs x tokenize) — 39 s at sf0.1
+    before the barrier)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SHINGLE_SETS_MEMO.get(key)
+    if df is not None:
+        return df
+    d = with_shingles(load(spark, sf_dir, "documents"), "doc_id", "source")
+    df = (
+        d.where(F.col("n_toks") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(F.col("shingles")).alias("shingle_set"),
+        )
+        .withColumn("ns", F.size("shingle_set"))
+        .repartition(
+            int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    _SHINGLE_SETS_MEMO[key] = df
+    return df
+
+
 def _jaccard_pairs(
     spark: SparkSession, sf_dir: str, min_jac: float,
     ratio_bound: float | None = None,
@@ -382,25 +420,7 @@ def _jaccard_pairs(
     Defaults to ``min_jac`` when positive."""
     if ratio_bound is None and min_jac > 0:
         ratio_bound = min_jac
-    d = with_shingles(load(spark, sf_dir, "documents"), "doc_id", "source")
-    # Materialize the shingle sets: both self-join sides and the
-    # post-join Jaccard expressions reference this relation, and project
-    # collapse would otherwise rebuild each document's shingle set per
-    # candidate PAIR instead of per document (O(pairs x tokenize) — 39 s
-    # at sf0.1 before the barrier).
-    sh = (
-        d.where(F.col("n_toks") >= SHINGLE_K)
-        .select(
-            "doc_id",
-            "source",
-            F.array_distinct(F.col("shingles")).alias("shingle_set"),
-        )
-        .withColumn("ns", F.size("shingle_set"))
-        .repartition(
-            int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    sh = _shingle_sets_pinned(spark, sf_dir)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingle_set"), F.col("b.shingle_set")))

@@ -116,9 +116,49 @@ def wide_bands_for(docs: DataFrame) -> DataFrame:
     )
 
 
+# Session-scoped memo of the banded-LSH intermediates. Six registry
+# queries (candidates, recall, verified pairs, components/leakage/
+# attribution consumers via wide_candidate_edges, the cost audit, the
+# cross-lingual pairs) all start from the SAME 64-hash signature pass
+# over the immutable testdata corpus; without the memo each one re-runs
+# tokenization + 64 md5 mins (the dominant cost of the sf0.1 slow tail
+# — profiled r7, docs/SCALE.md). The memo pins the pass once per
+# (session, sf_dir) behind a lazy localCheckpoint — the engine-level
+# analogue of a materialized signature index, which is exactly what the
+# production path at 100 TB would persist anyway (the streaming corpus
+# dedup already does, via its band index). Keyed by applicationId so a
+# fresh session (fresh JVM state) rebuilds cleanly.
+_BANDS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _wide_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Band digests of the testdata documents table (registry form)."""
-    return wide_bands_for(load(spark, sf_dir, "documents"))
+    """Band digests of the testdata documents table (registry form),
+    memoized per (session, sf_dir) — see _BANDS_MEMO."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _BANDS_MEMO.get(key)
+    if df is None:
+        df = wide_bands_for(load(spark, sf_dir, "documents")).localCheckpoint(
+            eager=False
+        )
+        _BANDS_MEMO[key] = df
+    return df
+
+
+def _wide_candidates_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate-pair set, pinned behind a checkpoint and memoized —
+    the shared input of the recall audit, the verified-pairs verifier,
+    and the candidate-graph consumers. The registry's
+    ``minhash_wide_candidates`` itself stays un-pinned so its plan test
+    keeps asserting the equi-join shape."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CAND_MEMO.get(key)
+    if df is None:
+        df = minhash_wide_candidates(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+        _CAND_MEMO[key] = df
+    return df
 
 
 @REG.add(
@@ -217,7 +257,7 @@ def wide_candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (doc_a, doc_b) edge list of the production-width LSH
     candidate graph, pinned behind a checkpoint barrier (every consumer
     iterates or multiply-references it)."""
-    cand = minhash_wide_candidates(spark, sf_dir)
+    cand = _wide_candidates_pinned(spark, sf_dir)
     return cand.union(
         cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
@@ -278,7 +318,7 @@ RECALL_SAMPLE_DOCS = 1000
     "n_candidates counts it in full.",
 )
 def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = minhash_wide_candidates(spark, sf_dir)
+    cand = _wide_candidates_pinned(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     # Adaptive sample threshold: one count() to the driver (a scalar),
     # then a literal predicate — same exact integer arithmetic as the
@@ -807,7 +847,7 @@ def semdedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidates -> verified-pairs dedup a real corpus runs.",
 )
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = minhash_wide_candidates(spark, sf_dir)
+    cand = _wide_candidates_pinned(spark, sf_dir)
     d = with_shingles(load(spark, sf_dir, "documents"), "doc_id")
     sets = (
         d.where(F.col("n_toks") >= SHINGLE_K)
@@ -898,7 +938,7 @@ def lsh_join_cost_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nothing here is N^2.",
 )
 def cross_lingual_template_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = minhash_wide_candidates(spark, sf_dir)
+    cand = _wide_candidates_pinned(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     langs = (
         cand.join(
@@ -1016,7 +1056,7 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda b: F.round(b, 6),
         ).alias("bs")
     )
-    cand = minhash_wide_candidates(spark, sf_dir)
+    cand = _wide_candidates_pinned(spark, sf_dir)
     dup = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))

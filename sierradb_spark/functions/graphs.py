@@ -86,9 +86,9 @@ def _sql_pagerank() -> str:
     "list is pinned once behind a checkpoint barrier.",
 )
 def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+    from sierradb_spark.functions.dedup_wide import _wide_candidates_pinned
 
-    cand = minhash_wide_candidates(spark, sf_dir)
+    cand = _wide_candidates_pinned(spark, sf_dir)
     edges = (
         cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
@@ -169,10 +169,10 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "N^3 enumeration; wedges are pure degree arithmetic.",
 )
 def triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+    from sierradb_spark.functions.dedup_wide import _wide_candidates_pinned
 
     cand = (
-        minhash_wide_candidates(spark, sf_dir)
+        _wide_candidates_pinned(spark, sf_dir)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .localCheckpoint(eager=True)  # read 5 times below
     )
@@ -280,9 +280,9 @@ def _sql_label_prop() -> str:
 def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+    from sierradb_spark.functions.dedup_wide import _wide_candidates_pinned
 
-    cand = minhash_wide_candidates(spark, sf_dir)
+    cand = _wide_candidates_pinned(spark, sf_dir)
     edges = (
         cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
@@ -368,10 +368,10 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across engines.",
 )
 def local_clustering_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+    from sierradb_spark.functions.dedup_wide import _wide_candidates_pinned
 
     cand = (
-        minhash_wide_candidates(spark, sf_dir)
+        _wide_candidates_pinned(spark, sf_dir)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .localCheckpoint(eager=True)  # read 5 times below
     )
@@ -442,10 +442,10 @@ def local_clustering_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrderedAndProject on the aggregated per-node counts.",
 )
 def two_hop_reach_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+    from sierradb_spark.functions.dedup_wide import _wide_candidates_pinned
 
     cand = (
-        minhash_wide_candidates(spark, sf_dir)
+        _wide_candidates_pinned(spark, sf_dir)
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .localCheckpoint(eager=True)  # read 4 times below
     )
@@ -521,9 +521,9 @@ def _sql_kcore() -> str:
     "subgraph even if the peel has not fully converged.",
 )
 def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+    from sierradb_spark.functions.dedup_wide import _wide_candidates_pinned
 
-    cand = minhash_wide_candidates(spark, sf_dir)
+    cand = _wide_candidates_pinned(spark, sf_dir)
     edges = (
         cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
@@ -574,9 +574,9 @@ def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tuple map-side.",
 )
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.dedup_wide import minhash_wide_candidates
+    from sierradb_spark.functions.dedup_wide import _wide_candidates_pinned
 
-    cand = minhash_wide_candidates(spark, sf_dir)
+    cand = _wide_candidates_pinned(spark, sf_dir)
     edges = (
         cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(

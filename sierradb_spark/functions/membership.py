@@ -32,7 +32,7 @@ from sierradb_spark.functions.scrub import _chunk_table, _SQL_CHUNK_TABLE
 from sierradb_spark.functions.dedup_wide import (
     _SQL_CAND_COMPONENTS,
     _SQL_WIDE_MINS,
-    minhash_wide_candidates,
+    _wide_candidates_pinned,
     wide_near_dup_components,
 )
 
@@ -333,7 +333,7 @@ _SQL_CONTAINMENT = f"""
     "per-doc size table rides broadcast.",
 )
 def containment_partial_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = minhash_wide_candidates(spark, sf_dir)
+    cand = _wide_candidates_pinned(spark, sf_dir)
     cset = (
         _chunk_table(spark, sf_dir)
         .select("doc_id", "digest")
