@@ -1,6 +1,10 @@
 from sierradb_spark.streaming.alerts import anomaly_alert_stream
 from sierradb_spark.streaming.corpus import StreamingCorpusDedup
-from sierradb_spark.streaming.ingest import StreamIngest
+from sierradb_spark.streaming.ingest import (
+    StreamIngest,
+    prune_dead_letters,
+    read_dead_letters,
+)
 from sierradb_spark.streaming.subscribe import (
     PartitionMatcher,
     StreamMatcher,
@@ -17,6 +21,8 @@ from sierradb_spark.streaming.windowed import (
 
 __all__ = [
     "StreamIngest",
+    "read_dead_letters",
+    "prune_dead_letters",
     "anomaly_alert_stream",
     "StreamingCorpusDedup",
     "StreamMatcher",
