@@ -161,7 +161,9 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 
 # Default seeds keep the suite bounded; extend for a deeper fuzz
 # session with e.g. SPARK_GRAFT_FUZZ_SEEDS="7,19,101,777". Seeds run
-# green in round 5's extended sessions (delete branch included):
+# green in round 5's extended sessions (delete branch included) and
+# re-run green in round 7's (all-rejected empty-manifest commits +
+# dead-letter orphan read/prune discrimination included):
 # 7, 19, 101, 777, 2024, 3, 13, 37, 55, 123.
 _SEEDS = [
     int(s)
