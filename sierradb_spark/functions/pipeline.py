@@ -160,8 +160,7 @@ _NEAR_DUP_PAIRS_SQL = """
     "recursive CTE computing the same transitive min-labels.",
 )
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _near_dup_edges(spark, sf_dir)
-    labels = min_label_components(edges)
+    labels = _near_dup_labels_pinned(spark, sf_dir)
     return labels.groupBy("label").agg(
         F.count("*").alias("n_members"), F.min("id").alias("keep_doc")
     ).select(
@@ -213,10 +212,36 @@ def min_label_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
     )
 
 
+# Session-scoped memos (same pattern as dedup_wide._BANDS_MEMO, r7):
+# the exact-cosine edge list and its min-label fixpoint are shared by
+# near_dup_components, dedup_survivor_corpus, and the clustering
+# consumers; each was re-running the O(n^2) cosine join plus the full
+# label-propagation loop per query.
+_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+_LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _near_dup_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, label) components of the exact near-dup graph, memoized —
+    the LPA fixpoint is deterministic, so consumers share one run."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _LABELS_MEMO.get(key)
+    if df is None:
+        df = min_label_components(_near_dup_edges(spark, sf_dir))
+        _LABELS_MEMO[key] = df
+    return df
+
+
 def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric near-duplicate edge list (cosine >= 0.4 pairs), eagerly
-    checkpointed so iterative consumers don't rebuild the O(n^2) join."""
+    checkpointed so iterative consumers don't rebuild the O(n^2) join;
+    memoized per (session, sf_dir)."""
     from sierradb_spark.functions.similarity import dot_col, norm_col
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _EDGES_MEMO.get(key)
+    if memo is not None:
+        return memo
 
     emb = load(spark, sf_dir, "embeddings")
     n = emb.select(
@@ -235,9 +260,11 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
         )
     )
-    return pairs.union(
+    df = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
+    _EDGES_MEMO[key] = df
+    return df
 
 
 _CTX = 2048  # context window (tokens) for sequence packing

@@ -344,13 +344,10 @@ def ann_recall_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pass over 100 TB is a scan with a broadcast hash filter.",
 )
 def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.pipeline import (
-        _near_dup_edges,
-        min_label_components,
-    )
+    from sierradb_spark.functions.pipeline import _near_dup_labels_pinned
 
     d = load(spark, sf_dir, "documents")
-    labels = min_label_components(_near_dup_edges(spark, sf_dir))
+    labels = _near_dup_labels_pinned(spark, sf_dir)
     keep = F.min("id").over(Window.partitionBy("label"))
     dropped = (
         labels.withColumn("keep", keep)
