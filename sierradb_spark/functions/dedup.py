@@ -312,26 +312,15 @@ def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scorer applied per bucket.",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.similarity import dot_col, norm_col
+    # The O(n^2) scored pass is shared (session memo, pipeline.py) with
+    # the components/survivor chain and the bucketed-recall truth set;
+    # this query is its raw form with display rounding.
+    from sierradb_spark.functions.pipeline import _scored_near_dup_pairs
 
-    e = load(spark, sf_dir, "embeddings")
-    n = e.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        norm_col(F.col("embedding").cast("array<double>")).alias("nrm"),
-    )
-    a, b = n.alias("a"), n.alias("b")
-    cos = dot_col(F.col("a.v"), F.col("b.v")) / F.nullif(
-        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(cos >= 0.4)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cosine"),
-        )
+    return _scored_near_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("vec_a"),
+        F.col("doc_b").alias("vec_b"),
+        F.round(F.col("cosine"), 4).alias("cosine"),
     )
 
 

@@ -688,25 +688,32 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(more bands / multi-probe raise it).",
 )
 def embedding_bucketed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.similarity import dot_col, norm_col
+    # The truth set (exact cosine >= 0.4 pairs) comes from the shared
+    # session memo (pipeline.py) instead of re-running the O(n^2) scan;
+    # the band buckets of each endpoint join back by vec_id equi-key —
+    # two cheap joins over O(true pairs) rows, identical results.
+    from sierradb_spark.functions.pipeline import _scored_near_dup_pairs
 
-    n = _sign_banded(spark, sf_dir)
-    a, b = n.alias("a"), n.alias("b")
-    cos = dot_col(F.col("a.v"), F.col("b.v")) / F.nullif(
-        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
-    )
+    n = _sign_banded(spark, sf_dir).select("vec_id", "bks")
+    pairs = _scored_near_dup_pairs(spark, sf_dir)
     caught = (
         F.size(
             F.filter(
-                F.zip_with(F.col("a.bks"), F.col("b.bks"), lambda x, y: x == y),
+                F.zip_with(F.col("a_bks"), F.col("b_bks"), lambda x, y: x == y),
                 lambda same: same,
             )
         )
         > 0
     )
     truth = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(cos >= 0.4)
+        pairs.join(
+            n.select(F.col("vec_id").alias("doc_a"), F.col("bks").alias("a_bks")),
+            "doc_a",
+        )
+        .join(
+            n.select(F.col("vec_id").alias("doc_b"), F.col("bks").alias("b_bks")),
+            "doc_b",
+        )
         .select(caught.alias("caught"))
     )
     return truth.agg(

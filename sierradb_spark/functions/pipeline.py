@@ -217,6 +217,7 @@ def min_label_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
 # near_dup_components, dedup_survivor_corpus, and the clustering
 # consumers; each was re-running the O(n^2) cosine join plus the full
 # label-propagation loop per query.
+_SCORED_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 _EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
 _LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
@@ -232,14 +233,16 @@ def _near_dup_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric near-duplicate edge list (cosine >= 0.4 pairs), eagerly
-    checkpointed so iterative consumers don't rebuild the O(n^2) join;
-    memoized per (session, sf_dir)."""
+def _scored_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (doc_a < doc_b) exact near-dup pairs with their RAW
+    cosine — the single O(n^2) pass every exact-baseline consumer
+    shares: the edge list / LPA chain below, the scored pair audit
+    (embedding_near_dup_pairs), and the bucketed-recall truth set.
+    Memoized per (session, sf_dir) behind an eager checkpoint."""
     from sierradb_spark.functions.similarity import dot_col, norm_col
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    memo = _EDGES_MEMO.get(key)
+    memo = _SCORED_PAIRS_MEMO.get(key)
     if memo is not None:
         return memo
 
@@ -253,13 +256,30 @@ def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot_col(F.col("a.v"), F.col("b.v")) / F.nullif(
         F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
     )
-    pairs = (
+    df = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .where(cos >= 0.4)
         .select(
-            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cosine"),
         )
+        .localCheckpoint(eager=True)
     )
+    _SCORED_PAIRS_MEMO[key] = df
+    return df
+
+
+def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric near-duplicate edge list (cosine >= 0.4 pairs), eagerly
+    checkpointed so iterative consumers don't rebuild the O(n^2) join;
+    memoized per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _EDGES_MEMO.get(key)
+    if memo is not None:
+        return memo
+
+    pairs = _scored_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     df = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
