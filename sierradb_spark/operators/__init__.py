@@ -144,6 +144,35 @@ _FRONT_50 = [
     # data-quality constraint engine
     "dq_constraint_violations",
 ]
+# r08 rotation plan: with this window green, every registry query
+# except ``lineitem_price_stats`` carries driver evidence. Next round's
+# window = lineitem_price_stats (closing the ledger at 259/259) plus 49
+# oldest-evidence filler drawn from the r01 window (their driver rows
+# are six rounds old and several have since been optimized — e.g.
+# embedding_near_dup_pairs and ngram_jaccard_similar_pairs now run on
+# the r7 session memos, minhash_signatures on the staged shingle
+# barrier — so fresh rows double as driver evidence ON the optimized
+# code): anti_join_inactive_customers, asof_join_last_signup,
+# bpe_token_stats, dedup_exact_keep_first, dedup_exact_stats,
+# distinct_user_counts, doc_fingerprint, eget_point_lookup,
+# embedding_near_dup_pairs, embedding_norms, epscan_partition_range,
+# epseq_partition_heads, escan_reverse_limit, escan_stream_range,
+# esver_stream_heads, ivf_probe1_topk, json_props_stats,
+# knn_label_recall, label_centroid_summary, lang_id_heuristic,
+# lsh_bucket_candidates, minhash_signatures, monthly_event_rollup,
+# multimodal_byte_features, multimodal_decode_metadata,
+# multimodal_metadata_only, multimodal_resize_plan,
+# near_dup_candidate_pairs, ngram_jaccard_similar_pairs,
+# orders_above_customer_avg, pivot_status_by_priority,
+# q1_pricing_summary, q3_top_revenue_orders, q5_nation_revenue,
+# rollup_lineitem_status, running_total_per_stream,
+# salted_event_type_stats, sessionize_streams, set_op_repeat_customers,
+# simhash_dedup_buckets, similarity_topk_cosine,
+# string_funcs_suppliers, text_quality_by_lang, text_token_stats,
+# top3_orders_per_customer, top_customers_by_spend,
+# tumbling_window_value, value_percentiles_by_type,
+# watermark_gated_scan (+ winnow_fingerprints as the 50th if
+# lineitem_price_stats is pinned first).
 REGISTRY.reorder_front(_FRONT_50)
 
 __all__ = ["Query", "Registry", "REGISTRY", "load"]
