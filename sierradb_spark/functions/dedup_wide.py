@@ -263,12 +263,22 @@ def wide_candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
+_WIDE_LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def wide_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, label) connected components of the candidate graph — the
-    Spark twin of the ``comp`` oracle CTE."""
+    Spark twin of the ``comp`` oracle CTE. The LPA fixpoint is
+    deterministic, so its four consumers (components, split-leakage,
+    attribution, containment) share one memoized run."""
     from sierradb_spark.functions.pipeline import min_label_components
 
-    return min_label_components(wide_candidate_edges(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _WIDE_LABELS_MEMO.get(key)
+    if df is None:
+        df = min_label_components(wide_candidate_edges(spark, sf_dir))
+        _WIDE_LABELS_MEMO[key] = df
+    return df
 
 
 RECALL_SAMPLE_DOCS = 1000
