@@ -45,3 +45,43 @@ def test_simhash64_bands_cover_hamming_radius(spark, sf_dir):
     c_rows = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in cand.collect()}
     assert t_rows, "no pairs within radius on this corpus — audit vacuous"
     assert t_rows == c_rows  # bands lose nothing and add nothing
+
+
+def test_session_memos_are_isolated_per_sf_dir(spark):
+    """The r7 session memos (banded signatures, candidate pairs, exact
+    scored pairs, LPA labels, shingle sets) are keyed by (applicationId,
+    sf_dir): asking the same session for two different scale factors
+    must build and return SEPARATE pinned plans, and re-asking for the
+    first must hit its own memo entry, not the second's. (The sf0.001
+    and sf0.01 documents tables are content-identical 500-doc corpora,
+    so result values cannot discriminate — the keying itself is the
+    invariant under test.) A cross-contamination here would silently
+    pass every single-sf test and fail only in a multi-sf session —
+    exactly the shape of the driver's harness plus a user notebook."""
+    from sierradb_spark.functions import dedup, dedup_wide, pipeline
+
+    small, big = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    app = spark.sparkContext.applicationId
+
+    bands_small = dedup_wide._wide_bands(spark, small)
+    bands_big = dedup_wide._wide_bands(spark, big)
+    assert bands_small is not bands_big  # separate builds per sf_dir
+    assert dedup_wide._wide_bands(spark, small) is bands_small  # memo hit
+    assert dedup_wide._wide_bands(spark, big) is bands_big
+    assert (app, small) in dedup_wide._BANDS_MEMO
+    assert (app, big) in dedup_wide._BANDS_MEMO
+
+    # same invariant for the other memo families
+    assert dedup_wide._wide_candidates_pinned(
+        spark, small
+    ) is not dedup_wide._wide_candidates_pinned(spark, big)
+    assert pipeline._scored_near_dup_pairs(
+        spark, small
+    ) is not pipeline._scored_near_dup_pairs(spark, big)
+    assert dedup._shingle_sets_pinned(
+        spark, small
+    ) is not dedup._shingle_sets_pinned(spark, big)
+
+    # and each pinned plan still answers for ITS corpus (16 bands/doc
+    # over the shingle-eligible docs of that dir)
+    assert bands_small.count() == bands_big.count() == 8000
