@@ -162,12 +162,13 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 # Default seeds keep the suite bounded; extend for a deeper fuzz
 # session with e.g. SPARK_GRAFT_FUZZ_SEEDS="7,19,101,777". Seeds run
 # green in round 5's extended sessions (delete branch included) and
-# 30 distinct seeds re-ran green in round 7's (all-rejected
+# 40 distinct seeds re-ran green in round 7's (all-rejected
 # empty-manifest commits + dead-letter orphan read/prune
 # discrimination included): 7, 19, 101, 777, 2024, 3, 13, 37, 55,
 # 123, 999, 31337, 424242, 86, 5150, 271828, 161803, 141421, 577215,
 # 662607, 12345, 54321, 98765, 1000003, 2718, 314159, 112358, 132134,
-# 555, 8675309.
+# 555, 8675309, 20260815, 700, 1729, 4104, 63, 9999, 123456789,
+# 42424242, 808, 2047.
 _SEEDS = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "11,42").split(",")
