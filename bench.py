@@ -383,12 +383,21 @@ def main() -> int:
         finally:
             q_live.stop()
         with lock:
-            lags = sorted(
+            raw_lags = [
                 delivered_t[b] - commit_t[b]
                 for b in range(n_live)
                 if delivered_n.get(b) == per_live
-            )
+            ]
             n_delivered_live = sum(delivered_n.values())
+        # commit_t[b] is stamped after append_df().count() RETURNS, but
+        # the 250 ms poll can deliver the batch in the window between
+        # the manifest rename (inside the job) and the stamp — a small
+        # NEGATIVE raw lag that would skew p50/min downward. Clamp at 0
+        # and report how many batches were clamped: a clamped batch
+        # means "delivered within one poll of commit visibility", the
+        # best possible outcome, not an error.
+        neg_clamped = sum(1 for v in raw_lags if v < 0)
+        lags = sorted(max(0.0, v) for v in raw_lags)
         subscription_live = {
             "batches": n_live,
             "events_per_batch": per_live,
@@ -396,6 +405,7 @@ def main() -> int:
             "events_expected": n_live * per_live,
             "trigger_interval": "250 milliseconds",
             "batches_fully_delivered": len(lags),
+            "lag_clamped_negative": neg_clamped,
             "lag_seconds": {
                 "p50": round(lags[len(lags) // 2], 3) if lags else None,
                 "p95": round(lags[min(len(lags) - 1, int(len(lags) * 0.95))], 3)
@@ -487,25 +497,78 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "sustained_ingest": sustained,
-                "subscription_catchup": subscription,
-                "subscription_live": subscription_live,
-                "corpus_dedup": corpus_dedup,
-                "iterative": iterative,
-                "iterative_runs": iterative_runs,
-                "iterative_probe": iterative_probe,
-                "load_probe": {**probes, "post": _load_probe()},
-            }
-        )
+    probes["post"] = _load_probe()
+    # Two outputs, one contract. The FULL record (per-batch ev/s arrays,
+    # per-rep iterative load samples, per-batch lags, all probes) goes
+    # to stderr: humans and the judge re-running bench locally see
+    # everything. The final STDOUT line is deliberately COMPACT —
+    # scalars and the per-query dict only — because the driver records
+    # just the last ~2 KB of output and the r7 full-fat line outgrew
+    # that window (BENCH_r07 landed `parsed: null` with the numbers
+    # visible but uncapturable). Round-over-round comparability lives
+    # in this line; the arrays it summarizes live one line up.
+    detail = {
+        "sustained_ingest": sustained,
+        "subscription_catchup": subscription,
+        "subscription_live": subscription_live,
+        "corpus_dedup": corpus_dedup,
+        "iterative": iterative,
+        "iterative_runs": iterative_runs,
+        "iterative_probe": iterative_probe,
+        "load_probe": probes,
+    }
+    print(f"# bench detail: {json.dumps(detail)}", file=sys.stderr)
+    line = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sustained_ingest": {
+                "total_seconds": sustained["total_seconds"],
+                "trend_ratio": sustained[
+                    "trend_ratio_last_half_over_first_half"
+                ],
+                "trend_ratio_median": sustained["trend_ratio_median_halves"],
+                "evps_first": sustained["batches_evps"][0],
+                "evps_last": sustained["batches_evps"][-1],
+                "compact_seconds_max": max(
+                    sustained["compact_seconds"], default=None
+                ),
+            },
+            "subscription_catchup": subscription,
+            "subscription_live": {
+                "delivered": subscription_live["events_delivered"],
+                "expected": subscription_live["events_expected"],
+                "full_batches": subscription_live["batches_fully_delivered"],
+                "neg_clamped": subscription_live["lag_clamped_negative"],
+                "lag_p50": subscription_live["lag_seconds"]["p50"],
+                "lag_p95": subscription_live["lag_seconds"]["p95"],
+            },
+            "corpus_dedup": {
+                "docs_total": corpus_dedup["docs_total"],
+                "accepted": corpus_dedup["accepted"],
+                "docs_per_second": corpus_dedup["docs_per_second"],
+            },
+            "iterative": iterative,
+            "iterative_gated": iterative_probe["gated"],
+            "settled_load1": iterative_probe["settled_load1"],
+            "load1": {
+                "pre": probes["pre"]["load1"],
+                "post": probes["post"]["load1"],
+            },
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1800:  # guard: the whole point of the compact line
+        print(
+            f"# WARNING: final JSON line is {len(line)} bytes; the "
+            "driver tail window is ~2048 — trim a section",
+            file=sys.stderr,
+        )
+    print(f"# final line bytes: {len(line)}", file=sys.stderr)
+    print(line)
     return 0
 
 

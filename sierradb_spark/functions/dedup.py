@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sierradb_spark.functions.memo import register_memo
 from sierradb_spark.registry import Registry, load
 
 REG = Registry()
@@ -362,7 +363,7 @@ def ngram_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokenize + array_distinct pass over the immutable corpus; the memo
 # pins it once per (session, sf_dir). Same pattern as dedup_wide's
 # _BANDS_MEMO (the r7 slow-tail profile, docs/SCALE.md).
-_SHINGLE_SETS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_SETS_MEMO = register_memo("dedup.shingle_sets")
 
 
 def _shingle_sets_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sierradb_spark.functions.memo import register_memo
 from sierradb_spark.functions.dedup import (
     _SQL_SHINGLES,
     _SQL_TOKS,
@@ -127,9 +128,11 @@ def wide_bands_for(docs: DataFrame) -> DataFrame:
 # analogue of a materialized signature index, which is exactly what the
 # production path at 100 TB would persist anyway (the streaming corpus
 # dedup already does, via its band index). Keyed by applicationId so a
-# fresh session (fresh JVM state) rebuilds cleanly.
-_BANDS_MEMO: dict[tuple[str, str], DataFrame] = {}
-_CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
+# fresh session (fresh JVM state) rebuilds cleanly. Lifecycle
+# (immutable-corpus assumption, executor-loss caveat, clear/invalidate
+# hooks) lives in sierradb_spark.functions.memo.
+_BANDS_MEMO = register_memo("dedup_wide.bands")
+_CAND_MEMO = register_memo("dedup_wide.candidates")
 
 
 def _wide_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,7 +266,7 @@ def wide_candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-_WIDE_LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_WIDE_LABELS_MEMO = register_memo("dedup_wide.wide_labels")
 
 
 def wide_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

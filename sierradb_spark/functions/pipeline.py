@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sierradb_spark.functions.memo import register_memo
 from sierradb_spark.registry import Registry, load
 
 REG = Registry()
@@ -217,9 +218,9 @@ def min_label_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
 # near_dup_components, dedup_survivor_corpus, and the clustering
 # consumers; each was re-running the O(n^2) cosine join plus the full
 # label-propagation loop per query.
-_SCORED_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
-_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
-_LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SCORED_PAIRS_MEMO = register_memo("pipeline.scored_pairs")
+_EDGES_MEMO = register_memo("pipeline.edges")
+_LABELS_MEMO = register_memo("pipeline.labels")
 
 
 def _near_dup_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:

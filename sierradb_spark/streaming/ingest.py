@@ -33,7 +33,9 @@ import hashlib
 import os
 import shutil
 import time
+import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -204,6 +206,34 @@ def enrich_requests(
     return df.withColumn("arrival", F.monotonically_increasing_id())
 
 
+def _incarnation_token(checkpoint: str) -> str:
+    """Per-incarnation component of the batch-token query key.
+
+    A small marker file INSIDE the checkpoint dir, created on the
+    query's first start and re-read on every restart: it shares the
+    checkpoint's lifetime exactly, so restarting an intact checkpoint
+    keeps the key (replays still match their committed tokens —
+    exactly-once preserved) while deleting the checkpoint and starting
+    over at the same path mints a fresh incarnation whose batch-id
+    space is disjoint from the old one's (the dead-letter commitment
+    proof can't cross incarnations).
+
+    A checkpoint Spark has already written to but that predates the
+    marker (legacy) gets the EMPTY token — the key then equals the old
+    path-only key, so an in-flight replay across the upgrade still
+    recognizes its committed batch."""
+    marker = os.path.join(checkpoint, ".sierradb_incarnation")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return f.read().strip()
+    os.makedirs(checkpoint, exist_ok=True)
+    legacy = os.path.isdir(os.path.join(checkpoint, "offsets"))
+    token = "" if legacy else uuid.uuid4().hex[:12]
+    with open(marker, "w") as f:
+        f.write(token)
+    return token
+
+
 def _committed_token_bounds(store: EventStore) -> tuple[frozenset, dict]:
     """Committed batch tokens plus the newest committed batch id per
     query key. Tokens look like ``<query_key>-<batch_id>``; base
@@ -238,9 +268,30 @@ def read_dead_letters(store: EventStore, dead_letter_dir: str) -> DataFrame:
     its ``batch_token`` proves the batch committed (token in the
     manifest chain, or batch id at-or-below the key's newest committed
     id — see _committed_token_bounds). Use :func:`prune_dead_letters`
-    to delete orphans physically instead."""
+    to delete orphans physically instead.
+
+    A missing root, or one holding no parquet data (every batch clean,
+    or just pruned away), reads as an EMPTY dead-letter table — the
+    contract a monitoring consumer polls against — not as an
+    AnalysisException (mirrors prune_dead_letters' missing-dir
+    behavior)."""
     committed, max_id = _committed_token_bounds(store)
-    df = store.spark.read.parquet(dead_letter_dir)
+    try:
+        df = store.spark.read.parquet(dead_letter_dir)
+    except AnalysisException:
+        from pyspark.sql import types as T
+        from sierradb_spark.eventstore.schema import APPEND_RESULT_SCHEMA
+
+        # the on-disk layout: result columns + batch_token, plus the
+        # batch=<id> partition column the root-dir read would infer
+        schema = T.StructType(
+            APPEND_RESULT_SCHEMA.fields
+            + [
+                T.StructField("batch_token", T.StringType()),
+                T.StructField("batch", T.IntegerType()),
+            ]
+        )
+        return store.spark.createDataFrame([], schema)
     pred = (
         F.col("batch_token").isin(list(committed))
         if committed
@@ -383,8 +434,19 @@ class StreamIngest:
         # the query; batch_id identifies the micro-batch within it): the
         # idempotence key that lets _apply_batch skip a replayed batch
         # whose manifest already landed — exactly-once on plain Parquet.
+        # The key folds in a per-INCARNATION marker persisted inside the
+        # checkpoint dir (see _incarnation_token): deleting the
+        # checkpoint and restarting at the same path restarts batch ids
+        # at 0, and under a path-only key a crash-orphan dead-letter dir
+        # from the prior incarnation (old id <= the new incarnation's
+        # max) would read as committed. The marker lives and dies WITH
+        # the checkpoint, so each incarnation gets its own token
+        # keyspace and the monotone-id commitment proof in
+        # _committed_token_bounds stays sound across checkpoint resets.
         query_key = hashlib.sha256(
-            os.path.abspath(checkpoint).encode()
+            (
+                os.path.abspath(checkpoint) + _incarnation_token(checkpoint)
+            ).encode()
         ).hexdigest()[:16]
 
         def process(batch: DataFrame, batch_id: int) -> None:

@@ -85,3 +85,52 @@ def test_session_memos_are_isolated_per_sf_dir(spark):
     # and each pinned plan still answers for ITS corpus (16 bands/doc
     # over the shingle-eligible docs of that dir)
     assert bands_small.count() == bands_big.count() == 8000
+
+
+def test_memo_lifecycle_hooks(spark):
+    """r8 (VERDICT r7 item 4 / ADVICE pipeline.py:220): the session
+    memos pin localCheckpoint blocks for the application's lifetime, so
+    a long-lived session on mutable data (or one that survives an
+    executor loss) needs an escape hatch. clear_session_memos() must
+    drop EVERY family; invalidate_sf_dir() must drop exactly one
+    corpus's entries; and the next consumer after either must REBUILD
+    (a fresh object) rather than serve the cleared plan."""
+    from sierradb_spark.functions import dedup_wide
+    from sierradb_spark.functions.memo import (
+        clear_session_memos,
+        invalidate_sf_dir,
+        memo_families,
+    )
+
+    # Coverage contract: every memo family in the package registers
+    # through functions.memo — a family added as a bare module-level
+    # dict would silently escape the lifecycle hooks.
+    assert set(memo_families()) == {
+        "dedup.shingle_sets",
+        "dedup_wide.bands",
+        "dedup_wide.candidates",
+        "dedup_wide.wide_labels",
+        "pipeline.scored_pairs",
+        "pipeline.edges",
+        "pipeline.labels",
+    }
+
+    small, big = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    app = spark.sparkContext.applicationId
+    bands_small = dedup_wide._wide_bands(spark, small)
+    dedup_wide._wide_bands(spark, big)
+
+    # invalidate one corpus: its entry goes, the other survives warm
+    dropped = invalidate_sf_dir(small)
+    assert dropped >= 1
+    assert (app, small) not in dedup_wide._BANDS_MEMO
+    assert (app, big) in dedup_wide._BANDS_MEMO
+    rebuilt = dedup_wide._wide_bands(spark, small)
+    assert rebuilt is not bands_small  # stale plan NOT served
+    assert rebuilt.count() == 8000  # and the rebuild is sound
+
+    # clear everything: all families empty, next access rebuilds
+    cleared = clear_session_memos()
+    assert sum(cleared.values()) >= 2  # at least the two bands entries
+    assert all(n == 0 for n in memo_families().values())
+    assert dedup_wide._wide_bands(spark, small) is not rebuilt

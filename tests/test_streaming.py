@@ -1074,6 +1074,121 @@ def test_dead_letter_orphans_hidden_and_pruned(store, spark, tmp_path):
     ] == [b"poison"]
 
 
+def test_read_dead_letters_handles_missing_or_empty_root(store, spark, tmp_path):
+    """A consumer polling the dead-letter table before the first reject
+    (dir never created), or after a prune swept everything, must get an
+    EMPTY table — not an AnalysisException (ADVICE r7: mirror
+    prune_dead_letters' missing-dir behavior)."""
+    from sierradb_spark.streaming.ingest import read_dead_letters
+
+    missing = str(tmp_path / "never_created")
+    df = read_dead_letters(store, missing)
+    assert df.count() == 0
+    for col in ("stream_id", "accepted", "batch_token", "batch"):
+        assert col in df.columns
+    # root exists but holds no parquet data (everything pruned away)
+    bare = str(tmp_path / "bare")
+    os.makedirs(bare)
+    assert read_dead_letters(store, bare).count() == 0
+
+
+def test_checkpoint_reset_isolates_prior_incarnation_orphans(
+    store, spark, tmp_path
+):
+    """ADVICE r7 (ingest.py:215): batch ids are only monotone per
+    INCARNATION of a checkpoint. If the checkpoint dir is deleted and
+    the stream restarted at the same path, ids restart at 0 — and under
+    a path-only query key, a crash-orphan dead-letter dir from the
+    prior incarnation (old id <= the new incarnation's max) would read
+    as committed. The incarnation marker folds a per-incarnation token
+    into the key, so the two incarnations' batch-id spaces stay
+    disjoint: the old orphan must stay an orphan (hidden by
+    read_dead_letters, swept by prune_dead_letters) while both
+    incarnations' real committed letters survive."""
+    from sierradb_spark.streaming.ingest import (
+        _incarnation_token,
+        prune_dead_letters,
+        read_dead_letters,
+    )
+
+    schema = (
+        "stream_id string, event_name string, payload binary, "
+        "metadata binary, expected_version string"
+    )
+    src = str(tmp_path / "req")
+    dlq = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    ingest = StreamIngest(store)
+
+    # Incarnation 1: batch 0 commits with one reject.
+    spark.createDataFrame(
+        [(None, "Evt", b"poison-inc1", b"", "any"),
+         ("ok-1", "Evt", b"p", b"", "any")],
+        schema,
+    ).write.parquet(os.path.join(src, "f0"))
+    reader = spark.readStream.schema(schema).parquet(os.path.join(src, "f0"))
+    q = ingest.start(reader, checkpoint=ckpt, available_now=True,
+                     dead_letter_dir=dlq)
+    q.awaitTermination(300)
+    token1 = _incarnation_token(ckpt)  # re-read, not re-minted
+    (committed1,) = store._read_state().batch_tokens
+    key1 = committed1.rpartition("-")[0]
+    assert committed1 == f"{key1}-0"
+
+    # Crash artifact of incarnation 1: letters for its batch 1, whose
+    # commit never landed.
+    orphan_dir = os.path.join(dlq, "batch=1")
+    spark.read.parquet(os.path.join(dlq, "batch=0")).withColumn(
+        "batch_token", F.lit(f"{key1}-1")
+    ).write.mode("overwrite").parquet(orphan_dir)
+
+    # Operator resets the checkpoint and restarts at the SAME path,
+    # relocating the DLQ (if it kept the old one, the new incarnation's
+    # unconditional per-batch overwrite would happen to repair batch=1
+    # as a side effect; the hazard lives in the dirs the new run does
+    # NOT rewrite).
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    src2 = str(tmp_path / "req2")
+    for b in (1, 2):  # two source files -> two micro-batches (ids 0, 1)
+        spark.createDataFrame(
+            [(f"ok-{b}", "Evt", b"p", b"", "any")], schema
+        ).write.parquet(os.path.join(src2, f"f{b}"))
+    reader2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src2, "*"))
+    )
+    q2 = ingest.start(reader2, checkpoint=ckpt, available_now=True,
+                      dead_letter_dir=str(tmp_path / "dlq2"))
+    q2.awaitTermination(300)
+    token2 = _incarnation_token(ckpt)
+    assert token2 != token1  # fresh incarnation, fresh key component
+    keys_now = {
+        t.rpartition("-")[0] for t in store._read_state().batch_tokens
+    }
+    key2 = (keys_now - {key1}).pop()
+    assert key2 != key1
+    # Incarnation 2 committed batch ids 0 and 1, so under a shared
+    # path-only key its max id (1) would have legitimized the orphan's
+    # id 1 — exactly the reported hazard.
+    assert f"{key2}-1" in store._read_state().batch_tokens
+
+    # The old incarnation's orphan is still an orphan; its committed
+    # batch-0 letters are still visible.
+    visible = {
+        (r["batch_token"], bytes(r["payload"]))
+        for r in read_dead_letters(store, dlq).collect()
+        if not r["accepted"]
+    }
+    assert visible == {(f"{key1}-0", b"poison-inc1")}
+
+    removed = prune_dead_letters(store, dlq)
+    assert removed["orphaned"] == 1
+    assert not os.path.exists(orphan_dir)
+
+
 def test_evicted_token_letters_survive_by_monotone_rule(
     store, spark, tmp_path
 ):
