@@ -33,7 +33,6 @@ import hashlib
 import os
 import shutil
 import time
-import uuid
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
@@ -206,34 +205,6 @@ def enrich_requests(
     return df.withColumn("arrival", F.monotonically_increasing_id())
 
 
-def _incarnation_token(checkpoint: str) -> str:
-    """Per-incarnation component of the batch-token query key.
-
-    A small marker file INSIDE the checkpoint dir, created on the
-    query's first start and re-read on every restart: it shares the
-    checkpoint's lifetime exactly, so restarting an intact checkpoint
-    keeps the key (replays still match their committed tokens —
-    exactly-once preserved) while deleting the checkpoint and starting
-    over at the same path mints a fresh incarnation whose batch-id
-    space is disjoint from the old one's (the dead-letter commitment
-    proof can't cross incarnations).
-
-    A checkpoint Spark has already written to but that predates the
-    marker (legacy) gets the EMPTY token — the key then equals the old
-    path-only key, so an in-flight replay across the upgrade still
-    recognizes its committed batch."""
-    marker = os.path.join(checkpoint, ".sierradb_incarnation")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            return f.read().strip()
-    os.makedirs(checkpoint, exist_ok=True)
-    legacy = os.path.isdir(os.path.join(checkpoint, "offsets"))
-    token = "" if legacy else uuid.uuid4().hex[:12]
-    with open(marker, "w") as f:
-        f.write(token)
-    return token
-
-
 def _committed_token_bounds(store: EventStore) -> tuple[frozenset, dict]:
     """Committed batch tokens plus the newest committed batch id per
     query key. Tokens look like ``<query_key>-<batch_id>``; base
@@ -245,7 +216,18 @@ def _committed_token_bounds(store: EventStore) -> tuple[frozenset, dict]:
     key`` is equally proof of commitment. The two tests together are the
     committed-batch discriminator; a token failing both belongs to a
     batch whose commit never landed (crash between the pre-commit
-    dead-letter write and the manifest rename) — an orphan."""
+    dead-letter write and the manifest rename) — an orphan.
+
+    Scope: the monotone-id argument holds within ONE incarnation of a
+    checkpoint. Deleting a checkpoint and restarting at the same path
+    restarts batch ids at 0 under the same (path-derived) key — by
+    design, so a replayed batch matches its committed token and events
+    are never duplicated (test_durability's checkpoint-loss guarantee).
+    For a dead-letter dir the new incarnation keeps writing to, this is
+    self-healing: each new batch id either overwrites its ``batch=<id>``
+    dir or genuinely commits its token. A dir the new incarnation does
+    NOT write to (DLQ relocated or retired at the reset) must be pruned
+    BEFORE the restart — see :func:`read_dead_letters`."""
     committed = store._read_state().batch_tokens
     max_id: dict[str, int] = {}
     for t in committed:
@@ -274,7 +256,19 @@ def read_dead_letters(store: EventStore, dead_letter_dir: str) -> DataFrame:
     or just pruned away), reads as an EMPTY dead-letter table — the
     contract a monitoring consumer polls against — not as an
     AnalysisException (mirrors prune_dead_letters' missing-dir
-    behavior)."""
+    behavior).
+
+    Checkpoint-reset recipe: the commitment proof is scoped to one
+    checkpoint incarnation (see _committed_token_bounds). If you delete
+    a stream's checkpoint and restart at the same path while ALSO
+    retiring or relocating its dead-letter dir, run
+    ``prune_dead_letters(store, old_dlq)`` BEFORE the restart — at that
+    moment a crash orphan still has a batch id above its key's newest
+    committed id and is swept correctly; once the new incarnation's ids
+    pass it, an orphan in a dir the new run never rewrites becomes
+    indistinguishable from a committed batch's letters. A DLQ the
+    restarted stream keeps writing to needs no ceremony (each new batch
+    id overwrites its dir or commits its token)."""
     committed, max_id = _committed_token_bounds(store)
     try:
         df = store.spark.read.parquet(dead_letter_dir)
@@ -434,19 +428,16 @@ class StreamIngest:
         # the query; batch_id identifies the micro-batch within it): the
         # idempotence key that lets _apply_batch skip a replayed batch
         # whose manifest already landed — exactly-once on plain Parquet.
-        # The key folds in a per-INCARNATION marker persisted inside the
-        # checkpoint dir (see _incarnation_token): deleting the
-        # checkpoint and restarting at the same path restarts batch ids
-        # at 0, and under a path-only key a crash-orphan dead-letter dir
-        # from the prior incarnation (old id <= the new incarnation's
-        # max) would read as committed. The marker lives and dies WITH
-        # the checkpoint, so each incarnation gets its own token
-        # keyspace and the monotone-id commitment proof in
-        # _committed_token_bounds stays sound across checkpoint resets.
+        # DELIBERATELY path-only, not salted per incarnation: if the
+        # checkpoint is wiped and the same source replays as batch 0,
+        # the recomputed token must MATCH the committed one so the
+        # replay is skipped (test_durability's checkpoint-loss
+        # guarantee). The flip side — batch ids restarting at 0 under
+        # the same key — is what bounds the dead-letter commitment
+        # proof to one checkpoint incarnation; see the checkpoint-reset
+        # recipe in read_dead_letters' docstring.
         query_key = hashlib.sha256(
-            (
-                os.path.abspath(checkpoint) + _incarnation_token(checkpoint)
-            ).encode()
+            os.path.abspath(checkpoint).encode()
         ).hexdigest()[:16]
 
         def process(batch: DataFrame, batch_id: int) -> None:

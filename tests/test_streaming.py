@@ -1092,21 +1092,20 @@ def test_read_dead_letters_handles_missing_or_empty_root(store, spark, tmp_path)
     assert read_dead_letters(store, bare).count() == 0
 
 
-def test_checkpoint_reset_isolates_prior_incarnation_orphans(
+def test_checkpoint_reset_recipe_prune_retired_dlq_first(
     store, spark, tmp_path
 ):
-    """ADVICE r7 (ingest.py:215): batch ids are only monotone per
-    INCARNATION of a checkpoint. If the checkpoint dir is deleted and
-    the stream restarted at the same path, ids restart at 0 — and under
-    a path-only query key, a crash-orphan dead-letter dir from the
-    prior incarnation (old id <= the new incarnation's max) would read
-    as committed. The incarnation marker folds a per-incarnation token
-    into the key, so the two incarnations' batch-id spaces stay
-    disjoint: the old orphan must stay an orphan (hidden by
-    read_dead_letters, swept by prune_dead_letters) while both
-    incarnations' real committed letters survive."""
+    """ADVICE r7 (ingest.py:215): the dead-letter commitment proof is
+    scoped to one checkpoint incarnation — batch ids restart at 0 under
+    the same path-derived key after a checkpoint reset, BY DESIGN (the
+    stable key is what makes checkpoint-loss replay duplicate-free,
+    test_durability). A DLQ the restarted stream keeps writing to is
+    self-healing; a RETIRED one must be pruned before the restart, per
+    the documented recipe in read_dead_letters. This test walks the
+    recipe and then demonstrates the hazard window it closes: after the
+    new incarnation's ids pass the orphan's id, the orphan would have
+    read as committed."""
     from sierradb_spark.streaming.ingest import (
-        _incarnation_token,
         prune_dead_letters,
         read_dead_letters,
     )
@@ -1130,63 +1129,68 @@ def test_checkpoint_reset_isolates_prior_incarnation_orphans(
     q = ingest.start(reader, checkpoint=ckpt, available_now=True,
                      dead_letter_dir=dlq)
     q.awaitTermination(300)
-    token1 = _incarnation_token(ckpt)  # re-read, not re-minted
     (committed1,) = store._read_state().batch_tokens
-    key1 = committed1.rpartition("-")[0]
-    assert committed1 == f"{key1}-0"
+    key = committed1.rpartition("-")[0]
+    assert committed1 == f"{key}-0"
 
     # Crash artifact of incarnation 1: letters for its batch 1, whose
-    # commit never landed.
+    # commit never landed (crash between the pre-commit write and the
+    # manifest rename; the operator now retires this DLQ).
     orphan_dir = os.path.join(dlq, "batch=1")
     spark.read.parquet(os.path.join(dlq, "batch=0")).withColumn(
-        "batch_token", F.lit(f"{key1}-1")
+        "batch_token", F.lit(f"{key}-1")
     ).write.mode("overwrite").parquet(orphan_dir)
 
-    # Operator resets the checkpoint and restarts at the SAME path,
-    # relocating the DLQ (if it kept the old one, the new incarnation's
-    # unconditional per-batch overwrite would happen to repair batch=1
-    # as a side effect; the hazard lives in the dirs the new run does
-    # NOT rewrite).
+    # THE RECIPE: prune the retired DLQ before the restart — at this
+    # moment the orphan's id (1) is above the key's newest committed id
+    # (0), so it is still discriminable and gets swept.
+    removed = prune_dead_letters(store, dlq)
+    assert removed["orphaned"] == 1
+    assert not os.path.exists(orphan_dir)
+    # The committed batch's letters survive the prune and stay visible.
+    assert [
+        bytes(r["payload"]) for r in read_dead_letters(store, dlq).collect()
+    ] == [b"poison-inc1"]
+
+    # Reset the checkpoint and restart at the same path with a new DLQ:
+    # the new incarnation re-reads f0 as batch 0 (token f"{key}-0"
+    # already committed -> skipped whole, no duplicate events) and
+    # commits a new file as batch 1 under the SAME key.
     import shutil as _sh
 
     _sh.rmtree(ckpt)
-    src2 = str(tmp_path / "req2")
-    for b in (1, 2):  # two source files -> two micro-batches (ids 0, 1)
-        spark.createDataFrame(
-            [(f"ok-{b}", "Evt", b"p", b"", "any")], schema
-        ).write.parquet(os.path.join(src2, f"f{b}"))
+    spark.createDataFrame(
+        [("ok-2", "Evt", b"p", b"", "any")], schema
+    ).write.parquet(os.path.join(src, "f1"))
     reader2 = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(src2, "*"))
+        .parquet(os.path.join(src, "*"))
     )
     q2 = ingest.start(reader2, checkpoint=ckpt, available_now=True,
                       dead_letter_dir=str(tmp_path / "dlq2"))
     q2.awaitTermination(300)
-    token2 = _incarnation_token(ckpt)
-    assert token2 != token1  # fresh incarnation, fresh key component
-    keys_now = {
-        t.rpartition("-")[0] for t in store._read_state().batch_tokens
-    }
-    key2 = (keys_now - {key1}).pop()
-    assert key2 != key1
-    # Incarnation 2 committed batch ids 0 and 1, so under a shared
-    # path-only key its max id (1) would have legitimized the orphan's
-    # id 1 — exactly the reported hazard.
-    assert f"{key2}-1" in store._read_state().batch_tokens
+    tokens = store._read_state().batch_tokens
+    assert f"{key}-1" in tokens  # new incarnation, same key, id 1
+    assert {t.rpartition("-")[0] for t in tokens} == {key}
+    # ok-1 was NOT duplicated by the replayed batch 0 (the point of the
+    # path-stable key).
+    assert store.scan("ok-1").count() == 1
 
-    # The old incarnation's orphan is still an orphan; its committed
-    # batch-0 letters are still visible.
-    visible = {
-        (r["batch_token"], bytes(r["payload"]))
+    # Demonstrate the window the recipe closes: had the orphan (id 1)
+    # survived until now, its id would be at-or-below the key's newest
+    # committed id and read_dead_letters would have surfaced it as a
+    # committed batch's reject.
+    late_orphan = os.path.join(dlq, "batch=9")
+    spark.read.parquet(os.path.join(dlq, "batch=0")).withColumn(
+        "batch_token", F.lit(f"{key}-1")
+    ).write.mode("overwrite").parquet(late_orphan)
+    visible_tokens = {
+        r["batch_token"]
         for r in read_dead_letters(store, dlq).collect()
-        if not r["accepted"]
     }
-    assert visible == {(f"{key1}-0", b"poison-inc1")}
-
-    removed = prune_dead_letters(store, dlq)
-    assert removed["orphaned"] == 1
-    assert not os.path.exists(orphan_dir)
+    assert f"{key}-1" in visible_tokens  # indistinguishable now — hence
+    _sh.rmtree(late_orphan)  # ...the prune-BEFORE-restart recipe.
 
 
 def test_evicted_token_letters_survive_by_monotone_rule(
