@@ -552,6 +552,11 @@ def main() -> int:
                 "docs_per_second": corpus_dedup["docs_per_second"],
             },
             "iterative": iterative,
+            # per-rep (seconds, pre-rep load1) samples stay in the
+            # driver-captured line: they are what makes a
+            # load-contaminated recording self-evident (r7 mechanism),
+            # and they're ~300 bytes for 5 queries x k=2.
+            "iterative_runs": iterative_runs,
             "iterative_gated": iterative_probe["gated"],
             "settled_load1": iterative_probe["settled_load1"],
             "load1": {

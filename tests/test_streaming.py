@@ -1152,30 +1152,42 @@ def test_checkpoint_reset_recipe_prune_retired_dlq_first(
         bytes(r["payload"]) for r in read_dead_letters(store, dlq).collect()
     ] == [b"poison-inc1"]
 
-    # Reset the checkpoint and restart at the same path with a new DLQ:
-    # the new incarnation re-reads f0 as batch 0 (token f"{key}-0"
-    # already committed -> skipped whole, no duplicate events) and
-    # commits a new file as batch 1 under the SAME key.
+    # Reset the checkpoint and restart at the same path over the SAME
+    # source: the new incarnation re-reads f0 as batch 0, the recomputed
+    # token f"{key}-0" matches the committed one, and the batch is
+    # skipped whole — the duplicate-free replay the path-stable key
+    # exists for. (Replay dedup is a same-source guarantee: adding files
+    # before the reset shifts which file lands in batch 0, so a reset
+    # plus a CHANGED source is user error, not covered.)
     import shutil as _sh
 
     _sh.rmtree(ckpt)
-    spark.createDataFrame(
-        [("ok-2", "Evt", b"p", b"", "any")], schema
-    ).write.parquet(os.path.join(src, "f1"))
-    reader2 = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(src, "*"))
+    reader2 = spark.readStream.schema(schema).parquet(
+        os.path.join(src, "f0")
     )
     q2 = ingest.start(reader2, checkpoint=ckpt, available_now=True,
                       dead_letter_dir=str(tmp_path / "dlq2"))
     q2.awaitTermination(300)
-    tokens = store._read_state().batch_tokens
-    assert f"{key}-1" in tokens  # new incarnation, same key, id 1
-    assert {t.rpartition("-")[0] for t in tokens} == {key}
+    assert store._read_state().batch_tokens == {f"{key}-0"}
     # ok-1 was NOT duplicated by the replayed batch 0 (the point of the
     # path-stable key).
     assert store.scan("ok-1").count() == 1
+
+    # Advance the new incarnation past the orphan's id — deterministic
+    # stand-in for its next committed micro-batch.
+    from sierradb_spark.streaming.ingest import enrich_requests
+
+    cols = [
+        "arrival", "txn_id", "stream_id", "event_name", "expected_version",
+        "event_id", "partition_key", "partition_id", "timestamp_ns",
+        "payload", "metadata", "reject_reason",
+    ]
+    enriched = enrich_requests(
+        spark.createDataFrame([("ok-2", "Evt", b"p", b"", "any")], schema),
+        store.config,
+    ).select(*cols)
+    store._apply_batch(enriched, fast=False, batch_token=f"{key}-1")
+    assert f"{key}-1" in store._read_state().batch_tokens
 
     # Demonstrate the window the recipe closes: had the orphan (id 1)
     # survived until now, its id would be at-or-below the key's newest
