@@ -168,7 +168,10 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 # 123, 999, 31337, 424242, 86, 5150, 271828, 161803, 141421, 577215,
 # 662607, 12345, 54321, 98765, 1000003, 2718, 314159, 112358, 132134,
 # 555, 8675309, 20260815, 700, 1729, 4104, 63, 9999, 123456789,
-# 42424242, 808, 2047.
+# 42424242, 808, 2047. Round 8 added 12 more fresh seeds, green on
+# the final r8 code (path-stable query key + graceful-empty
+# read_dead_letters): 17, 29, 47, 61, 89, 211, 401, 613, 881, 1009,
+# 65537, 7919 — cumulative distinct seeds green: 52.
 _SEEDS = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "11,42").split(",")
