@@ -337,6 +337,8 @@ RECALL_SAMPLE_DOCS = 1000
     "n_candidates counts it in full.",
 )
 def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.dedup import _shingle_sets_pinned
+
     cand = _wide_candidates_pinned(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     # Adaptive sample threshold: one count() to the driver (a scalar),
@@ -344,17 +346,17 @@ def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's thr CTE.
     n_docs = docs.count()
     thr = (_RING * RECALL_SAMPLE_DOCS) // max(n_docs, 1)
-    d = with_shingles(docs, "doc_id")
+    # The sampled truth sets come off the session shingle-set memo (the
+    # same tokenize + array_distinct pass the exact-jaccard audits pin,
+    # dedup.py — identical shingle definition by construction, since
+    # this module imports SHINGLE_K/with_shingles from there). The memo
+    # doubles as the anti-inlining barrier: behind its checkpoint each
+    # candidate pair reads plain arrays instead of re-tokenizing (the
+    # O(pairs x tokenize) pathology, dedup.py:371-377).
     sets = (
-        d.where(F.col("n_toks") >= SHINGLE_K)
+        _shingle_sets_pinned(spark, sf_dir)
         .where(_hash32(F.col("doc_id")) < F.lit(thr))
-        .select("doc_id", F.array_distinct("shingles").alias("ss"))
-        # Barrier: without it Catalyst inlines the shingle construction
-        # into the per-pair jaccard predicate and re-tokenizes each doc
-        # once per candidate pair (the O(pairs x tokenize) pathology the
-        # sibling pipelines all guard against, dedup.py:371-377).
-        .repartition("doc_id")
-        .localCheckpoint(eager=False)
+        .select("doc_id", F.col("shingle_set").alias("ss"))
     )
     a, b = sets.alias("a"), sets.alias("b")
     inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
@@ -372,6 +374,10 @@ def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (ratio >= 0.8))
         .where(jac >= 0.8)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # Pinned: truth feeds BOTH the n_true aggregate and the covered
+        # join below — unpinned, the sampled O(sample²) self-join ran
+        # twice per call (profiled r8: ~27 s -> ~13 s at sf0.1).
+        .localCheckpoint(eager=False)
     )
     n_true = truth.agg(F.count("*").alias("n_true"))
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
