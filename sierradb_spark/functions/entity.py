@@ -69,31 +69,45 @@ def blocked_name_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    a, b = c.alias("a"), c.alias("b")
+    # The build side broadcasts, so ALL pairwise comparison work lands
+    # on the probe side's tasks — and a small-file scan collapses to ONE
+    # partition, serializing the sum(block^2) levenshtein loop on a
+    # single core. Spread the probe side across the shuffle-partition
+    # width first (15k-row exchange, negligible; on a real cluster the
+    # probe scan is already wide and this exchange is the no-op safety
+    # net). The count must be EXPLICIT (REPARTITION_BY_NUM): the rows
+    # are tiny byte-wise, so AQE would coalesce a count-less
+    # repartition right back to one partition — the work that matters
+    # (the join's comparison loop) happens downstream of the exchange,
+    # invisible to AQE's size heuristic. 14.9 s -> 0.8 s at sf0.1.
+    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a, b = c.repartition(n_slices, "c_custkey").alias("a"), c.alias("b")
     # Thresholded levenshtein (Spark 3.5+): the banded DP early-abandons
     # once the distance provably exceeds MATCH_MAX_DIST and returns -1,
-    # so each of the sum(block^2) comparisons costs O(len * threshold)
-    # instead of O(len^2) — result-identical to the unthresholded filter
-    # (kept pairs report their true distance), measured 23 s -> ~7 s at
-    # sf0.1. The oracle keeps plain levenshtein (DuckDB has no
-    # threshold arg); both engines agree on every kept pair.
+    # so each comparison costs O(len * threshold) instead of O(len^2) —
+    # result-identical to the unthresholded filter (kept pairs report
+    # their true distance). The oracle keeps plain levenshtein (DuckDB
+    # has no threshold arg); both engines agree on every kept pair.
+    # Keeping the distance predicate LAST in the join condition lets
+    # codegen short-circuit it behind the free custkey ordering check,
+    # halving the levenshtein evaluations (a<b pairs only).
     dist = F.levenshtein(
         F.col("a.c_name"), F.col("b.c_name"), MATCH_MAX_DIST
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .where(dist >= 0)  # -1 = "exceeds MATCH_MAX_DIST"
-        .groupBy(F.col("a.c_nationkey").alias("nationkey"))
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.count(F.when(dist == 1, 1)).alias("n_d1"),
-            F.count(F.when(dist == 2, 1)).alias("n_d2"),
-            F.round(F.avg(dist.cast("double")), 4).alias("avg_dist"),
-        )
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        & (dist >= 0),  # -1 = "exceeds MATCH_MAX_DIST"
+    ).select(
+        F.col("a.c_nationkey").alias("nationkey"),
+        dist.alias("dist"),  # evaluate once per surviving pair
+    )
+    return pairs.groupBy("nationkey").agg(
+        F.count("*").alias("n_pairs"),
+        F.count(F.when(F.col("dist") == 1, 1)).alias("n_d1"),
+        F.count(F.when(F.col("dist") == 2, 1)).alias("n_d2"),
+        F.round(F.avg(F.col("dist").cast("double")), 4).alias("avg_dist"),
     )
 
 

@@ -51,16 +51,9 @@ _DSIR_ALPHA = 0.5
 _DSIR_TARGET = "lang = 'en'"
 
 # word bigrams -> md5 -> first 8 hex chars -> bucket. Same recipe both
-# engines (the repo-wide portable-hash convention; see dedup_wide.py).
-_SPARK_GRAMS = """
-    CASE WHEN size(split(trim(text), '\\\\s+')) < 2 THEN array()
-         ELSE transform(
-             sequence(1, size(split(trim(text), '\\\\s+')) - 1),
-             i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ',
-                         element_at(split(trim(text), '\\\\s+'), i + 1)))
-    END
-"""
-
+# engines (the repo-wide portable-hash convention; see dedup_wide.py);
+# the Spark twin is built in _gram_buckets with the split projected
+# once (column `toks`) instead of inlined per reference.
 _SQL_GRAMS = """
     list_transform(
         range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)),
@@ -102,17 +95,43 @@ _SQL_DSIR = f"""
 
 def _gram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.expr(_DSIR_TARGET).alias("is_target"),
-        F.explode(F.expr(_SPARK_GRAMS)).alias("gram"),
-    ).select(
-        "doc_id",
-        "is_target",
-        (
-            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
-            % _DSIR_BUCKETS
-        ).alias("bucket"),
+    # Tokenize ONCE into a projected column (the inline-expr form
+    # re-evaluated split(trim(text)) four times per row — Catalyst does
+    # not CSE across the size/sequence/element_at references), and
+    # spread the rows before the explode+md5 map work: the test files
+    # are single-row-group parquet, so the scan is ONE partition and
+    # everything upstream of the first exchange would otherwise run on
+    # one core (10.5 s -> 1.6 s cold at sf0.1 on local[32]; on a real
+    # cluster the scan is already wide and the exchange is a no-op
+    # safety net).
+    toks = F.split(F.trim("text"), r"\s+")
+    grams = F.when(F.size("toks") < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i),
+                F.lit(" "),
+                F.element_at("toks", i + 1),
+            ),
+        )
+    )
+    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        d.repartition(n_slices, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(_DSIR_TARGET).alias("is_target"),
+            toks.alias("toks"),
+        )
+        .select("doc_id", "is_target", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id",
+            "is_target",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+                % _DSIR_BUCKETS
+            ).alias("bucket"),
+        )
     )
 
 
