@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 from sierradb_spark.functions.text2 import _SQL_WORDS, _toks
 
 REG = Registry()
@@ -248,7 +248,8 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _learn_merges(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
     wl = (
-        d.select("lang", F.explode(_toks()).alias("word"))
+        # spread before the tokenize explode (see registry.spread)
+        spread(d, "doc_id").select("lang", F.explode(_toks()).alias("word"))
         .where(F.col("word") != "")
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))

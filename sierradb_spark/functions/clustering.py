@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 from sierradb_spark.functions.similarity import dot_col
 
 REG = Registry()
@@ -179,7 +179,11 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # normalize once, not per pair side
     )
-    a = nv.where(F.col("vec_id") < _KNN_EVAL_N).select(
+    # spread the eval sample: the neighbor pool broadcasts, so the whole
+    # sample x corpus dot-product loop runs on a's partitions — which
+    # inherit the checkpointed scan's single input split otherwise (see
+    # registry.spread)
+    a = spread(nv.where(F.col("vec_id") < _KNN_EVAL_N), "vec_id").select(
         F.col("vec_id").alias("va"),
         F.col("label").alias("la"),
         F.col("nd").alias("nda"),

@@ -35,7 +35,7 @@ from sierradb_spark.functions.dedup import (
     minhash_col,
     with_shingles,
 )
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 
 REG = Registry()
 
@@ -766,7 +766,9 @@ def _semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
+    # spread the probe side: the cell join broadcasts b, so the whole
+    # within-cell cosine loop runs on a's partitions (see registry.spread)
+    a, b = spread(e, "vec_id").alias("a"), e.alias("b")
     cos = cosine_col(F.col("a.v"), F.col("b.v"))
     dropped = (
         a.join(

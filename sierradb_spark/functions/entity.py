@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 
 REG = Registry()
 
@@ -69,19 +69,11 @@ def blocked_name_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    # The build side broadcasts, so ALL pairwise comparison work lands
-    # on the probe side's tasks — and a small-file scan collapses to ONE
-    # partition, serializing the sum(block^2) levenshtein loop on a
-    # single core. Spread the probe side across the shuffle-partition
-    # width first (15k-row exchange, negligible; on a real cluster the
-    # probe scan is already wide and this exchange is the no-op safety
-    # net). The count must be EXPLICIT (REPARTITION_BY_NUM): the rows
-    # are tiny byte-wise, so AQE would coalesce a count-less
-    # repartition right back to one partition — the work that matters
-    # (the join's comparison loop) happens downstream of the exchange,
-    # invisible to AQE's size heuristic. 14.9 s -> 0.8 s at sf0.1.
-    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    a, b = c.repartition(n_slices, "c_custkey").alias("a"), c.alias("b")
+    # spread the probe side: the build side broadcasts, so the whole
+    # sum(block^2) levenshtein loop runs on a's partitions — the scan's
+    # single input split otherwise (see registry.spread). 14.9 s ->
+    # 0.8 s at sf0.1.
+    a, b = spread(c, "c_custkey").alias("a"), c.alias("b")
     # Thresholded levenshtein (Spark 3.5+): the banded DP early-abandons
     # once the distance provably exceeds MATCH_MAX_DIST and returns -1,
     # so each comparison costs O(len * threshold) instead of O(len^2) —

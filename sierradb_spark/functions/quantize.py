@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 from sierradb_spark.functions.similarity import _sql_cos
 
 REG = Registry()
@@ -472,7 +472,9 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sierradb_spark.functions.similarity import dot_col, _dvec
 
     e = load(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", _dvec("embedding").alias("emb"))
+    # spread: the ADC/exact scans below are interpreted array folds over
+    # the scan's single input split otherwise (see registry.spread)
+    v = spread(e, "vec_id").select("vec_id", _dvec("embedding").alias("emb"))
     recon = _pq_reconstruction(v)
     q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
     adc = (

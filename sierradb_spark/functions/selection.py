@@ -32,7 +32,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 
 REG = Registry()
 
@@ -115,9 +115,8 @@ def _gram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        d.repartition(n_slices, "doc_id")
+        spread(d, "doc_id")
         .select(
             "doc_id",
             F.expr(_DSIR_TARGET).alias("is_target"),

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 
 REG = Registry()
 
@@ -655,7 +655,12 @@ def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed = seed + F.when(
             F.element_at(v, i + 1) >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
-    seeded = e.select("vec_id", v.alias("emb"), seed.alias("seed"))
+    # spread: both consumers (the per-dim posexplode and the k-cosine
+    # assignment scan) do their per-row array math upstream of any
+    # exchange (see registry.spread)
+    seeded = spread(e, "vec_id").select(
+        "vec_id", v.alias("emb"), seed.alias("seed")
+    )
     comp = (
         seeded.select("seed", F.posexplode("emb"))
         .groupBy("seed", "pos")

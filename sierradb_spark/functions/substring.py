@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 
 REG = Registry()
 
@@ -151,7 +151,9 @@ def _gram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard stays: Spark's sequence DESCENDS for a negative stop
     (DuckDB's range is just empty)."""
     e = _enriched(spark, sf_dir)
-    staged = e.select("doc_id", _words_col().alias("w"))
+    # spread before the gram explode + per-gram md5 — the heavy map work
+    # sits upstream of the dup-digest shuffle (see registry.spread)
+    staged = spread(e, "doc_id").select("doc_id", _words_col().alias("w"))
     w = F.col("w")
     grams = F.when(
         F.size(w) < SPAN_WORDS, F.array().cast("array<string>")
@@ -310,7 +312,9 @@ def repeated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def substring_scrubbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _enriched(spark, sf_dir)
     spans = _spans(spark, sf_dir)
-    words = e.select(
+    # spread: the word explode feeds an anti-join probe side whose
+    # build is broadcast (see registry.spread)
+    words = spread(e, "doc_id").select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")),
     ).select(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 
 REG = Registry()
 
@@ -534,7 +534,14 @@ def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = rev.groupBy("cents").agg(
         F.count("*").alias("c"), F.sum("cents").alias("mass")
     )
-    h, r = hist.alias("h"), hist.alias("r")
+    # spread the probe side of the range join: hist is ~one row per
+    # customer (cents are near-unique), so the nested-loop comparison
+    # count is |hist|^2 — AQE coalesces the byte-tiny groupBy output to
+    # one partition and would serialize all of it. Round-robin, NOT by
+    # cents: hist is already hash(cents)-partitioned coming out of the
+    # groupBy, so a same-key repartition is collapsed as redundant and
+    # the AQE coalesce wins anyway (see registry.spread).
+    h, r = spread(hist).alias("h"), hist.alias("r")
     above = (
         h.join(F.broadcast(r), F.col("r.cents") > F.col("h.cents"), "left")
         .groupBy(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 
 REG = Registry()
 
@@ -458,7 +458,10 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
-    rep = ev.select(
+    # spread before the x64 explode + per-row md5: that fan-out is the
+    # query's whole cost and sits upstream of the first shuffle, i.e. on
+    # the scan's single input split otherwise (see registry.spread)
+    rep = spread(ev, "event_id").select(
         "event_type",
         "value",
         "event_id",

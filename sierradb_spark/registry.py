@@ -60,6 +60,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to the session's shuffle width with an EXPLICIT count.
+
+    The test corpus arrives as single-row-group parquet files, so a scan
+    is ONE input split, and everything upstream of a plan's first
+    exchange — which is exactly where the heavy per-row work usually
+    sits (pair joins against a broadcast side, explode fan-outs, per-row
+    hashing, higher-order array folds) — would run on a single core. A
+    count-less ``repartition()`` does not help: the rows are small
+    byte-wise, so AQE coalesces the exchange right back to one
+    partition; the work that matters happens DOWNSTREAM of it, invisible
+    to AQE's size heuristic. An explicit count (REPARTITION_BY_NUM) is
+    exempt from coalescing. On a real cluster the scan is already wide
+    and this exchange is a cheap safety net (the shuffled tables here
+    are the small side of the work, never the fan-out product)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 @dataclass(frozen=True)
 class Query:
     """One declared operator: Spark implementation + DuckDB oracle."""
