@@ -537,11 +537,13 @@ def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the probe side of the range join: hist is ~one row per
     # customer (cents are near-unique), so the nested-loop comparison
     # count is |hist|^2 — AQE coalesces the byte-tiny groupBy output to
-    # one partition and would serialize all of it. Round-robin, NOT by
+    # one partition and would serialize all of it. Keyed by mass, NOT
     # cents: hist is already hash(cents)-partitioned coming out of the
     # groupBy, so a same-key repartition is collapsed as redundant and
-    # the AQE coalesce wins anyway (see registry.spread).
-    h, r = spread(hist).alias("h"), hist.alias("r")
+    # the AQE coalesce wins anyway; round-robin works too but its
+    # sort-before-repartition stage adds one-time first-execution cost
+    # in local mode (see registry.spread).
+    h, r = spread(hist, "mass").alias("h"), hist.alias("r")
     above = (
         h.join(F.broadcast(r), F.col("r.cents") > F.col("h.cents"), "left")
         .groupBy(
