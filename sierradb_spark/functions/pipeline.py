@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sierradb_spark.functions.memo import register_memo
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 
 REG = Registry()
 
@@ -253,7 +253,11 @@ def _scored_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
         norm_col(F.col("embedding").cast("array<double>")).alias("nrm"),
     )
-    a, b = n.alias("a"), n.alias("b")
+    # spread the probe side: the all-pairs comparison loop (this is the
+    # labeled exact-baseline audit; production twins are banded) runs
+    # entirely on a's partitions — the scan's single input split
+    # otherwise (see registry.spread). Memo build 18.7 s -> ~2 s.
+    a, b = spread(n, "vec_id").alias("a"), n.alias("b")
     cos = dot_col(F.col("a.v"), F.col("b.v")) / F.nullif(
         F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, load, spread
 
 REG = Registry()
 
@@ -88,7 +88,10 @@ def _profile_sql(table: str, col: str) -> str:
 def dq_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for table, cols in _PROFILE:
-        t = load(spark, sf_dir, table)
+        # spread: multi-column exact distinct goes through Expand
+        # (rows x columns) BEFORE the aggregation exchange, i.e. on the
+        # scan's single input split otherwise (see registry.spread)
+        t = spread(load(spark, sf_dir, table))
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in cols:
             aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
