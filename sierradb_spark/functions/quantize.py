@@ -592,7 +592,9 @@ def ivf_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", _dvec("embedding").alias("emb"))
+    # spread: reconstruction + ADC scoring are interpreted array folds
+    # upstream of any exchange (see registry.spread)
+    v = spread(e, "vec_id").select("vec_id", _dvec("embedding").alias("emb"))
     q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
     # coarse quantizer: the shared IVF router (similarity.ivf_route),
     # probing the query's 2 nearest cells

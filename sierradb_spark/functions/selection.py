@@ -310,7 +310,10 @@ def tokenizer_oov_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sierradb_spark.functions.text import BPE_PATTERN
 
     d = load(spark, sf_dir, "documents")
-    pieces = d.select(
+    # spread before the regex tokenize + explode, which otherwise runs
+    # on the scan's single input split — and the checkpoint would PIN
+    # that single partition for both consumers (see registry.spread)
+    pieces = spread(d, "doc_id").select(
         "lang",
         F.explode(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("piece"),
     ).localCheckpoint(eager=True)  # pin: vocab pass + coverage pass
