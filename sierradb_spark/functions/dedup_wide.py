@@ -612,7 +612,11 @@ def _sign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0))
         return bit(1, 8) + bit(2, 4) + bit(3, 2) + bit(4, 1)
 
-    return e.select(
+    # spread before the checkpoint: consumers verify candidate pairs
+    # with interpreted cosine folds on THIS relation's partitions, and
+    # an unspread checkpoint pins the scan's single input split (see
+    # registry.spread)
+    return spread(e, "vec_id").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         norm_col(F.col("embedding").cast("array<double>")).alias("nrm"),
