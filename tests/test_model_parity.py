@@ -171,9 +171,10 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 # 42424242, 808, 2047. Round 8 added 12 more fresh seeds, green on
 # the final r8 code (path-stable query key + graceful-empty
 # read_dead_letters): 17, 29, 47, 61, 89, 211, 401, 613, 881, 1009,
-# 65537, 7919 — and a second r8 batch of 12 on the post-spread code:
-# 23, 31, 53, 71, 97, 127, 251, 503, 733, 919, 104729, 6700417 —
-# cumulative distinct seeds green: 64.
+# 65537, 7919 — and two more r8 batches of 12 each on the post-spread
+# code: 23, 31, 53, 71, 97, 127, 251, 503, 733, 919, 104729, 6700417;
+# 149, 173, 197, 223, 269, 331, 409, 521, 647, 787, 911, 1013 —
+# cumulative distinct seeds green: 76.
 _SEEDS = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "11,42").split(",")
