@@ -138,4 +138,37 @@ _FRONT_50 = [
 ]
 REGISTRY.reorder_front(_FRONT_50)
 
+# Round-9 rotation plan (staged; do NOT reorder before the r8 gate has
+# run on the window above). With r8's window recorded, the cumulative
+# ledger is 259/259 distinct and rotation switches to freshness
+# maintenance: the next window is the 50 queries whose most recent
+# driver evidence is oldest — computed from CORRECTNESS_r01-r07 with
+# the r8 window counted as round-8 evidence: 27 queries last checked in
+# r2, 5 in r3, 18 in r4 —
+#   user_state_projection, retention_cohorts, funnel_signup_purchase,
+#   range_join_value_bands, approx_distinct_users,
+#   approx_value_percentiles, q6_forecast_revenue, q4_order_priority,
+#   q10_returned_items, q14_promo_revenue, q18_large_volume_orders,
+#   q19_bracket_revenue, nation_trade_matrix, cube_status_priority,
+#   sliding_window_value, session_window_builtin, q7_volume_shipping,
+#   q8_market_share, q9_profit_by_nation_year,
+#   q12_late_shipment_priority, q13_customer_order_distribution,
+#   q15_top_supplier, q17_small_quantity_revenue, q21_waiting_suppliers,
+#   q22_inactive_rich_customers, full_outer_nation_coverage,
+#   customer_spend_quartiles, deterministic_doc_sample,
+#   text_normalize_stats, top_bigrams_by_lang, epoch_shuffle_order,
+#   ann_recall_probe1, winnow_fingerprints, ivf_probe2_topk,
+#   multimodal_frame_sample, train_shard_assignment,
+#   near_dup_components, sequence_packing, dedup_keep_best_quality,
+#   quality_filter_funnel, word_entropy_by_lang,
+#   repetition_ratio_stats, stratified_sample_by_lang,
+#   token_bucket_histogram, dedup_survivor_corpus, minhash_wide_bands,
+#   minhash_wide_candidates, minhash_wide_recall, simhash64_signatures,
+#   simhash64_hamming_candidates.
+# Several of these now run on r8-optimized paths (the registry.spread
+# pass: near_dup_components consumes the spread scored-pairs memo,
+# text_normalize_stats and the minhash_wide/simhash64 families the
+# spread staging checkpoints), so fresh rows double as driver evidence
+# ON the optimized code.
+
 __all__ = ["Query", "Registry", "REGISTRY", "load"]
