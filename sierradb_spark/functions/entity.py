@@ -80,9 +80,12 @@ def blocked_name_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result-identical to the unthresholded filter (kept pairs report
     # their true distance). The oracle keeps plain levenshtein (DuckDB
     # has no threshold arg); both engines agree on every kept pair.
-    # Keeping the distance predicate LAST in the join condition lets
-    # codegen short-circuit it behind the free custkey ordering check,
-    # halving the levenshtein evaluations (a<b pairs only).
+    # The distance predicate is placed LAST in the join condition so
+    # codegen can short-circuit it behind the free custkey ordering
+    # check (a<b pairs only). Best-effort: Catalyst does not guarantee
+    # conjunct evaluation order across optimizer rules/versions, so
+    # treat this as a likely-but-unpinned saving — results are
+    # identical either way.
     dist = F.levenshtein(
         F.col("a.c_name"), F.col("b.c_name"), MATCH_MAX_DIST
     )

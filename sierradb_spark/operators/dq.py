@@ -90,8 +90,12 @@ def dq_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for table, cols in _PROFILE:
         # spread: multi-column exact distinct goes through Expand
         # (rows x columns) BEFORE the aggregation exchange, i.e. on the
-        # scan's single input split otherwise (see registry.spread)
-        t = spread(load(spark, sf_dir, table))
+        # scan's single input split otherwise (see registry.spread).
+        # Project to the profiled columns FIRST so the safety-net
+        # exchange (when it fires at all — spread is width-aware and a
+        # no-op on an already-wide scan) moves only those columns, not
+        # the whole table row.
+        t = spread(load(spark, sf_dir, table).select(*cols))
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in cols:
             aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))

@@ -60,8 +60,44 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+import re
+
+# Logical-plan nodes whose presence means the input's lineage contains
+# an exchange (or would make a `.rdd` width probe execute query stages
+# under AQE). Matched as whole node names at tree-line starts, so a
+# column called `join_key` can't false-positive.
+_EXCHANGE_NODES = re.compile(
+    r"^[\s+:|\-!>*()]*(?:Aggregate|Join|Window|Distinct|Deduplicate|"
+    r"Sort|GlobalLimit|Repartition|RepartitionByExpression|"
+    r"Intersect|Except|CoGroup|FlatMapGroups)\b",
+    re.MULTILINE,
+)
+
+
+def _narrow_input_width(df: DataFrame) -> int | None:
+    """Partition count of ``df`` when its lineage is shuffle-free (a
+    file scan or LogicalRDD plus narrow ops only), else ``None``.
+
+    For narrow lineages the ``.rdd`` probe is pure planning — split
+    enumeration, no query-stage execution — so it is cheap and
+    side-effect-free. For plans containing exchanges, AQE's
+    ``doExecute`` would MATERIALIZE the upstream stages just to count
+    partitions, so we refuse to probe and the caller keeps the
+    unconditional exchange (the input width there is an AQE runtime
+    decision anyway). Any introspection failure degrades the same way.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if _EXCHANGE_NODES.search(plan):
+            return None
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return None
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Repartition to the session's shuffle width with an EXPLICIT count.
+    """Repartition to the session's shuffle width with an EXPLICIT
+    count — unless the input is already that wide.
 
     The test corpus arrives as single-row-group parquet files, so a scan
     is ONE input split, and everything upstream of a plan's first
@@ -72,10 +108,33 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     byte-wise, so AQE coalesces the exchange right back to one
     partition; the work that matters happens DOWNSTREAM of it, invisible
     to AQE's size heuristic. An explicit count (REPARTITION_BY_NUM) is
-    exempt from coalescing. On a real cluster the scan is already wide
-    and this exchange is a cheap safety net (the shuffled tables here
-    are the small side of the work, never the fan-out product)."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    exempt from coalescing.
+
+    Width-awareness: on a real multi-split cluster the scan is already
+    wide, and for the sites that spread a full base relation (the
+    profiled table in dq_completeness_report, the events scan before the
+    ×64 bootstrap explode) the exchange would shuffle the biggest
+    relation in the plan for nothing. So when the input's lineage is
+    shuffle-free and already reports >= the target width, ``df`` is
+    returned unchanged (no exchange in the plan at all). Shuffle-bearing
+    lineages keep the unconditional exchange — probing their width
+    would execute the upstream stages under AQE, and their width is an
+    AQE runtime decision regardless. The skip can be disabled with
+    ``spark.sierradb.spread.widthAware=false`` (partitioning is never
+    semantically load-bearing here — every registry result is
+    partition-agnostic — so the only effect is the extra exchange).
+    """
+    sess = df.sparkSession
+    try:
+        n = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (ValueError, TypeError):
+        # e.g. platforms where this conf is "auto": degrade to the
+        # cluster's default parallelism rather than raising.
+        n = sess.sparkContext.defaultParallelism or 32
+    if sess.conf.get("spark.sierradb.spread.widthAware", "true") == "true":
+        width = _narrow_input_width(df)
+        if width is not None and width >= n:
+            return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 

@@ -72,5 +72,54 @@ def test_same_key_spread_after_groupby_is_collapsed(spark):
 def test_spread_width_follows_session_conf(spark):
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = spark.range(0, 10_000)
-    # every configured slice receives rows (range input is uniform)
-    assert _runtime_partitions(spread(base, "id")) == n
+    # Most configured slices receive rows. Hash partitioning makes an
+    # exactly-n assertion probabilistic (and brittle if the conftest
+    # width is ever raised relative to the distinct-key count), so pin
+    # a floor instead: with 10k uniform keys, > n/2 non-empty slices is
+    # overwhelmingly certain while still proving the exchange ran wide.
+    assert _runtime_partitions(spread(base, "id")) > n // 2
+
+
+def test_spread_skips_exchange_on_already_wide_narrow_input(spark):
+    """Width-awareness: a shuffle-free input that already reports >= the
+    target width is returned UNCHANGED — no exchange node added — so on
+    a real multi-split cluster spread() stops costing a full shuffle of
+    the base relation (the dq/bootstrap full-table sites)."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.range(0, 10_000, numPartitions=n)
+    assert spread(wide) is wide
+    assert spread(wide, "id") is wide
+    # narrow ops on top keep the lineage probe-able and the skip active
+    wider_sel = wide.select((F.col("id") % 5).alias("k"))
+    assert spread(wider_sel, "k") is wider_sel
+    # runtime width really is preserved without the exchange
+    assert _runtime_partitions(spread(wide)) == n
+
+
+def test_spread_still_exchanges_single_split_and_shuffle_lineage(spark):
+    """The two cases that must KEEP the exchange: (a) a narrow input
+    below the target width (the single-split test-parquet trap), (b) a
+    shuffle-bearing lineage, whose width the helper refuses to probe
+    (doing so would execute the upstream stages under AQE)."""
+    narrow = spark.range(0, 1000, numPartitions=1)
+    assert spread(narrow) is not narrow
+    assert _runtime_partitions(spread(narrow)) > 1
+    hist = (
+        spark.range(0, 1000)
+        .select((F.col("id") % 97).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("c"))
+    )
+    assert spread(hist, "c") is not hist
+    assert _runtime_partitions(spread(hist, "c")) > 1
+
+
+def test_spread_width_aware_conf_gate(spark):
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.range(0, 10_000, numPartitions=n)
+    spark.conf.set("spark.sierradb.spread.widthAware", "false")
+    try:
+        assert spread(wide) is not wide  # gate off → unconditional
+    finally:
+        spark.conf.unset("spark.sierradb.spread.widthAware")
+    assert spread(wide) is wide  # default on
