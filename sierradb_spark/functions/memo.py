@@ -18,10 +18,14 @@ The memos assume:
 2. **Stable executors.** ``localCheckpoint`` blocks are NOT
    fault-tolerant: on a multi-executor cluster, losing an executor
    permanently breaks every plan that references its blocks. Fine in
-   local mode and for bounded bench/audit sessions; for a long-lived
-   cluster session either call :func:`clear_session_memos` after a
-   recovered executor loss or persist the pass to a real table (the
-   production posture — see docs/SCALE.md).
+   local mode and for bounded bench/audit sessions. On a cluster the
+   escape hatch is automatic: ``get_spark`` installs
+   :class:`ExecutorLossListener` for non-local masters, which clears
+   every memo on ``onExecutorRemoved`` so the next consumer rebuilds
+   from the source tables instead of failing on dead blocks. The
+   manual :func:`clear_session_memos` remains for sessions built
+   outside the factory; persisting the pass to a real table is the
+   production posture (see docs/SCALE.md).
 
 Every memo dict in the package is created through :func:`register_memo`
 so the lifecycle hooks cover new families automatically — a family
@@ -75,3 +79,93 @@ def invalidate_sf_dir(sf_dir: str) -> int:
             del d[k]
         dropped += len(stale)
     return dropped
+
+
+class ExecutorLossListener:
+    """Driver-side SparkListener proxy that clears every session memo
+    when an executor is removed — the assumption-2 escape hatch above
+    made automatic. A ``localCheckpoint`` block dies with its executor,
+    so after ANY executor loss every memoized plan may reference dead
+    blocks; clearing is conservative but correct (the next consumer
+    rebuilds from the source tables).
+
+    py4j proxies can only *implement* interfaces, not extend classes,
+    so this implements the full ``SparkListenerInterface`` with a
+    ``__getattr__`` no-op catch-all for every callback other than
+    ``onExecutorRemoved``. Each event on the (async) listener bus costs
+    one py4j round-trip — why :func:`install_executor_loss_listener`
+    is wired up only where executor loss is possible (non-local
+    masters; in ``local[*]`` the sole executor IS the session)."""
+
+    def __init__(self) -> None:
+        self.removals: list[str] = []
+        self.cleared_total = 0
+
+    def onExecutorRemoved(self, event) -> None:
+        try:
+            exec_id = event.executorId()
+        except Exception:
+            exec_id = "?"
+        self.removals.append(exec_id)
+        cleared = clear_session_memos()
+        self.cleared_total += sum(cleared.values())
+        if cleared:
+            import warnings
+
+            warnings.warn(
+                f"executor {exec_id} removed; cleared session memos "
+                f"{cleared} (localCheckpoint blocks may have died with "
+                "it — consumers rebuild cold)",
+                stacklevel=1,
+            )
+
+    def __getattr__(self, name: str):
+        if name.startswith("on"):
+            return lambda *a, **k: None
+        raise AttributeError(name)
+
+    class Java:
+        implements = ["org.apache.spark.scheduler.SparkListenerInterface"]
+
+
+# applicationId -> installed listener (idempotence + test introspection)
+_LISTENERS: dict[str, ExecutorLossListener] = {}
+
+
+def install_executor_loss_listener(spark) -> ExecutorLossListener | None:
+    """Register an :class:`ExecutorLossListener` on ``spark``'s
+    listener bus (idempotent per application). Returns the live
+    listener, or ``None`` if the py4j callback server could not be
+    started (the manual :func:`clear_session_memos` posture remains).
+
+    Called automatically by :func:`sierradb_spark.session.get_spark`
+    for non-local masters; local sessions can opt in explicitly (tests
+    do, via a simulated ``SparkListenerExecutorRemoved`` post)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _LISTENERS:
+        return _LISTENERS[app_id]
+    try:
+        from pyspark.java_gateway import ensure_callback_server_started
+
+        sc = spark.sparkContext
+        ensure_callback_server_started(sc._gateway)
+        listener = ExecutorLossListener()
+        sc._jsc.sc().addSparkListener(listener)
+    except Exception:
+        return None
+    _LISTENERS[app_id] = listener
+    return listener
+
+
+def uninstall_executor_loss_listener(spark) -> bool:
+    """Deregister the application's listener (test hygiene). True if
+    one was installed."""
+    app_id = spark.sparkContext.applicationId
+    listener = _LISTENERS.pop(app_id, None)
+    if listener is None:
+        return False
+    try:
+        spark.sparkContext._jsc.sc().removeSparkListener(listener)
+    except Exception:
+        pass
+    return True

@@ -48,4 +48,15 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local"):
+        # Session memos pin localCheckpoint blocks, which die with their
+        # executor; on a cluster an executor loss must clear them or
+        # every memoized plan breaks on dead blocks. In local mode the
+        # sole executor IS the session, so the listener (one py4j
+        # round-trip per bus event) is pure overhead there.
+        from sierradb_spark.functions.memo import (
+            install_executor_loss_listener,
+        )
+
+        install_executor_loss_listener(spark)
     return spark
