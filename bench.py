@@ -431,7 +431,11 @@ def main() -> int:
         )
         n_live, per_live = (
             max(2, int(os.environ.get("SPARK_GRAFT_LIVE_BATCHES", "10"))),
-            1_000,
+            # batch-size axis of the soak matrix: the lag bound is
+            # claimed per-POLL (O(new commits) manifest tail), not
+            # per-event, so the soak reruns with larger batches at the
+            # same total to show the distribution doesn't move
+            max(1, int(os.environ.get("SPARK_GRAFT_LIVE_EVENTS", "1000"))),
         )
         commit_t: dict[int, float] = {}
         try:
