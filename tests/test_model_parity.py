@@ -173,8 +173,11 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 # read_dead_letters): 17, 29, 47, 61, 89, 211, 401, 613, 881, 1009,
 # 65537, 7919 — and two more r8 batches of 12 each on the post-spread
 # code: 23, 31, 53, 71, 97, 127, 251, 503, 733, 919, 104729, 6700417;
-# 149, 173, 197, 223, 269, 331, 409, 521, 647, 787, 911, 1013 —
-# cumulative distinct seeds green: 76.
+# 149, 173, 197, 223, 269, 331, 409, 521, 647, 787, 911, 1013.
+# Round 9 added 12 more on the r9 code (width-aware spread + memo
+# executor-loss listener landed): 167, 239, 293, 353, 431, 467, 587,
+# 683, 769, 823, 947, 104003 —
+# cumulative distinct seeds green: 88.
 _SEEDS = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "11,42").split(",")
