@@ -146,7 +146,12 @@ def main() -> int:
         "gated": settled_load1 is not None and settled_load1 <= gate,
     }
     print(f"# iterative settle: {iterative_probe}", file=sys.stderr)
-    k_iter = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K_ITER", "2")))
+    # best-of-3: at this (early) position rep 1 pays the session's
+    # memo builds and fan-out codegen, rep 2 still carries JIT residue
+    # (measured: label_prop 9.2 -> 1.6 -> 1.4 s on a fresh session);
+    # the third rep costs ~10 s of wall across the five queries and is
+    # what makes the recorded best a code property, not a warm-up one.
+    k_iter = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K_ITER", "3")))
     iter_names = [
         "label_prop_communities",
         "kcore_near_dup",
