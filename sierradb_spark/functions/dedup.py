@@ -500,24 +500,35 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact comparison the oracle's hits CTE applies at its
     # loosest threshold — so sub-0.2 pairs are dropped BEFORE the
     # 7-way threshold explode with zero parity risk.
-    pairs = _jaccard_pairs(
-        spark, sf_dir, 0.0, ratio_bound=0.19995
-    ).where(F.col("jaccard") >= min(SENSITIVITY_THRESHOLDS))
+    # The barrier sits on PAIRS, before the 7-way threshold explode:
+    # the jaccard column is an array_intersect expression, and project
+    # collapse re-evaluates it through every downstream explode row
+    # (measured r9: an un-barriered single-pass plan re-ran the
+    # intersect per (pair x threshold x expand) — 39 s cold vs 6 s).
+    # Checkpointing here materializes the intersect ONCE into a buffer
+    # 7x smaller than the old post-explode `hits` checkpoint.
+    pairs = (
+        _jaccard_pairs(spark, sf_dir, 0.0, ratio_bound=0.19995)
+        .where(F.col("jaccard") >= min(SENSITIVITY_THRESHOLDS))
+        .localCheckpoint(eager=True)
+    )
     thr = F.explode(
         F.array(*[F.lit(float(t)) for t in SENSITIVITY_THRESHOLDS])
     ).alias("threshold")
-    hits = (
+    # ONE aggregation pass off the checkpoint: after the doc explode
+    # every surviving pair contributes exactly two rows to its
+    # threshold, so n_pairs is count(*)/2 in the same groupBy as the
+    # distinct-doc count — no second aggregate and no join (the old
+    # shape checkpointed 7x the rows, aggregated twice, and joined).
+    docs = (
         pairs.select("doc_a", "doc_b", "jaccard", thr)
         .where(F.col("jaccard") >= F.col("threshold"))
-        .localCheckpoint(eager=True)  # read by both aggregates below
-    )
-    n_pairs = hits.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
-    n_docs = (
-        hits.select(
+        .select(
             "threshold",
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
         )
-        .groupBy("threshold")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
     )
-    return n_pairs.join(n_docs, "threshold")
+    return docs.groupBy("threshold").agg(
+        (F.count("*") / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
