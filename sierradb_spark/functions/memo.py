@@ -20,9 +20,12 @@ The memos assume:
    permanently breaks every plan that references its blocks. Fine in
    local mode and for bounded bench/audit sessions. On a cluster the
    escape hatch is automatic: ``get_spark`` installs
-   :class:`ExecutorLossListener` for non-local masters, which clears
-   every memo on ``onExecutorRemoved`` so the next consumer rebuilds
-   from the source tables instead of failing on dead blocks. The
+   :class:`ExecutorLossListener` for non-local masters, which on
+   ``onExecutorRemoved`` drops exactly the entries whose build-time
+   executor stamp contains the removed id (entries built while that
+   executor was absent cannot reference its blocks and stay warm —
+   what keeps memos useful under dynamic allocation), so the next
+   consumer rebuilds from the source tables instead of failing. The
    manual :func:`clear_session_memos` remains for sessions built
    outside the factory; persisting the pass to a real table is the
    production posture (see docs/SCALE.md).
@@ -35,7 +38,52 @@ why ``tests/test_dedup_wide.py`` asserts the registered-family names.
 
 from __future__ import annotations
 
-_FAMILIES: dict[str, dict] = {}
+
+def _live_executor_ids(df) -> frozenset[str] | None:
+    """Executor ids currently alive in ``df``'s SparkContext, or None
+    if introspection fails (e.g. a mocked session). Used to stamp memo
+    entries at build time: a localCheckpoint's blocks can only live on
+    executors that existed when it materialized, so a LATER-joining
+    executor's removal (routine under dynamic allocation) cannot have
+    killed them."""
+    try:
+        sc = df.sparkSession.sparkContext
+        if sc.master.startswith("local"):
+            # the sole executor IS the driver; getExecutorIds() would
+            # return empty (and log a scheduler warning) here
+            return frozenset({"driver"})
+        seq = sc._jsc.sc().getExecutorIds()  # Scala Seq via py4j
+        return frozenset(str(seq.apply(i)) for i in range(seq.size()))
+    except Exception:
+        return None
+
+
+class _MemoDict(dict):
+    """A memo family: ``(applicationId, sf_dir) -> DataFrame`` with the
+    live-executor set stamped per entry at insertion time (kept in a
+    side table so consumers keep the plain-dict interface). The stamp
+    lets :func:`invalidate_executor` drop exactly the entries whose
+    blocks the removed executor could hold, instead of nuking every
+    memo on every routine dynamic-allocation removal."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.built_on: dict = {}
+
+    def __setitem__(self, key, df) -> None:
+        super().__setitem__(key, df)
+        self.built_on[key] = _live_executor_ids(df)
+
+    def __delitem__(self, key) -> None:
+        super().__delitem__(key)
+        self.built_on.pop(key, None)
+
+    def clear(self) -> None:
+        super().clear()
+        self.built_on.clear()
+
+
+_FAMILIES: dict[str, _MemoDict] = {}
 
 
 def register_memo(name: str) -> dict:
@@ -44,7 +92,7 @@ def register_memo(name: str) -> dict:
     returned dict is the module's memo store."""
     if name in _FAMILIES:
         raise ValueError(f"duplicate memo family {name}")
-    _FAMILIES[name] = {}
+    _FAMILIES[name] = _MemoDict()
     return _FAMILIES[name]
 
 
@@ -81,13 +129,40 @@ def invalidate_sf_dir(sf_dir: str) -> int:
     return dropped
 
 
+def invalidate_executor(executor_id: str) -> dict[str, int]:
+    """Drop the memo entries whose localCheckpoint blocks MAY have
+    lived on ``executor_id``: those whose build-time executor stamp
+    contains the id, plus any entry without a stamp (introspection
+    failed at build — conservatively assume affected). An entry built
+    while the executor was NOT alive cannot reference its blocks and
+    stays warm — which is what keeps memos useful under dynamic
+    allocation, where idle executors are removed routinely. Returns
+    entries dropped per family."""
+    dropped: dict[str, int] = {}
+    ex = str(executor_id)
+    for name, d in _FAMILIES.items():
+        stale = [
+            k
+            for k in d
+            if (s := d.built_on.get(k)) is None or ex in s
+        ]
+        for k in stale:
+            del d[k]
+        if stale:
+            dropped[name] = len(stale)
+    return dropped
+
+
 class ExecutorLossListener:
-    """Driver-side SparkListener proxy that clears every session memo
+    """Driver-side SparkListener proxy that invalidates session memos
     when an executor is removed — the assumption-2 escape hatch above
     made automatic. A ``localCheckpoint`` block dies with its executor,
-    so after ANY executor loss every memoized plan may reference dead
-    blocks; clearing is conservative but correct (the next consumer
-    rebuilds from the source tables).
+    so a memoized plan built while that executor was alive may now
+    reference dead blocks; the listener drops exactly those entries
+    (build-time executor stamp, see :class:`_MemoDict`) so routine
+    dynamic-allocation removals of later-joined executors leave
+    unaffected memos warm. The next consumer of a dropped entry
+    rebuilds from the source tables.
 
     py4j proxies can only *implement* interfaces, not extend classes,
     so this implements the full ``SparkListenerInterface`` with a
@@ -107,7 +182,16 @@ class ExecutorLossListener:
         except Exception:
             exec_id = "?"
         self.removals.append(exec_id)
-        cleared = clear_session_memos()
+        # Targeted: only entries whose build-time executor stamp
+        # contains the removed id (or that have no stamp) can reference
+        # its blocks; memos built after a dynamic-allocation executor
+        # idled out stay warm. An unknown id ("?") degrades to the
+        # stampless-entry rule plus everything stamped — i.e. full
+        # clear — via invalidate_executor's conservative matching.
+        if exec_id == "?":
+            cleared = clear_session_memos()
+        else:
+            cleared = invalidate_executor(exec_id)
         self.cleared_total += sum(cleared.values())
         if cleared:
             import warnings

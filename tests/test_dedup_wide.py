@@ -139,13 +139,16 @@ def test_memo_lifecycle_hooks(spark):
 def test_executor_loss_listener_clears_memos(spark):
     """r9 (VERDICT r8 item 5): the documented manual escape hatch —
     "call clear_session_memos() after an executor loss, its
-    localCheckpoint blocks died" — made automatic. The listener is
-    auto-installed by get_spark for NON-local masters only (executor
-    loss is impossible in local[*], and each bus event costs a py4j
-    round-trip), so this test opts in explicitly, then drives a
-    simulated SparkListenerExecutorRemoved through the REAL listener
-    bus and asserts the memos were cleared and the next consumer
-    rebuilds."""
+    localCheckpoint blocks died" — made automatic AND targeted. The
+    listener is auto-installed by get_spark for NON-local masters only
+    (executor loss is impossible in local[*], and each bus event costs
+    a py4j round-trip), so this test opts in explicitly, then drives
+    simulated SparkListenerExecutorRemoved events through the REAL
+    listener bus: one for an executor that was never alive at any memo
+    build (memos must SURVIVE — routine dynamic-allocation removals
+    must not nuke the cache) and one for the executor in the entries'
+    build-time stamp (memos must clear and the next consumer
+    rebuild)."""
     import time
 
     from sierradb_spark.functions import dedup_wide
@@ -155,6 +158,17 @@ def test_executor_loss_listener_clears_memos(spark):
         memo_families,
         uninstall_executor_loss_listener,
     )
+
+    def _post_removal(exec_id: str) -> None:
+        jvm = spark.sparkContext._gateway.jvm
+        event = jvm.org.apache.spark.scheduler.SparkListenerExecutorRemoved(
+            int(time.time() * 1000), exec_id, "simulated loss"
+        )
+        spark.sparkContext._jsc.sc().listenerBus().post(event)
+        deadline = time.time() + 30  # the bus is async
+        while time.time() < deadline and exec_id not in listener.removals:
+            time.sleep(0.1)
+        assert exec_id in listener.removals
 
     app = spark.sparkContext.applicationId
     # local factory sessions must NOT have auto-installed the listener
@@ -167,20 +181,22 @@ def test_executor_loss_listener_clears_memos(spark):
     try:
         small = "/root/testdata/sf0.001"
         before = dedup_wide._wide_bands(spark, small)
-        assert (app, small) in dedup_wide._BANDS_MEMO
+        key = (app, small)
+        assert key in dedup_wide._BANDS_MEMO
+        # local-mode build stamp: blocks live on the driver executor
+        assert dedup_wide._BANDS_MEMO.built_on[key] == frozenset({"driver"})
 
-        jvm = spark.sparkContext._gateway.jvm
-        event = jvm.org.apache.spark.scheduler.SparkListenerExecutorRemoved(
-            int(time.time() * 1000), "exec-lost-sim", "simulated loss"
-        )
-        spark.sparkContext._jsc.sc().listenerBus().post(event)
+        # 1) an executor absent from every build stamp is removed:
+        #    the memo stays warm (same object served)
+        _post_removal("exec-joined-later")
+        assert dedup_wide._BANDS_MEMO.get(key) is before
+        assert dedup_wide._wide_bands(spark, small) is before
 
-        deadline = time.time() + 30  # the bus is async
-        while time.time() < deadline and "exec-lost-sim" not in listener.removals:
-            time.sleep(0.1)
-        assert "exec-lost-sim" in listener.removals
+        # 2) the stamped executor is removed: exactly those entries go,
+        #    and the next consumer rebuilds instead of serving the
+        #    dead-block plan
+        _post_removal("driver")
         assert all(n == 0 for n in memo_families().values())
-        # next consumer rebuilds instead of serving the dead-block plan
         rebuilt = dedup_wide._wide_bands(spark, small)
         assert rebuilt is not before
         assert rebuilt.count() == 8000
