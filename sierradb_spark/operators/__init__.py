@@ -142,9 +142,35 @@ REGISTRY.reorder_front(_FRONT_50)
 # Round-10 rotation plan (staged; do NOT reorder before the r9 gate has
 # run on the window above). Continue the freshness ladder: the next
 # window is the 50 queries whose most recent driver evidence is oldest
-# AFTER this window lands — the remaining r4 rows plus the oldest r5
-# rows. Compute it the same way (set-diff CORRECTNESS_r01–r09 at the
-# start of r10) rather than trusting this comment, in case the r9
+# AFTER this window lands — computed from CORRECTNESS_r01–r08 with the
+# window above counted as round-9 evidence: the 9 remaining r4 rows
+# (chunk_dedup_survivors, doc_repetition_gopher,
+# embedding_near_dup_bucketed, kmeans_embedding_clusters,
+# pii_redacted_corpus, repeated_span_stats, semdedup_survivors,
+# sq8_quantized_recall, substring_scrubbed_corpus) plus the 41
+# alphabetically-first r5 rows: basket_association_rules,
+# blocked_name_match_stats, bloom_membership_audit, bm25_top_docs,
+# bpe_encode_stats, bpe_learn_merges, cms_heavy_hitters,
+# containment_partial_dup, cross_lingual_template_pairs,
+# dedup_attribution_by_source, dedup_threshold_sensitivity,
+# dq_completeness_report, dsir_importance_weights,
+# event_conditional_entropy, event_type_trigrams,
+# gapfill_hourly_rollup, hard_negative_mining, heaps_law_vocab_growth,
+# ivf_cell_balance_audit, ivf_pq_adc_topk, join_key_skew_audit,
+# kl_source_divergence, label_prop_communities, late_arrival_stats,
+# lsh_join_cost_audit, markov_stationary_distribution,
+# matryoshka_truncation_recall, minhash_verified_pairs,
+# multitouch_attribution, partition_balance_audit, pq_adc_recall,
+# quality_dup_calibration, quality_lr_calibration,
+# quality_lr_classifier, rake_keyphrases, rrf_hybrid_topk,
+# scd2_entity_history, sorted_neighborhood_matches,
+# source_overlap_matrix, split_leakage_audit, token_budget_allocation.
+# Several run on paths touched in r8-r9 (blocked_name_match/dsir
+# spread probes, dq's projected width-aware spread,
+# dedup_threshold_sensitivity's r9 one-pass aggregate,
+# label_prop/quality_dup_calibration on the memo stamps), so fresh
+# rows again double as evidence on current code. Re-verify the list by
+# set-diffing CORRECTNESS_r01–r09 at the start of r10 in case the r9
 # window is recorded differently than staged.
 
 __all__ = ["Query", "Registry", "REGISTRY", "load"]
