@@ -186,16 +186,28 @@ def test_executor_loss_listener_clears_memos(spark):
         # local-mode build stamp: blocks live on the driver executor
         assert dedup_wide._BANDS_MEMO.built_on[key] == frozenset({"driver"})
 
-        # 1) an executor absent from every build stamp is removed:
-        #    the memo stays warm (same object served)
+        # 1) an executor absent from every build stamp is removed,
+        #    through the REAL bus (wiring proof): the memo stays warm
+        #    (same object served)
         _post_removal("exec-joined-later")
         assert dedup_wide._BANDS_MEMO.get(key) is before
         assert dedup_wide._wide_bands(spark, small) is before
 
         # 2) the stamped executor is removed: exactly those entries go,
         #    and the next consumer rebuilds instead of serving the
-        #    dead-block plan
-        _post_removal("driver")
+        #    dead-block plan. Invoked DIRECTLY (duck-typed event), not
+        #    through the bus: posting a fake removal of "driver" — the
+        #    real local-mode executor — poisons Spark's own listeners
+        #    (heartbeat tracking drops the executor, and ~60 failed
+        #    10 s heartbeats later the executor self-terminates, which
+        #    killed the JVM ~10 min into two full-suite runs before
+        #    this was traced).
+        class _FakeRemoval:
+            def executorId(self):
+                return "driver"
+
+        listener.onExecutorRemoved(_FakeRemoval())
+        assert "driver" in listener.removals
         assert all(n == 0 for n in memo_families().values())
         rebuilt = dedup_wide._wide_bands(spark, small)
         assert rebuilt is not before
