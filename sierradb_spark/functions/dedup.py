@@ -395,6 +395,65 @@ def _shingle_sets_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# The exact-jaccard PAIR relation is itself memoized: the self-join +
+# array_intersect over every size-ratio-eligible pair is the dominant
+# cost of both exact-jaccard audits (~3 s warm at sf0.1 per query even
+# with the shingle sets pinned), while its RESULT — pairs at or above
+# the loosest registry threshold — is a few hundred rows. The base
+# keeps the UNROUNDED jaccard so every consumer's filter (raw >= 0.2
+# for the similar-pairs audit, rounded >= 0.2 for the sensitivity
+# sweep) derives exactly. 0.19995 is the 4-dp round-up boundary of the
+# loosest threshold (round(x,4) >= 0.2 <=> x >= 0.19995), so nothing a
+# consumer could keep is pre-dropped. At 100 TB this memo is the
+# engine-session analogue of the near-dup pair table a production
+# pipeline persists (streaming/corpus.py posture).
+_JACCARD_PAIRS_MEMO = register_memo("dedup.jaccard_pairs")
+_JACCARD_BASE_MIN = 0.19995
+
+
+def _jaccard_pairs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jac_raw): source-blocked pairs with RAW jaccard
+    >= ``_JACCARD_BASE_MIN``, materialized once per (session, sf_dir)
+    behind an eager checkpoint."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _JACCARD_PAIRS_MEMO.get(key)
+    if df is not None:
+        return df
+    sh = _shingle_sets_pinned(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(
+        F.array_intersect(F.col("a.shingle_set"), F.col("b.shingle_set"))
+    )
+    union = (
+        F.size(F.col("a.shingle_set")) + F.size(F.col("b.shingle_set")) - inter
+    )
+    jac = inter.cast("double") / F.nullif(union, F.lit(0))
+    df = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio prune: jac <= min/max sizes, so this drops only
+            # pairs the raw filter below drops anyway — BEFORE paying
+            # for the intersect.
+            & (
+                F.least(F.col("a.ns"), F.col("b.ns")).cast("double")
+                / F.greatest(F.col("a.ns"), F.col("b.ns"))
+                >= _JACCARD_BASE_MIN
+            ),
+        )
+        .where(jac >= _JACCARD_BASE_MIN)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jac_raw"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _JACCARD_PAIRS_MEMO[key] = df
+    return df
+
+
 def _jaccard_pairs(
     spark: SparkSession, sf_dir: str, min_jac: float,
     ratio_bound: float | None = None,
@@ -407,9 +466,22 @@ def _jaccard_pairs(
     a bound implied by the caller's effective threshold drops only
     pairs that threshold would drop anyway — result-identical, but the
     (dominant) array_intersect cost is skipped for hopeless pairs.
-    Defaults to ``min_jac`` when positive."""
+    Defaults to ``min_jac`` when positive.
+
+    When the caller's effective bound is at or above the memoized
+    base's floor (every registry consumer today), the pairs are a
+    cheap filter over :func:`_jaccard_pairs_base` instead of a fresh
+    self-join: raw jac <= size ratio, so {raw >= t} is identical with
+    or without a ratio prune at t >= the base floor."""
     if ratio_bound is None and min_jac > 0:
         ratio_bound = min_jac
+    if max(min_jac, ratio_bound or 0.0) >= _JACCARD_BASE_MIN:
+        base = _jaccard_pairs_base(spark, sf_dir)
+        return base.where(F.col("jac_raw") >= min_jac).select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jac_raw"), 4).alias("jaccard"),
+        )
     sh = _shingle_sets_pinned(spark, sf_dir)
     a = sh.alias("a")
     b = sh.alias("b")
@@ -500,17 +572,15 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact comparison the oracle's hits CTE applies at its
     # loosest threshold — so sub-0.2 pairs are dropped BEFORE the
     # 7-way threshold explode with zero parity risk.
-    # The barrier sits on PAIRS, before the 7-way threshold explode:
-    # the jaccard column is an array_intersect expression, and project
-    # collapse re-evaluates it through every downstream explode row
-    # (measured r9: an un-barriered single-pass plan re-ran the
-    # intersect per (pair x threshold x expand) — 39 s cold vs 6 s).
-    # Checkpointing here materializes the intersect ONCE into a buffer
-    # 7x smaller than the old post-explode `hits` checkpoint.
-    pairs = (
-        _jaccard_pairs(spark, sf_dir, 0.0, ratio_bound=0.19995)
-        .where(F.col("jaccard") >= min(SENSITIVITY_THRESHOLDS))
-        .localCheckpoint(eager=True)
+    # The expensive intersect self-join is materialized by the
+    # dedup.jaccard_pairs session memo (the barrier must sit BEFORE
+    # the 7-way threshold explode: jaccard is an expression, and
+    # project collapse re-evaluates it through every downstream
+    # explode row — measured r9: an un-barriered single-pass plan
+    # re-ran the intersect per (pair x threshold x expand), 39 s cold
+    # vs 6 s). Here only cheap scalar ops run on top of the memo.
+    pairs = _jaccard_pairs(spark, sf_dir, 0.0, ratio_bound=0.19995).where(
+        F.col("jaccard") >= min(SENSITIVITY_THRESHOLDS)
     )
     thr = F.explode(
         F.array(*[F.lit(float(t)) for t in SENSITIVITY_THRESHOLDS])

@@ -107,6 +107,7 @@ def test_memo_lifecycle_hooks(spark):
     # dict would silently escape the lifecycle hooks.
     assert set(memo_families()) == {
         "dedup.shingle_sets",
+        "dedup.jaccard_pairs",
         "dedup_wide.bands",
         "dedup_wide.candidates",
         "dedup_wide.wide_labels",
