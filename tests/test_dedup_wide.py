@@ -114,6 +114,8 @@ def test_memo_lifecycle_hooks(spark):
         "pipeline.scored_pairs",
         "pipeline.edges",
         "pipeline.labels",
+        "bpe.merges",
+        "bpe.encoded_vocab",
     }
 
     small, big = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
