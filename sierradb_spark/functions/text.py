@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sierradb_spark.registry import Registry, load
+from sierradb_spark.functions.memo import register_memo
 
 REG = Registry()
 
@@ -217,6 +218,9 @@ WINNOW_K = 8  # k-gram length (chars)
 WINNOW_W = 4  # winnowing window (k-grams)
 WINNOW_MOD = 2**31 - 1
 
+# Session memo of the winnowed fingerprint relation (see winnow_fps_df).
+_WINNOW_FPS_MEMO = register_memo("text.winnow_fps")
+
 
 # Shared oracle CTEs: rolling k-gram hashes -> winnowed fingerprint set
 # per document ((doc_id, fps) in CTE ``w``). Reused by the near-dup
@@ -272,7 +276,15 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fps): the winnowed fingerprint set per document — the
     Spark twin of the ``w`` CTE in ``_SQL_WINNOW_CTES`` (change both
-    together or oracles diverge)."""
+    together or oracles diverge). Memoized per (session, sf_dir): the
+    per-char rolling-hash passes are the dominant cost of BOTH
+    consumers (the fingerprint summary and the shared-fingerprint
+    pair join), and a production pipeline persists the fingerprint
+    table once per corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _WINNOW_FPS_MEMO.get(key)
+    if cached is not None:
+        return cached
     d = load(spark, sf_dir, "documents")
     text = F.col("text")
     # Stage char codes once (split+ascii is O(len)), MATERIALIZED:
@@ -315,7 +327,11 @@ def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return staged.select("doc_id", fps.alias("fps"))
+    out = staged.select("doc_id", fps.alias("fps")).localCheckpoint(
+        eager=True
+    )
+    _WINNOW_FPS_MEMO[key] = out
+    return out
 
 
 @REG.add(

@@ -116,6 +116,7 @@ def test_memo_lifecycle_hooks(spark):
         "pipeline.labels",
         "bpe.merges",
         "bpe.encoded_vocab",
+        "text.winnow_fps",
     }
 
     small, big = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
