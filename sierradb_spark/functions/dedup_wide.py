@@ -415,12 +415,22 @@ _SQL_SIMHASH64 = f"""
 """
 
 
+_SIMHASH64_MEMO = register_memo("dedup_wide.simhash64")
+
+
 def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash64): 64-bit simhash as a 16-char hex string.
 
     Hex-string representation sidesteps BIGINT sign overflow at bit 63
     and makes band extraction a substring — identical in both engines.
-    """
+    Memoized per (session, sf_dir): the 64 bit-vote passes over the
+    token digests are the dominant cost of both consumers (signatures
+    + Hamming candidates), and the result is one short string per
+    document — the signature table a production pipeline persists."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIMHASH64_MEMO.get(key)
+    if cached is not None:
+        return cached
     d = load(spark, sf_dir, "documents")
     toks = F.when(
         F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
@@ -458,7 +468,11 @@ def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(1, 4):
             val = val + vote(j, i)
         chars.append(F.substr(F.lit(_HEX), val + 1, F.lit(1)))
-    return digests.select("doc_id", F.concat(*chars).alias("simhash64"))
+    out = digests.select(
+        "doc_id", F.concat(*chars).alias("simhash64")
+    ).localCheckpoint(eager=True)
+    _SIMHASH64_MEMO[key] = out
+    return out
 
 
 @REG.add(

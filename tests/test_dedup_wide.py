@@ -117,6 +117,7 @@ def test_memo_lifecycle_hooks(spark):
         "bpe.merges",
         "bpe.encoded_vocab",
         "text.winnow_fps",
+        "dedup_wide.simhash64",
     }
 
     small, big = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
