@@ -419,6 +419,17 @@ def _jaccard_pairs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _JACCARD_PAIRS_MEMO.get(key)
     if df is not None:
         return df
+    df = _build_jaccard_pairs_base(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    _JACCARD_PAIRS_MEMO[key] = df
+    return df
+
+
+def _build_jaccard_pairs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base's plan, pre-checkpoint — split out so the plan-shape
+    test can assert the pair generation is a source-blocked EQUI-join
+    (the memoized relation's own plan is just a checkpoint scan)."""
     sh = _shingle_sets_pinned(spark, sf_dir)
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(
@@ -448,9 +459,7 @@ def _jaccard_pairs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             jac.alias("jac_raw"),
         )
-        .localCheckpoint(eager=True)
     )
-    _JACCARD_PAIRS_MEMO[key] = df
     return df
 
 

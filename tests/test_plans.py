@@ -601,14 +601,13 @@ def test_threshold_sweep_pairs_source_blocked(spark, sf_dir):
     """The sensitivity sweep computes pairs ONCE at the loosest
     threshold through the same source-blocked equi-join as
     ngram_jaccard_similar_pairs — never a cartesian re-pairing per
-    threshold."""
-    from sierradb_spark.functions.dedup import (
-        SENSITIVITY_THRESHOLDS,
-        _jaccard_pairs,
-    )
+    threshold. Asserted on the memo BUILDER's plan: the consumers see
+    a checkpoint scan (r9 dedup.jaccard_pairs memo), so the join shape
+    lives in the build path."""
+    from sierradb_spark.functions.dedup import _build_jaccard_pairs_base
 
     f = assert_plan(
-        _jaccard_pairs(spark, sf_dir, min(SENSITIVITY_THRESHOLDS)),
+        _build_jaccard_pairs_base(spark, sf_dir),
         forbid_nested_loop=True,
     )
     assert f["sort_merge_joins"] + f["broadcast_hash_joins"] >= 1
