@@ -176,8 +176,10 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 # 149, 173, 197, 223, 269, 331, 409, 521, 647, 787, 911, 1013.
 # Round 9 added 12 more on the r9 code (width-aware spread + memo
 # executor-loss listener landed): 167, 239, 293, 353, 431, 467, 587,
-# 683, 769, 823, 947, 104003 —
-# cumulative distinct seeds green: 88.
+# 683, 769, 823, 947, 104003 — and a second r9 batch of 12 on the
+# final r9 code (memo pass + targeted executor-loss invalidation):
+# 181, 227, 281, 349, 419, 457, 569, 641, 743, 829, 953, 1000033 —
+# cumulative distinct seeds green: 100.
 _SEEDS = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "11,42").split(",")
