@@ -427,12 +427,17 @@ def main() -> int:
                     delivered_n[b] = delivered_n.get(b, 0) + 1
                     delivered_t[b] = t
 
+        # trigger axis of the soak matrix: the lag FLOOR is claimed to
+        # scale with this knob (commit-visibility poll), not the table
+        live_trigger = os.environ.get(
+            "SPARK_GRAFT_LIVE_TRIGGER", "250 milliseconds"
+        )
         sub_live = Subscription(live_store, PartitionMatcher())
         q_live = sub_live.start(
             _deliver,
             checkpoint=os.path.join(scratch, "live_ckpt"),
             available_now=False,
-            trigger_interval="250 milliseconds",
+            trigger_interval=live_trigger,
         )
         n_live, per_live = (
             max(2, int(os.environ.get("SPARK_GRAFT_LIVE_BATCHES", "10"))),
@@ -486,7 +491,7 @@ def main() -> int:
             "events_per_batch": per_live,
             "events_delivered": n_delivered_live,
             "events_expected": n_live * per_live,
-            "trigger_interval": "250 milliseconds",
+            "trigger_interval": live_trigger,
             "batches_fully_delivered": len(lags),
             "lag_clamped_negative": neg_clamped,
             "lag_seconds": {
