@@ -1,0 +1,116 @@
+"""Real multi-JVM verification of the memo cluster path.
+
+Everything about the executor-loss machinery was previously verified in
+``local[*]`` with SIMULATED ``SparkListenerExecutorRemoved`` events
+(tests/test_dedup_wide.py) — the stamps were always ``{"driver"}`` and
+no block ever actually lived off-driver. Spark's ``local-cluster[n,c,m]``
+master launches a real standalone master/worker plus SEPARATE executor
+JVMs inside this container, which lets the whole story run for real:
+
+- ``get_spark`` must auto-install the loss listener (the r10
+  ``local-cluster`` master fix: the old ``startswith("local")`` check
+  classified it as local, stamped ``{"driver"}``, and skipped the
+  listener — on the one master where executor loss genuinely kills
+  localCheckpoint blocks),
+- memo stamps must carry REAL executor ids,
+- ``SparkContext.killExecutor`` of a stamped executor must flow through
+  the real listener bus into the targeted invalidation, the entry's
+  blocks must be released, and the next consumer must rebuild on the
+  survivor,
+- a removal of an executor absent from every stamp must leave the
+  rebuilt entry warm (the dynamic-allocation targeting claim).
+
+A second SparkContext cannot coexist with the suite's session-scoped
+fixture, so the scenario runs in a subprocess with its own JVM. ~60 s.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_SCENARIO = r"""
+import time
+
+from sierradb_spark.session import get_spark
+from sierradb_spark.functions import dedup_wide
+from sierradb_spark.functions.memo import _LISTENERS
+
+spark = get_spark(
+    app_name="lc-memo-scenario",
+    master="local-cluster[2,1,2048]",
+    shuffle_partitions=4,
+    extra_conf={
+        "spark.executor.memory": "1g",
+        "spark.driver.memory": "2g",
+    },
+)
+sc = spark.sparkContext
+sf = "/root/testdata/sf0.001"
+key = (sc.applicationId, sf)
+
+# 1) the factory classified local-cluster as a CLUSTER master
+listener = _LISTENERS.get(sc.applicationId)
+assert listener is not None, "loss listener not auto-installed"
+
+# 2) a memo built here is stamped with the real executor ids
+bands = dedup_wide._wide_bands(spark, sf)
+assert bands.count() == 8000
+stamp = dedup_wide._BANDS_MEMO.built_on[key]
+assert stamp == frozenset({"0", "1"}), stamp
+rdd_id = bands._jdf.queryExecution().analyzed().rdd().id()
+cached = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+assert rdd_id in cached, "checkpoint blocks not registered"
+
+# 3) kill a stamped executor FOR REAL: the removal must reach the
+# listener through the real bus and drop exactly this entry
+assert sc._jsc.sc().killExecutor("0")
+deadline = time.time() + 90
+while time.time() < deadline and "0" not in listener.removals:
+    time.sleep(0.5)
+assert "0" in listener.removals, listener.removals
+assert key not in dedup_wide._BANDS_MEMO, "stamped entry not dropped"
+cached = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+assert rdd_id not in cached, "dropped entry's blocks not released"
+
+# 4) the next consumer rebuilds on the survivor, stamped accordingly
+rebuilt = dedup_wide._wide_bands(spark, sf)
+assert rebuilt is not bands
+assert rebuilt.count() == 8000
+assert dedup_wide._BANDS_MEMO.built_on[key] == frozenset({"1"})
+
+# 5) targeting: a removal of an executor in NO stamp (posted through
+# the real bus — a benign fake id, never the driver) leaves it warm
+jvm = sc._gateway.jvm
+event = jvm.org.apache.spark.scheduler.SparkListenerExecutorRemoved(
+    int(time.time() * 1000), "exec-joined-later", "simulated scale-down"
+)
+sc._jsc.sc().listenerBus().post(event)
+deadline = time.time() + 30
+while time.time() < deadline and "exec-joined-later" not in listener.removals:
+    time.sleep(0.2)
+assert "exec-joined-later" in listener.removals
+assert dedup_wide._wide_bands(spark, sf) is rebuilt, "warm memo nuked"
+
+spark.stop()
+print("LOCAL-CLUSTER-SCENARIO-OK")
+"""
+
+
+def test_memo_loss_machinery_on_real_executors():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCENARIO],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd="/tmp",
+    )
+    assert proc.returncode == 0, (
+        f"scenario failed\nstdout:\n{proc.stdout[-4000:]}\n"
+        f"stderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "LOCAL-CLUSTER-SCENARIO-OK" in proc.stdout
