@@ -484,7 +484,14 @@ def _jaccard_pairs(
     or without a ratio prune at t >= the base floor."""
     if ratio_bound is None and min_jac > 0:
         ratio_bound = min_jac
-    if max(min_jac, ratio_bound or 0.0) >= _JACCARD_BASE_MIN:
+    # Gate on min_jac alone, NOT max(min_jac, ratio_bound): the base
+    # relation applies a RAW-jaccard floor, while a ratio prune only
+    # bounds jaccard from above — a caller with min_jac below the floor
+    # but ratio_bound above it is documented to receive ratio-pruned
+    # pairs whose raw jaccard is below the floor, which the base has
+    # already dropped. (Both registry consumers pass min_jac >= 0.2, so
+    # this is contract hygiene, not a behavior change for them.)
+    if min_jac >= _JACCARD_BASE_MIN:
         base = _jaccard_pairs_base(spark, sf_dir)
         return base.where(F.col("jac_raw") >= min_jac).select(
             "doc_a",
