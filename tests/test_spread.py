@@ -123,3 +123,46 @@ def test_spread_width_aware_conf_gate(spark):
     finally:
         spark.conf.unset("spark.sierradb.spread.widthAware")
     assert spread(wide) is wide  # default on
+
+
+def test_exchange_nodes_regex_canary(spark):
+    """r10 (VERDICT r9 residual): ``_EXCHANGE_NODES`` is a regex over
+    analyzed-plan strings, so a node rename in a future Spark version
+    would silently disable the width-aware skip (safe direction — an
+    extra exchange, never wrongness — but it should fail LOUDLY). Pin
+    both directions: every exchange-introducing lineage kind matches,
+    and a narrow scan-project lineage — including a column literally
+    named ``join_key`` — does not."""
+    from pyspark.sql import Window
+
+    from sierradb_spark.registry import _EXCHANGE_NODES
+
+    def plan(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
+    narrow = spark.range(0, 100).select(
+        (F.col("id") % 5).alias("join_key"), F.col("id")
+    )
+    assert not _EXCHANGE_NODES.search(plan(narrow))
+
+    shuffling = {
+        "aggregate": narrow.groupBy("join_key").agg(F.count("*").alias("c")),
+        "join": narrow.join(
+            spark.range(0, 10).select(F.col("id").alias("rid")),
+            narrow.id == F.col("rid"),
+        ),
+        "window": narrow.select(
+            F.row_number()
+            .over(Window.partitionBy("join_key").orderBy("id"))
+            .alias("r")
+        ),
+        "distinct": narrow.distinct(),
+        "sort": narrow.orderBy("id"),
+        "repartition": narrow.repartition(4, "join_key"),
+    }
+    for kind, df in shuffling.items():
+        assert _EXCHANGE_NODES.search(plan(df)), (
+            f"{kind} lineage no longer matches _EXCHANGE_NODES — "
+            "Spark renamed the node; update the regex or the "
+            "width-aware skip silently turns off\n" + plan(df)
+        )
