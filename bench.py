@@ -87,7 +87,20 @@ def main() -> int:
 
     k = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K", "3")))
     timings: dict[str, float] = {}
-    for name, q in headline.items():
+    # Fixed canonical order (sorted by name), NOT registry order: the
+    # registry front-50 rotates every round for the driver's
+    # correctness window, and whichever headline query happened to run
+    # first absorbed the remaining first-query warm-up (r9:
+    # user_state_projection 0.333 -> 0.795 s purely because the
+    # rotation moved it to slot 1). Sorting freezes each query's
+    # position across rounds, and the untimed warm-up rep below
+    # removes the first-slot penalty from the one query that still
+    # pays it.
+    headline_order = sorted(headline)
+    first = headline[headline_order[0]]
+    first.spark(spark, sf_dir).collect()
+    for name in headline_order:
+        q = headline[name]
         runs: list[float] = []
         n = 0
         for _ in range(k):
