@@ -93,6 +93,18 @@ while time.time() < deadline and "exec-joined-later" not in listener.removals:
 assert "exec-joined-later" in listener.removals
 assert dedup_wide._wide_bands(spark, sf) is rebuilt, "warm memo nuked"
 
+# 6) the Python-UDF path across REAL executor boundaries: registry
+# mapInPandas queries ship Arrow batches to worker Python processes
+# that must import sierradb_spark themselves (the classic cluster
+# failure mode local[*] can't catch — there the "worker" shares the
+# driver's interpreter environment). PYTHONPATH is inherited from the
+# subprocess env, exactly the deployment posture docs/SCALE.md
+# prescribes (spark.executorEnv / --py-files on a real cluster).
+from sierradb_spark.operators import REGISTRY
+
+decoded = REGISTRY.queries["multimodal_decode_metadata"].spark(spark, sf)
+assert decoded.count() > 0, "mapInPandas over real executors returned 0"
+
 spark.stop()
 print("LOCAL-CLUSTER-SCENARIO-OK")
 """
