@@ -105,6 +105,28 @@ from sierradb_spark.operators import REGISTRY
 decoded = REGISTRY.queries["multimodal_decode_metadata"].spark(spark, sf)
 assert decoded.count() > 0, "mapInPandas over real executors returned 0"
 
+# 7) the event-store write/read path on real executors: enrichment,
+# gapless version assignment, the CAS manifest commit, heads-log fold,
+# and the watermark-gated scan all run with tasks scheduled across two
+# separate executor JVMs instead of driver-local threads.
+import shutil
+import tempfile
+
+from sierradb_spark.config import EngineConfig
+from sierradb_spark.eventstore import AppendRequest, EventStore
+
+store_dir = tempfile.mkdtemp(prefix="lc-store-")
+try:
+    store = EventStore(spark, store_dir, EngineConfig(shuffle_partitions=4))
+    res = store.append(
+        [AppendRequest(f"s{i}", "E", b"{}", expected_version="empty") for i in range(8)]
+    )
+    assert all(r.accepted for r in res), res
+    assert store.scan("s3").count() == 1
+    assert store.stream_version("s3") == 0
+finally:
+    shutil.rmtree(store_dir, ignore_errors=True)
+
 spark.stop()
 print("LOCAL-CLUSTER-SCENARIO-OK")
 """
