@@ -70,7 +70,9 @@ _SQL_WIDE_MINS = f"""
 """
 
 
-def wide_bands_for(docs: DataFrame) -> DataFrame:
+def wide_bands_for(
+    docs: DataFrame, staging_out: list | None = None
+) -> DataFrame:
     """(doc_id, band_idx, band_digest) for any (doc_id, text) frame:
     16 bands x 4-hash MinHash LSH — the reusable core of
     :func:`_wide_bands`, also fed per-micro-batch by the streaming
@@ -84,6 +86,13 @@ def wide_bands_for(docs: DataFrame) -> DataFrame:
     (hundreds of seconds at sf0.1). Behind the barrier each of the 64
     mins reads a plain in-memory array: one tokenization per document,
     then pure md5 throughput.
+
+    ``staging_out``: callers that materialize the RESULT into their own
+    barrier (the memo builder, the streaming corpus per-batch pass) can
+    pass a list to receive the internal staging checkpoint and release
+    it via ``memo.release_checkpoint`` once their barrier exists —
+    keeping rebuild churn and micro-batch loops storage-flat instead of
+    leaving one dead staging generation per call to GC.
     """
     d = with_shingles(docs, "doc_id")
     sh = F.col("shingles")
@@ -99,6 +108,8 @@ def wide_bands_for(docs: DataFrame) -> DataFrame:
         .repartition(n_slices)
         .localCheckpoint(eager=True)
     )
+    if staging_out is not None:
+        staging_out.append(staged)
     mins = staged.select(
         "doc_id",
         F.array(*[minhash_col(sh, k) for k in range(N_HASHES_WIDE)]).alias("m"),
@@ -124,7 +135,7 @@ def wide_bands_for(docs: DataFrame) -> DataFrame:
 # over the immutable testdata corpus; without the memo each one re-runs
 # tokenization + 64 md5 mins (the dominant cost of the sf0.1 slow tail
 # — profiled r7, docs/SCALE.md). The memo pins the pass once per
-# (session, sf_dir) behind a lazy localCheckpoint — the engine-level
+# (session, sf_dir) behind an eager localCheckpoint — the engine-level
 # analogue of a materialized signature index, which is exactly what the
 # production path at 100 TB would persist anyway (the streaming corpus
 # dedup already does, via its band index). Keyed by applicationId so a
@@ -141,9 +152,18 @@ def _wide_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _BANDS_MEMO.get(key)
     if df is None:
-        df = wide_bands_for(load(spark, sf_dir, "documents")).localCheckpoint(
-            eager=False
-        )
+        from sierradb_spark.functions.memo import release_checkpoint
+
+        staging: list = []
+        # eager (was lazy): builders only run on demand, so the first
+        # consumer paid the materialization either way — eager lets the
+        # internal shingle staging be released HERE instead of lingering
+        # in executor storage until GC (one dead generation per rebuild).
+        df = wide_bands_for(
+            load(spark, sf_dir, "documents"), staging_out=staging
+        ).localCheckpoint(eager=True)
+        for s in staging:
+            release_checkpoint(s)
         _BANDS_MEMO[key] = df
     return df
 
@@ -471,6 +491,11 @@ def _simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = digests.select(
         "doc_id", F.concat(*chars).alias("simhash64")
     ).localCheckpoint(eager=True)
+    # the token-digest staging is dead once `out` materialized — release
+    # its blocks now rather than leaving a generation per rebuild to GC
+    from sierradb_spark.functions.memo import release_checkpoint
+
+    release_checkpoint(digests)
     _SIMHASH64_MEMO[key] = out
     return out
 

@@ -123,6 +123,18 @@ def _release_blocks(value) -> None:
         pass
 
 
+def release_checkpoint(df) -> None:
+    """Public form of :func:`_release_blocks` for TRANSIENT staging
+    checkpoints — builder-internal barriers (e.g. the materialized
+    shingle/digest arrays behind the banded-LSH passes) whose blocks
+    are dead as soon as the derived memoized relation has materialized.
+    Releasing them deterministically keeps rebuild churn and streaming
+    micro-batch loops storage-flat instead of GC-paced. Only call once
+    every consumer of the staging plan has materialized; the DataFrame
+    is unrecoverable afterwards."""
+    _release_blocks(df)
+
+
 class _MemoDict(dict):
     """A memo family: ``(applicationId, sf_dir) -> DataFrame`` with the
     live-executor set stamped per entry at insertion time (kept in a

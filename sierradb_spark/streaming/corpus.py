@@ -114,7 +114,17 @@ class StreamingCorpusDedup:
                 F.size(F.split(F.trim("text"), r"\s+")) >= self.min_tokens
             )
         docs = docs.localCheckpoint(eager=True)  # read by bands + final write
-        bands = wide_bands_for(docs).localCheckpoint(eager=True)
+        staging: list = []
+        bands = wide_bands_for(docs, staging_out=staging).localCheckpoint(
+            eager=True
+        )
+        # a long-running stream builds one staging generation per
+        # micro-batch; release each deterministically so executor
+        # storage stays flat at stream length, not GC-paced
+        from sierradb_spark.functions.memo import release_checkpoint
+
+        for s in staging:
+            release_checkpoint(s)
         # 1. cross-batch: docs whose bands collide with the accepted index.
         idx = self._index_before(batch_id)
         if idx is not None:

@@ -313,3 +313,30 @@ def test_uninstalled_listener_ignores_events(spark):
     listener.onExecutorRemoved(_FakeRemoval())
     assert listener.removals == []  # detached: event not even recorded
     assert dedup_wide._wide_bands(spark, small) is before  # memo warm
+
+
+def test_memo_churn_does_not_leak_blocks(spark):
+    """r10: the deterministic-release claim under REPETITION — a
+    long-lived session cycling invalidate/rebuild on the same corpus
+    must hold executor storage flat, not accumulate one dead
+    checkpoint per cycle (pre-r10 behavior: dropped entries waited for
+    Python GC + ContextCleaner, so N cycles could pin N generations of
+    blocks). Five cycles, then assert the number of cached RDDs never
+    grew beyond the steady-state count."""
+    from sierradb_spark.functions import dedup_wide
+    from sierradb_spark.functions.memo import invalidate_sf_dir
+
+    sc = spark.sparkContext
+    sf = "/root/testdata/sf0.001"
+
+    def n_cached() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    dedup_wide._wide_bands(spark, sf).count()
+    steady = n_cached()
+    for _ in range(5):
+        invalidate_sf_dir(sf)
+        dedup_wide._wide_bands(spark, sf).count()
+        assert n_cached() <= steady, (
+            f"cached RDDs grew past steady-state {steady} under churn"
+        )
