@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load, spread
+from sierradb_spark.registry import Registry, load
 
 REG = Registry()
 
@@ -518,15 +518,24 @@ _PARETO_PCTS = (1, 10, 20)
     """,
     doc="Revenue concentration: the share of total revenue held by the "
     "top 1/10/20% of customers — the Pareto read-out behind account "
-    "tiering. Per-customer revenue folds to INTEGER CENTS, so the "
+    "tiering. Per-customer revenue folds to INTEGER CENTS, and the "
     "descending cumulative (customers above each revenue level, and "
-    "their mass) is exact integer arithmetic over the revenue-level "
-    "histogram via a broadcast join — the same windowless-quantile "
-    "construction as vocab_coverage_curve, applied to money. The "
-    "within-level remainder takes whole customers (ceil), matching the "
-    "rank definition.",
+    "their mass) is an exact TWO-LEVEL PREFIX SUM: cents are near-"
+    "unique per customer, so unlike the bounded count-of-counts "
+    "histograms (vocab_coverage_curve, the gap percentiles) this "
+    "histogram grows with the customer count and the broadcast range-"
+    "join form is O(customers^2) — 225M comparisons at sf0.1, "
+    "unrunnable at 100 TB. Instead: approximate-quantile boundaries "
+    "bucket the levels (balance only — correctness never depends on "
+    "where the cuts fall), a broadcast B-row join supplies each "
+    "bucket's exact above-bucket totals, and a window PARTITIONED by "
+    "bucket supplies the exact within-bucket strict-above remainder. "
+    "The within-level remainder takes whole customers (ceil), matching "
+    "the rank definition.",
 )
 def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("cents")
@@ -534,26 +543,63 @@ def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = rev.groupBy("cents").agg(
         F.count("*").alias("c"), F.sum("cents").alias("mass")
     )
-    # spread the probe side of the range join: hist is ~one row per
-    # customer (cents are near-unique), so the nested-loop comparison
-    # count is |hist|^2 — AQE coalesces the byte-tiny groupBy output to
-    # one partition and would serialize all of it. Keyed by mass, NOT
-    # cents: hist is already hash(cents)-partitioned coming out of the
-    # groupBy, so a same-key repartition is collapsed as redundant and
-    # the AQE coalesce wins anyway; round-robin works too but its
-    # sort-before-repartition stage adds one-time first-execution cost
-    # in local mode (see registry.spread).
-    h, r = spread(hist, "mass").alias("h"), hist.alias("r")
-    above = (
-        h.join(F.broadcast(r), F.col("r.cents") > F.col("h.cents"), "left")
-        .groupBy(
-            F.col("h.cents").alias("cents"),
-            F.col("h.c").alias("c"),
-            F.col("h.mass").alias("mass"),
-        )
+    # Level 1: bucket the revenue levels on approximate-quantile
+    # boundaries (broadcast one-row array, no driver collect). The
+    # assignment depends only on cents and is monotone, so every row
+    # in bucket b+1 is strictly above every row in bucket b; accuracy
+    # of the quantile sketch affects only bucket BALANCE.
+    n_buckets = int(
+        hist.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    bounds = hist.agg(
+        F.percentile_approx(
+            "cents",
+            [i / n_buckets for i in range(1, n_buckets)],
+            10_000,
+        ).alias("bs")
+    )
+    bucketed = hist.crossJoin(F.broadcast(bounds)).withColumn(
+        "b",
+        F.aggregate(
+            F.col("bs"),
+            F.lit(0),
+            lambda acc, bound: acc
+            + F.when(F.col("cents") > bound, 1).otherwise(0),
+        ),
+    ).drop("bs")
+    per_b = bucketed.groupBy("b").agg(
+        F.sum("c").alias("bc"), F.sum("mass").alias("bm")
+    )
+    x, y = per_b.alias("x"), per_b.alias("y")
+    above_b = (
+        x.join(F.broadcast(y), F.col("y.b") > F.col("x.b"), "left")
+        .groupBy(F.col("x.b").alias("b"))
         .agg(
-            F.coalesce(F.sum("r.c"), F.lit(0)).alias("n_above"),
-            F.coalesce(F.sum("r.mass"), F.lit(0)).alias("mass_above"),
+            F.coalesce(F.sum("y.bc"), F.lit(0)).alias("bc_above"),
+            F.coalesce(F.sum("y.bm"), F.lit(0)).alias("bm_above"),
+        )
+    )
+    # Level 2: exact strict-above prefix within each bucket — the
+    # window is PARTITIONED by bucket (never global), and cents are
+    # unique per hist row so DESC order is total.
+    w = (
+        Window.partitionBy("b")
+        .orderBy(F.col("cents").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    above = (
+        bucketed.join(F.broadcast(above_b), "b")
+        .select(
+            "cents",
+            "c",
+            "mass",
+            (
+                F.col("bc_above") + F.coalesce(F.sum("c").over(w), F.lit(0))
+            ).alias("n_above"),
+            (
+                F.col("bm_above")
+                + F.coalesce(F.sum("mass").over(w), F.lit(0))
+            ).alias("mass_above"),
         )
     )
     tot = hist.agg(F.sum("c").alias("n"), F.sum("mass").alias("total"))

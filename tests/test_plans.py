@@ -1101,12 +1101,18 @@ def test_daily_bands_partitioned_welch_fold(q):
 
 
 def test_interpurchase_pareto_windowless_quantiles(q):
-    """Both use the histogram-cumulative broadcast-join quantile (no
-    global window); the lag window is customer-partitioned."""
+    """interpurchase uses the histogram-cumulative broadcast-join
+    quantile over the BOUNDED day-gap histogram (no global window);
+    the lag window is customer-partitioned. revenue_concentration's
+    histogram is UNBOUNDED (near-one-row-per-customer), so r10 moved
+    it to the two-level prefix sum: its windows must exist but be
+    PARTITIONED by the quantile bucket — never global — and the only
+    nested-loop joins are the broadcast one-row/B-row sides."""
     import re as _re
 
     f = assert_plan(q("interpurchase_time_stats"))
     wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
     assert wins and all("o_custkey" in m for m in wins)
     f2 = assert_plan(q("revenue_concentration_8020"), max_scan_columns=2)
-    assert "Window" not in f2["plan"], f2["plan"][:1200]
+    wins2 = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f2["plan"])
+    assert wins2 and all("b#" in m for m in wins2), f2["plan"][:1200]
