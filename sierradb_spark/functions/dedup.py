@@ -581,13 +581,16 @@ SENSITIVITY_THRESHOLDS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
     "at the boundaries.",
 )
 def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # min_jac=0.0: the oracle's pairs CTE carries no raw-score filter,
-    # and a raw jaccard just below the loosest threshold can ROUND up
-    # to it — prefiltering on the RAW value would drop a pair the
-    # oracle counts. The prefilter below is on the ROUNDED column —
-    # the exact comparison the oracle's hits CTE applies at its
-    # loosest threshold — so sub-0.2 pairs are dropped BEFORE the
-    # 7-way threshold explode with zero parity risk.
+    # min_jac=_JACCARD_BASE_MIN, the 4-dp round-up boundary of the
+    # loosest threshold: the oracle's pairs CTE carries no raw-score
+    # filter, but its hits CTE counts a pair iff ROUNDED jaccard >= 0.2
+    # <=> raw >= 0.19995 — so asking for exactly that raw floor keeps
+    # the result identical AND satisfies the fast-path gate (min_jac >=
+    # the memoized base's floor; r10 keyed the gate on min_jac alone
+    # for contract hygiene, and a 0.0 request here fell back to the
+    # fresh self-join every call — 2.5-3 s warm vs 0.3 s off the memo).
+    # The redundant rounded-score where below is kept as the literal
+    # oracle comparison (free — it prunes nothing the floor didn't).
     # The expensive intersect self-join is materialized by the
     # dedup.jaccard_pairs session memo (the barrier must sit BEFORE
     # the 7-way threshold explode: jaccard is an expression, and
@@ -595,9 +598,9 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode row — measured r9: an un-barriered single-pass plan
     # re-ran the intersect per (pair x threshold x expand), 39 s cold
     # vs 6 s). Here only cheap scalar ops run on top of the memo.
-    pairs = _jaccard_pairs(spark, sf_dir, 0.0, ratio_bound=0.19995).where(
-        F.col("jaccard") >= min(SENSITIVITY_THRESHOLDS)
-    )
+    pairs = _jaccard_pairs(
+        spark, sf_dir, _JACCARD_BASE_MIN, ratio_bound=0.19995
+    ).where(F.col("jaccard") >= min(SENSITIVITY_THRESHOLDS))
     thr = F.explode(
         F.array(*[F.lit(float(t)) for t in SENSITIVITY_THRESHOLDS])
     ).alias("threshold")
