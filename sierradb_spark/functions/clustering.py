@@ -231,8 +231,6 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Reports per-cluster sizes and within-cluster SSE.",
 )
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -241,28 +239,39 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), list(r["emb"]))
         for r in v.where(F.col("vec_id") < _K).collect()
     ]
+    def assign(centers):
+        """MAP-ONLY assignment: the k centroids are broadcast literals,
+        so the per-vector argmin is an array_min over (dist, cid)
+        structs — struct ordering is (dist asc, cid asc), the exact
+        min-distance / min-cid tiebreak — inside one projection. The
+        old form shuffled the V x K relation twice per round (window
+        partitioned by vec_id, then a re-join with v for the means);
+        at cluster scale assignment now touches no exchange at all and
+        each round's only shuffle is the centroid-mean reduce. The
+        Python-side center self-dot is the same sequential left fold
+        as dot_col, so the doubles are bit-identical."""
+        entries = []
+        for cid, cent in centers:
+            c = F.array(*[F.lit(float(x)) for x in cent])
+            dist = (
+                dot_col(F.col("emb"), F.col("emb"))
+                - 2 * dot_col(F.col("emb"), c)
+                + F.lit(float(sum(x * x for x in cent)))
+            )
+            entries.append(
+                F.struct(dist.alias("md"), F.lit(int(cid)).alias("cid"))
+            )
+        best = F.array_min(F.array(*entries))
+        return v.select(
+            "vec_id", "emb", best["cid"].alias("cid"), best["md"].alias("md")
+        )
+
     assigned = None
     for t in range(_ITERS):
-        cdf = spark.createDataFrame(
-            cent_rows, "cid long, cent array<double>"
-        )
-        dist = (
-            dot_col(F.col("emb"), F.col("emb"))
-            - 2 * dot_col(F.col("emb"), F.col("cent"))
-            + dot_col(F.col("cent"), F.col("cent"))
-        ).alias("dist")
-        d = v.crossJoin(F.broadcast(cdf)).select("vec_id", "cid", "emb", dist)
-        md = F.min("dist").over(Window.partitionBy("vec_id"))
-        assigned = (
-            d.withColumn("md", md)
-            .where(F.col("dist") == F.col("md"))
-            .groupBy("vec_id")
-            .agg(F.min("cid").alias("cid"), F.min("md").alias("md"))
-        )
+        assigned = assign(cent_rows)
         if t < _ITERS - 1:
             means = (
-                assigned.join(v, "vec_id")
-                .select("cid", F.posexplode("emb").alias("i", "x"))
+                assigned.select("cid", F.posexplode("emb").alias("i", "x"))
                 .groupBy("cid", "i")
                 # round: see the oracle's m{t} comment — pins centroids
                 # identically across engines despite summation order.
