@@ -184,8 +184,11 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 # command stream — the oracle is sequence-agnostic, so old seeds remain
 # valid inputs) and ran 12 fresh seeds green on the r10 code (memo
 # race guard + deterministic block release + the new command): 191,
-# 233, 307, 373, 443, 479, 601, 691, 797, 853, 967, 1000211 —
-# cumulative distinct seeds green: 112.
+# 233, 307, 373, 443, 479, 601, 691, 797, 853, 967, 1000211 — and a
+# second r10 batch of 12 on the final r10 code (staging release, the
+# revenue prefix-sum and map-only k-means rewrites landed): 199, 257,
+# 311, 383, 449, 491, 607, 709, 811, 857, 971, 1000253 —
+# cumulative distinct seeds green: 124.
 _SEEDS = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "11,42").split(",")
