@@ -48,8 +48,9 @@ def test_pagerank_edges_are_equi_join_plan(spark, sf_dir):
 def test_round4_op_plan_shapes(spark, sf_dir):
     """100 TB plan contracts of the round-4 operators: fingerprint pair
     generation and chunk indexing plan no cartesian product; SQ8's dim
-    stats come back via broadcast; k-means assignment joins the
-    broadcast centroid table (the corpus side never shuffles by key)."""
+    stats come back via broadcast; k-means assignment is map-only over
+    broadcast-literal centroids (the corpus side never shuffles by key
+    and, since r10, never joins at all)."""
     from sierradb_spark.operators import REGISTRY
     from sierradb_spark.plans import assert_plan, plan_features
 
@@ -65,5 +66,9 @@ def test_round4_op_plan_shapes(spark, sf_dir):
     kf = plan_features(
         REGISTRY.queries["kmeans_embedding_clusters"].spark(spark, sf_dir)
     )
-    assert kf["broadcast_hash_joins"] + kf["nested_loop_joins"] >= 1
+    # r10: assignment is MAP-ONLY (broadcast-literal centroids folded
+    # with array_min inside one projection) — the plan must contain NO
+    # join of any kind; the old contract (a broadcast centroid join)
+    # was the pre-r10 shape and still shuffled V x K through a window.
+    assert kf["broadcast_hash_joins"] + kf["nested_loop_joins"] == 0
     assert kf["cartesian_products"] == 0
