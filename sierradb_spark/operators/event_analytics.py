@@ -1512,17 +1512,18 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mins"),
     )
     # Percentiles WITHOUT a global window: converters collapse to a
-    # minutes histogram (bounded by corpus age in minutes, not user
-    # count); the cumulative is a broadcast nested-loop join over that
-    # tiny aggregate, and rank-threshold selection equals the oracle's
-    # direct row_number() definition (same argument as vocab_coverage).
+    # minutes histogram, and the ascending inclusive cumulative is the
+    # two-level prefix sum (registry.bucketed_cumulative). The old
+    # broadcast range join was "bounded by corpus age in minutes" —
+    # but a multi-year corpus is ~10^6 distinct latency minutes, and
+    # O(minutes²) is 10^12 comparisons; the prefix sum is linear and
+    # exactly reproduces the oracle's direct row_number() definition.
     hist = conv.groupBy("mins").agg(F.count("*").alias("c"))
-    h1, h2 = hist.alias("h1"), hist.alias("h2")
-    cum = (
-        h1.join(F.broadcast(h2), F.col("h2.mins") <= F.col("h1.mins"))
-        .groupBy(F.col("h1.mins").alias("mins"))
-        .agg(F.sum("h2.c").alias("cum"))
-    )
+    from sierradb_spark.registry import bucketed_cumulative
+
+    cum = bucketed_cumulative(
+        hist, "mins", {"c": "cum"}, inclusive=True
+    ).select("mins", "cum")
     nconv = hist.agg(F.sum("c").alias("n"))
     tot = firsts.agg(F.count("*").alias("n_users"))
     n = F.col("n")

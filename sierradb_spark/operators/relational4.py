@@ -534,7 +534,7 @@ _PARETO_PCTS = (1, 10, 20)
     "the rank definition.",
 )
 def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from sierradb_spark.registry import bucketed_cumulative
 
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
@@ -543,64 +543,11 @@ def revenue_concentration_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = rev.groupBy("cents").agg(
         F.count("*").alias("c"), F.sum("cents").alias("mass")
     )
-    # Level 1: bucket the revenue levels on approximate-quantile
-    # boundaries (broadcast one-row array, no driver collect). The
-    # assignment depends only on cents and is monotone, so every row
-    # in bucket b+1 is strictly above every row in bucket b; accuracy
-    # of the quantile sketch affects only bucket BALANCE.
-    n_buckets = int(
-        hist.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    bounds = hist.agg(
-        F.percentile_approx(
-            "cents",
-            [i / n_buckets for i in range(1, n_buckets)],
-            10_000,
-        ).alias("bs")
-    )
-    bucketed = hist.crossJoin(F.broadcast(bounds)).withColumn(
-        "b",
-        F.aggregate(
-            F.col("bs"),
-            F.lit(0),
-            lambda acc, bound: acc
-            + F.when(F.col("cents") > bound, 1).otherwise(0),
-        ),
-    ).drop("bs")
-    per_b = bucketed.groupBy("b").agg(
-        F.sum("c").alias("bc"), F.sum("mass").alias("bm")
-    )
-    x, y = per_b.alias("x"), per_b.alias("y")
-    above_b = (
-        x.join(F.broadcast(y), F.col("y.b") > F.col("x.b"), "left")
-        .groupBy(F.col("x.b").alias("b"))
-        .agg(
-            F.coalesce(F.sum("y.bc"), F.lit(0)).alias("bc_above"),
-            F.coalesce(F.sum("y.bm"), F.lit(0)).alias("bm_above"),
-        )
-    )
-    # Level 2: exact strict-above prefix within each bucket — the
-    # window is PARTITIONED by bucket (never global), and cents are
-    # unique per hist row so DESC order is total.
-    w = (
-        Window.partitionBy("b")
-        .orderBy(F.col("cents").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    above = (
-        bucketed.join(F.broadcast(above_b), "b")
-        .select(
-            "cents",
-            "c",
-            "mass",
-            (
-                F.col("bc_above") + F.coalesce(F.sum("c").over(w), F.lit(0))
-            ).alias("n_above"),
-            (
-                F.col("bm_above")
-                + F.coalesce(F.sum("mass").over(w), F.lit(0))
-            ).alias("mass_above"),
-        )
+    above = bucketed_cumulative(
+        hist,
+        "cents",
+        {"c": "n_above", "mass": "mass_above"},
+        descending=True,
     )
     tot = hist.agg(F.sum("c").alias("n"), F.sum("mass").alias("total"))
     grid = spark.createDataFrame(

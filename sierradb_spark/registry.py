@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -136,6 +137,102 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
         if width is not None and width >= n:
             return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def bucketed_cumulative(
+    df: DataFrame,
+    key: str,
+    sums: dict[str, str],
+    *,
+    descending: bool = False,
+    inclusive: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Exact running sums over ``key`` order for a relation with UNIQUE
+    ``key`` rows — without a global window and without an O(n²) range
+    join. For every ``src -> out`` in ``sums``, adds column ``out`` =
+    the sum of ``src`` over rows strictly before the row in ``key``
+    order (``inclusive`` adds the row itself; ``descending`` reverses
+    the order, i.e. sums over strictly-greater keys).
+
+    The two classic cumulative idioms both break at scale: the
+    histogram-cumulative broadcast range join is right for BOUNDED
+    histograms (day gaps, count-of-counts) but quadratic when the
+    histogram grows with the data (per-customer revenue levels,
+    per-minute latencies), and a global window is exact but runs on a
+    single partition. This is the distributed TWO-LEVEL PREFIX SUM
+    instead: approximate-quantile boundaries bucket the keys (broadcast
+    one-row array — sketch accuracy moves only bucket BALANCE, never
+    the result, because assignment is monotone in ``key``), a broadcast
+    B-row self-join supplies each bucket's exact other-bucket totals,
+    and a window PARTITIONED by bucket supplies the exact within-bucket
+    remainder. One shuffle (the bucket window), linear at any scale.
+
+    The returned plan references ``df`` several times (the boundary
+    sketch, the per-bucket totals, the final join); Spark's
+    ReuseExchange dedupes the repeated exchange-rooted subtrees at
+    runtime (verified on the executed plan), so the upstream of ``df``
+    computes once — callers do NOT need to pre-materialize it.
+    """
+    from pyspark.sql import Window
+
+    n_b = n_buckets or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    bounds = df.agg(
+        F.percentile_approx(
+            key, [i / n_b for i in range(1, n_b)], 10_000
+        ).alias("__sdb_bounds")
+    )
+    bucketed = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__sdb_b",
+            F.aggregate(
+                F.col("__sdb_bounds"),
+                F.lit(0),
+                lambda acc, bd: acc
+                + F.when(F.col(key) > bd, 1).otherwise(0),
+            ),
+        )
+        .drop("__sdb_bounds")
+    )
+    per_b = bucketed.groupBy("__sdb_b").agg(
+        *[F.sum(src).alias(f"__sdb_s_{src}") for src in sums]
+    )
+    x, y = per_b.alias("x"), per_b.alias("y")
+    cond = (
+        F.col("y.__sdb_b") > F.col("x.__sdb_b")
+        if descending
+        else F.col("y.__sdb_b") < F.col("x.__sdb_b")
+    )
+    other_b = (
+        x.join(F.broadcast(y), cond, "left")
+        .groupBy(F.col("x.__sdb_b").alias("__sdb_b"))
+        .agg(
+            *[
+                F.coalesce(F.sum(F.col(f"y.__sdb_s_{src}")), F.lit(0)).alias(
+                    f"__sdb_o_{src}"
+                )
+                for src in sums
+            ]
+        )
+    )
+    w = (
+        Window.partitionBy("__sdb_b")
+        .orderBy(F.col(key).desc() if descending else F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    out_cols = [
+        (
+            F.col(f"__sdb_o_{src}")
+            + F.coalesce(F.sum(src).over(w), F.lit(0))
+        ).alias(out)
+        for src, out in sums.items()
+    ]
+    return bucketed.join(F.broadcast(other_b), "__sdb_b").select(
+        *df.columns, *out_cols
+    )
 
 
 @dataclass(frozen=True)

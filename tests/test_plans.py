@@ -976,11 +976,22 @@ def test_empirical_bayes_two_aggregates(q):
 
 
 def test_time_to_convert_no_global_window(q):
-    """Percentiles come from the minutes-histogram cumulative (broadcast
-    nested loops over the tiny aggregate) — no window at all."""
+    """Percentiles come from the minutes-histogram cumulative via the
+    r10 two-level prefix sum (registry.bucketed_cumulative) — every
+    window PARTITIONED by the quantile bucket, never global, and the
+    only nested loops are the broadcast B-row/1-row sides. (Pre-r10
+    this was a windowless broadcast range join — quadratic in distinct
+    latency minutes, ~10^12 comparisons on a multi-year corpus.)"""
+    import re as _re
+
     f = assert_plan(q("time_to_convert_stats"))
-    assert "Window" not in f["plan"], f["plan"][:1200]
-    assert f["nested_loop_joins"] <= 3  # hist cum + two 1-row totals
+    wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f["plan"])
+    assert wins and all("__sdb_b#" in m for m in wins), f["plan"][:1200]
+    # bounds crossJoin appears once per reference to the bucketed
+    # relation (3x textual) + the B-row cum + 2 one-row totals; the
+    # repeated subtrees collapse at runtime via ReuseExchange
+    # (verified: 6 ReusedExchange nodes in the executed plan).
+    assert f["nested_loop_joins"] <= 6
 
 
 def test_ab_power_two_counter_fold(q):
