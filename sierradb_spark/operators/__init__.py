@@ -90,76 +90,72 @@ for mod in (
     REGISTRY.merge(mod.REG)
 
 # The driver's correctness gate checks the FIRST 50 registry entries.
-# Round-10 rotation (VERDICT r9 brief item 1, executing the freshness
-# plan staged here in r9): the surface is frozen at 259 and the
-# cumulative ledger is 259/259 driver-green, so rotation is pure
-# freshness maintenance — this window is the 50 queries whose most
-# recent driver evidence was oldest entering r10 (re-verified this
-# round by set-diffing CORRECTNESS_r01–r09: the 9 remaining r4 rows +
-# the 41 alphabetically-first r5 rows, byte-identical to the r9-staged
-# list). Several run on paths touched in r8-r9 (blocked_name_match /
-# dsir spread probes, dq's projected width-aware spread,
-# dedup_threshold_sensitivity's r9 one-pass aggregate over the
-# memoized jaccard-pair relation, label_prop / quality_dup_calibration
-# on the memo stamps), so fresh rows double as driver evidence ON
-# current code. All 50 are hash-matching at sf0.01 (judge's
-# independent 259/259 re-run, r9) and sf0.1 (PARITY_sf0.1.md). Landing
-# this advances the oldest driver evidence in the ledger from r4 to
-# >= r5 (exactly 9 r5 rows remain after this window).
+# Round-11 rotation (VERDICT r10 brief item 1, executing the freshness
+# plan staged here in r10): the surface is frozen at 259 and the
+# cumulative ledger is 259/259 driver-green (oldest evidence r5 after
+# the r10 window landed: 9 at r5, 50 each at r6–r10), so rotation is
+# pure freshness maintenance — this window is the 50 queries whose
+# most recent driver evidence was oldest entering r11 (re-verified
+# this round by set-diffing CORRECTNESS_r01–r10: the 9 remaining r5
+# rows + the 41 alphabetically-first r6 rows, byte-identical to the
+# r10-staged list). All 50 are hash-matching at sf0.01 (judge's
+# independent 259/259 re-run, r10) and sf0.1 (PARITY_sf0.1.md on
+# final r10 code). Landing this advances the oldest driver evidence
+# in the ledger from r5 to r6 (exactly 9 r6 rows remain after this
+# window).
 _FRONT_50 = [
-    # the 9 remaining r4-evidence rows
-    "chunk_dedup_survivors", "doc_repetition_gopher",
-    "embedding_near_dup_bucketed", "kmeans_embedding_clusters",
-    "pii_redacted_corpus", "repeated_span_stats", "semdedup_survivors",
-    "sq8_quantized_recall", "substring_scrubbed_corpus",
-    # the 41 alphabetically-first r5-evidence rows
-    "basket_association_rules", "blocked_name_match_stats",
-    "bloom_membership_audit", "bm25_top_docs", "bpe_encode_stats",
-    "bpe_learn_merges", "cms_heavy_hitters", "containment_partial_dup",
-    "cross_lingual_template_pairs", "dedup_attribution_by_source",
-    "dedup_threshold_sensitivity", "dq_completeness_report",
-    "dsir_importance_weights", "event_conditional_entropy",
-    "event_type_trigrams", "gapfill_hourly_rollup",
-    "hard_negative_mining", "heaps_law_vocab_growth",
-    "ivf_cell_balance_audit", "ivf_pq_adc_topk", "join_key_skew_audit",
-    "kl_source_divergence", "label_prop_communities",
-    "late_arrival_stats", "lsh_join_cost_audit",
-    "markov_stationary_distribution", "matryoshka_truncation_recall",
-    "minhash_verified_pairs", "multitouch_attribution",
-    "partition_balance_audit", "pq_adc_recall",
-    "quality_dup_calibration", "quality_lr_calibration",
-    "quality_lr_classifier", "rake_keyphrases", "rrf_hybrid_topk",
-    "scd2_entity_history", "sorted_neighborhood_matches",
-    "source_overlap_matrix", "split_leakage_audit",
-    "token_budget_allocation",
+    # the 9 remaining r5-evidence rows
+    "tokenizer_fertility_stats", "tokenizer_oov_by_lang",
+    "top_session_paths", "triangle_count_near_dup",
+    "unimax_allocation", "url_canonical_dedup", "user_rfm_segments",
+    "vocab_coverage_curve", "zipf_law_fit",
+    # the 41 alphabetically-first r6-evidence rows
+    "ab_test_power", "ab_test_proportions", "benford_law_audit",
+    "changepoint_binary_segmentation", "cohens_d_priority",
+    "cramers_v_association", "daily_value_bands",
+    "degree_assortativity", "dow_anova_ftest", "embedding_anisotropy",
+    "embedding_dim_stats", "embedding_top_pc_power",
+    "empirical_bayes_user_means", "event_mix_wilson_ci",
+    "gemm_topk_cosine", "hll_distinct_audit", "holt_linear_forecast",
+    "holt_winters_forecast", "jl_projection_distortion",
+    "kaplan_meier_retention", "kcenter_coreset_selection",
+    "kcore_near_dup", "kmv_set_ops", "ks_drift_by_event_type",
+    "longest_activity_streak", "mad_robust_outliers",
+    "mann_whitney_u_test", "median_ci_order_stat",
+    "mmr_diverse_rerank", "overdispersion_index", "pagerank_near_dup",
+    "poisson_bootstrap_ci", "psi_value_drift", "q11_important_stock",
+    "q16_parts_supplier_count", "q20_concentrated_suppliers",
+    "q2_min_cost_supplier", "referential_integrity_audit",
+    "retrieval_rank_quality", "session_bounce_stats",
+    "shapley_channel_attribution",
 ]
 REGISTRY.reorder_front(_FRONT_50)
 
-# Round-11 rotation plan (staged; do NOT reorder before the r10 gate
+# Round-12 rotation plan (staged; do NOT reorder before the r11 gate
 # has run on the window above). Continue the freshness ladder: with the
-# window above counted as round-10 evidence, the next-oldest 50 are the
-# 9 remaining r5 rows (tokenizer_fertility_stats, tokenizer_oov_by_lang,
-# top_session_paths, triangle_count_near_dup, unimax_allocation,
-# url_canonical_dedup, user_rfm_segments, vocab_coverage_curve,
-# zipf_law_fit) plus the 41 alphabetically-first r6 rows:
-# ab_test_power, ab_test_proportions, benford_law_audit,
-# changepoint_binary_segmentation, cohens_d_priority,
-# cramers_v_association, daily_value_bands, degree_assortativity,
-# dow_anova_ftest, embedding_anisotropy, embedding_dim_stats,
-# embedding_top_pc_power, empirical_bayes_user_means,
-# event_mix_wilson_ci, gemm_topk_cosine, hll_distinct_audit,
-# holt_linear_forecast, holt_winters_forecast,
-# jl_projection_distortion, kaplan_meier_retention,
-# kcenter_coreset_selection, kcore_near_dup, kmv_set_ops,
-# ks_drift_by_event_type, longest_activity_streak,
-# mad_robust_outliers, mann_whitney_u_test, median_ci_order_stat,
-# mmr_diverse_rerank, overdispersion_index, pagerank_near_dup,
-# poisson_bootstrap_ci, psi_value_drift, q11_important_stock,
-# q16_parts_supplier_count, q20_concentrated_suppliers,
-# q2_min_cost_supplier, referential_integrity_audit,
-# retrieval_rank_quality, session_bounce_stats,
-# shapley_channel_attribution. Re-verify by set-diffing
-# CORRECTNESS_r01–r10 at the start of r11 in case the r10 window is
-# recorded differently than staged.
+# window above counted as round-11 evidence, the next-oldest 50 are the
+# 9 remaining r6 rows (spearman_rank_correlation, target_encoding_oof,
+# tfidf_top_terms, theil_sen_trend, trimmed_winsorized_stats,
+# two_hop_reach_topk, value_concentration_gini, weekend_lift_welch_t,
+# weekly_seasonal_decompose) plus the 41 alphabetically-first r7 rows:
+# band_agreement_calibration, benchmark_contamination,
+# bigram_surprisal_scores, blocklist_filter_stats, chunk_dedup_stats,
+# cohort_value_matrix, doc_chunk_index, domain_mixture_plan,
+# dq_constraint_violations, embedding_bucketed_recall,
+# embedding_label_margin, event_daily_autocorr,
+# event_transition_matrix, event_value_cusum, event_value_trend,
+# ewma_anomaly_daily, expected_steps_to_purchase,
+# frequent_event_values, grouping_sets_revenue,
+# hourly_burst_detection, hybrid_filtered_topk,
+# interarrival_time_stats, interpurchase_time_stats,
+# knn_label_accuracy, length_tail_index, lexicon_sentiment_scores,
+# local_clustering_histogram, lsh_parameter_planner,
+# near_dup_components_lsh, packing_waste_curve, pareto_skyline_orders,
+# pii_detection_stats, pmi_collocations, quality_weighted_sample,
+# readability_scores, revenue_concentration_8020,
+# rolling_7d_user_value, semdedup_cell_stats, source_novelty_stats,
+# temperature_mixture_weights, time_to_convert_stats. Re-verify by
+# set-diffing CORRECTNESS_r01–r11 at the start of r12 in case the r11
+# window is recorded differently than staged.
 
 __all__ = ["Query", "Registry", "REGISTRY", "load"]
