@@ -96,6 +96,17 @@ def _narrow_input_width(df: DataFrame) -> int | None:
         return None
 
 
+def _shuffle_width(sess: SparkSession) -> int:
+    """The session's shuffle width as an int, guarded against platforms
+    where ``spark.sql.shuffle.partitions`` is non-numeric (e.g. "auto"
+    under Databricks AQE auto mode): degrade to the cluster's default
+    parallelism rather than raising at plan-build time."""
+    try:
+        return int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (ValueError, TypeError):
+        return sess.sparkContext.defaultParallelism or 32
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition to the session's shuffle width with an EXPLICIT
     count — unless the input is already that wide.
@@ -126,12 +137,7 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     partition-agnostic — so the only effect is the extra exchange).
     """
     sess = df.sparkSession
-    try:
-        n = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
-    except (ValueError, TypeError):
-        # e.g. platforms where this conf is "auto": degrade to the
-        # cluster's default parallelism rather than raising.
-        n = sess.sparkContext.defaultParallelism or 32
+    n = _shuffle_width(sess)
     if sess.conf.get("spark.sierradb.spread.widthAware", "true") == "true":
         width = _narrow_input_width(df)
         if width is not None and width >= n:
@@ -168,6 +174,25 @@ def bucketed_cumulative(
     and a window PARTITIONED by bucket supplies the exact within-bucket
     remainder. One shuffle (the bucket window), linear at any scale.
 
+    **Preconditions on ``key`` (the caller's contract):**
+
+    - **UNIQUE**: one row per key value. Duplicate keys would
+      double-count each other inside the within-bucket window (a twin
+      is order-ambiguous under the non-total ``key`` sort). Callers
+      aggregate to the key immediately upstream (``groupBy(key)``).
+    - **NON-NULL**: ``F.col(key) > bound`` is null-safe-false, so a
+      null-key row would land in bucket 0 and (ascending order, nulls
+      first) leak its mass into other rows' running sums — unlike the
+      O(n²) range join this replaces, whose ``r.key > h.key`` condition
+      excluded null rows from every sum.
+
+    Both are validated when ``spark.sierradb.debug.checkCumulativeKeys``
+    is ``true`` (default ``false`` — the check executes the upstream
+    plan one extra time, so it is for tests/debugging, not the hot
+    path): a duplicate or null key raises ``ValueError`` at plan-build
+    time instead of silently mis-summing. ``tests/test_plans.py`` runs
+    both callers under the check and pins the red path on misuse.
+
     The returned plan references ``df`` several times (the boundary
     sketch, the per-bucket totals, the final join); Spark's
     ReuseExchange dedupes the repeated exchange-rooted subtrees at
@@ -176,9 +201,32 @@ def bucketed_cumulative(
     """
     from pyspark.sql import Window
 
-    n_b = n_buckets or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    sess = df.sparkSession
+    if (
+        sess.conf.get("spark.sierradb.debug.checkCumulativeKeys", "false")
+        == "true"
+    ):
+        bad = (
+            df.groupBy(key)
+            .count()
+            .where(F.col("count") > 1)
+            .unionByName(
+                df.where(F.col(key).isNull())
+                .groupBy(key)
+                .count()
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"bucketed_cumulative: key column {key!r} violates the "
+                "UNIQUE + NON-NULL precondition "
+                f"(offending key={bad[0][0]!r}, count={bad[0][1]}); "
+                "aggregate to the key (groupBy) and filter nulls "
+                "upstream — see the docstring"
+            )
+    n_b = n_buckets or _shuffle_width(sess)
     bounds = df.agg(
         F.percentile_approx(
             key, [i / n_b for i in range(1, n_b)], 10_000

