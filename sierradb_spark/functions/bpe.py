@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sierradb_spark.registry import Registry, load, spread
-from sierradb_spark.functions.memo import register_memo
+from sierradb_spark.functions.memo import pending_guard, register_memo
 from sierradb_spark.functions.text2 import _SQL_WORDS, _toks
 
 REG = Registry()
@@ -327,6 +327,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@pending_guard(_ENC_VOCAB_MEMO)
 def _encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, syms): every distinct corpus word with the learned merges
     applied, memoized per (session, sf_dir) behind an eager checkpoint
@@ -362,6 +363,7 @@ def _encoded_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc
 
 
+@pending_guard(_MERGES_MEMO)
 def _learn_merges(
     spark: SparkSession, sf_dir: str, use_memo: bool = True
 ) -> list[tuple[int, str, str, int]]:

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.registry import Registry, _shuffle_width, load
 
 REG = Registry()
 
@@ -79,7 +79,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input split. The exploded gram table is ALSO materialized because
     # both the bench side and the corpus side consume it — one gram
     # pass instead of two.
-    n_slices = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_slices = _shuffle_width(d.sparkSession)
     w = (
         d.select("doc_id", "source", _words_col().alias("ws"))
         .repartition(n_slices)

@@ -18,8 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.functions.memo import register_memo
-from sierradb_spark.registry import Registry, load
+from sierradb_spark.functions.memo import pending_guard, register_memo
+from sierradb_spark.registry import Registry, _shuffle_width, load
 
 REG = Registry()
 
@@ -147,7 +147,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = (
         d.select("doc_id", "shingles")
         .repartition(
-            int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+            _shuffle_width(d.sparkSession)
         )
         .localCheckpoint(eager=True)
     )
@@ -195,7 +195,7 @@ def near_dup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(minhash_col(sh, 2), minhash_col(sh, 3)).alias("band1"),
         )
         .repartition(
-            int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+            _shuffle_width(d.sparkSession)
         )
         .localCheckpoint(eager=True)
     )
@@ -266,7 +266,7 @@ def simhash_dedup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", toks.alias("t"))
         .select("doc_id", F.transform(F.col("t"), lambda t: F.md5(t)).alias("d"))
         .repartition(
-            int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+            _shuffle_width(d.sparkSession)
         )
         .localCheckpoint(eager=True)
     )
@@ -366,6 +366,7 @@ def ngram_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_SETS_MEMO = register_memo("dedup.shingle_sets")
 
 
+@pending_guard(_SHINGLE_SETS_MEMO)
 def _shingle_sets_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, shingle_set, ns), materialized behind an eager
     checkpoint: both self-join sides and the post-join Jaccard
@@ -386,9 +387,7 @@ def _shingle_sets_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.col("shingles")).alias("shingle_set"),
         )
         .withColumn("ns", F.size("shingle_set"))
-        .repartition(
-            int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        )
+        .repartition(_shuffle_width(d.sparkSession))
         .localCheckpoint(eager=True)
     )
     _SHINGLE_SETS_MEMO[key] = df
@@ -411,6 +410,7 @@ _JACCARD_PAIRS_MEMO = register_memo("dedup.jaccard_pairs")
 _JACCARD_BASE_MIN = 0.19995
 
 
+@pending_guard(_JACCARD_PAIRS_MEMO)
 def _jaccard_pairs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jac_raw): source-blocked pairs with RAW jaccard
     >= ``_JACCARD_BASE_MIN``, materialized once per (session, sf_dir)

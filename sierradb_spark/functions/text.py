@@ -11,8 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load
-from sierradb_spark.functions.memo import register_memo
+from sierradb_spark.registry import Registry, _shuffle_width, load
+from sierradb_spark.functions.memo import pending_guard, register_memo
 
 REG = Registry()
 
@@ -273,6 +273,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@pending_guard(_WINNOW_FPS_MEMO)
 def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fps): the winnowed fingerprint set per document — the
     Spark twin of the ``w`` CTE in ``_SQL_WINNOW_CTES`` (change both
@@ -293,7 +294,7 @@ def winnow_fps_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-splitting the string per k-gram — O(len^2) per document. Same
     # barrier between hashes and the window-min pass below. repartition:
     # the corpus is a single input split.
-    n_slices = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_slices = _shuffle_width(d.sparkSession)
     codes_df = (
         d.select(
             "doc_id",

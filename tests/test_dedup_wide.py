@@ -340,3 +340,147 @@ def test_memo_churn_does_not_leak_blocks(spark):
         assert n_cached() <= steady, (
             f"cached RDDs grew past steady-state {steady} under churn"
         )
+
+
+def test_failed_build_leaves_no_pending_snapshot(spark, monkeypatch):
+    """r11 (VERDICT item 4 / ADVICE memo.py:156): a builder that raises
+    between its get-miss and its insert must not leave its build-start
+    snapshot in ``_pending`` forever — pending == in-flight builds. The
+    pending_guard wrapper pops it on the way out; the next build caches
+    normally."""
+    import pytest as _pytest
+
+    from sierradb_spark.functions import dedup_wide
+    from sierradb_spark.functions.memo import invalidate_sf_dir
+
+    sf = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf)
+    memo = dedup_wide._BANDS_MEMO
+    invalidate_sf_dir(sf)  # start cold
+    assert key not in memo
+
+    boom = RuntimeError("builder died mid-flight")
+
+    def _raise(*a, **k):
+        raise boom
+
+    monkeypatch.setattr(dedup_wide, "wide_bands_for", _raise)
+    with _pytest.raises(RuntimeError, match="mid-flight"):
+        dedup_wide._wide_bands(spark, sf)
+    assert key not in memo._pending  # snapshot popped, not leaked
+    assert key not in memo
+
+    monkeypatch.undo()
+    rebuilt = dedup_wide._wide_bands(spark, sf)
+    assert memo.get(key) is rebuilt  # next build caches normally
+    assert key not in memo._pending
+
+
+def test_insert_refusal_is_scoped_to_the_key(spark):
+    """r11 (ADVICE memo.py:59): the insert-time invalidation guard is
+    scoped — an ``invalidate_sf_dir`` for a DIFFERENT corpus inside the
+    build window must not refuse the cache (pre-r11: any epoch movement
+    starved long builds under churn), while a matching-sf_dir
+    invalidation, an executor removal, or a full clear still refuses."""
+    import warnings
+
+    from sierradb_spark.functions import dedup_wide
+    from sierradb_spark.functions.memo import (
+        clear_session_memos,
+        invalidate_executor,
+        invalidate_sf_dir,
+    )
+
+    memo = dedup_wide._BANDS_MEMO
+    key = (spark.sparkContext.applicationId, "/tmp/memo-scope-sf-A")
+
+    def build_with_overlap(overlap) -> bool:
+        """True if the insert cached."""
+        if key in memo:
+            del memo[key]
+        assert memo.get(key) is None  # build start
+        overlap()
+        df = spark.range(5).localCheckpoint(eager=True)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            memo[key] = df
+        cached = key in memo
+        if key in memo:
+            del memo[key]
+        return cached
+
+    # unrelated corpus invalidated mid-build: caches normally
+    assert build_with_overlap(
+        lambda: invalidate_sf_dir("/tmp/memo-scope-sf-OTHER")
+    )
+    # same corpus: refuses (would resurrect a pre-mutation pass)
+    assert not build_with_overlap(
+        lambda: invalidate_sf_dir("/tmp/memo-scope-sf-A")
+    )
+    # executor removal: refuses (blocks may have died mid-build; an
+    # executor that joined and died inside the window is invisible to
+    # both stamp snapshots, so there is no per-key narrowing)
+    assert not build_with_overlap(
+        lambda: invalidate_executor("exec-mid-build")
+    )
+    # full clear: refuses
+    assert not build_with_overlap(lambda: clear_session_memos())
+
+
+def test_listener_handler_failure_is_observable(spark):
+    """r11 (ADVICE memo.py:367): if the targeted invalidation itself
+    raises on the callback thread, the failure must be recorded and the
+    handler must degrade to the blunt full clear — a silently LOST
+    invalidation is the exact failure mode the listener exists to
+    prevent."""
+    from sierradb_spark.functions import dedup_wide, memo
+
+    listener = memo.ExecutorLossListener()
+    sf = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf)
+    dedup_wide._wide_bands(spark, sf)
+    assert key in dedup_wide._BANDS_MEMO
+
+    class _FakeRemoval:
+        def executorId(self):
+            return "driver"
+
+    orig = memo.invalidate_executor
+    memo.invalidate_executor = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("targeted invalidation broke")
+    )
+    try:
+        listener.onExecutorRemoved(_FakeRemoval())  # must not raise
+    finally:
+        memo.invalidate_executor = orig
+
+    assert listener.errors and listener.errors[0][0] == "driver"
+    assert "targeted invalidation broke" in listener.errors[0][1]
+    # fallback full clear ran: the memo did NOT survive the failure
+    assert key not in dedup_wide._BANDS_MEMO
+
+
+def test_uninstall_removes_the_jvm_proxy_from_the_bus(spark):
+    """r11 (VERDICT item 2): registration keeps the EXACT Java proxy in
+    a JVM-side holder, so uninstall's removeSparkListener
+    reference-matches and the bus's listener count returns to baseline
+    — no leaked per-event py4j round-trip for the session's remainder
+    (pre-r11: py4j minted a fresh proxy per crossing and the remove
+    silently no-opped; verified live: count stayed at baseline+1)."""
+    from sierradb_spark.functions.memo import (
+        install_executor_loss_listener,
+        uninstall_executor_loss_listener,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_listeners() -> int:
+        return jsc.listenerBus().listeners().size()
+
+    baseline = n_listeners()
+    listener = install_executor_loss_listener(spark)
+    assert listener is not None
+    assert n_listeners() == baseline + 1
+    assert uninstall_executor_loss_listener(spark)
+    assert n_listeners() == baseline  # actually removed, not leaked
+    assert listener.detached
