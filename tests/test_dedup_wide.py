@@ -484,3 +484,39 @@ def test_uninstall_removes_the_jvm_proxy_from_the_bus(spark):
     assert uninstall_executor_loss_listener(spark)
     assert n_listeners() == baseline  # actually removed, not leaked
     assert listener.detached
+
+
+def test_overlap_scoping_matrix_pure():
+    """Unit matrix for memo._overlap_can_affect (no Spark): sf_dir
+    events scope by key, executor/clear events hit everything, log
+    truncation and non-standard keys degrade conservatively."""
+    import sierradb_spark.functions.memo as m
+
+    saved_epoch, saved_events = m._REMOVAL_EPOCH, list(m._EVENTS)
+    try:
+        m._EVENTS.clear()
+        m._REMOVAL_EPOCH = 0
+        key = ("app", "/sf/A")
+        assert not m._overlap_can_affect(0, key)  # no events
+        m._REMOVAL_EPOCH = 1
+        m._record_event("sf_dir", "/sf/B")
+        assert not m._overlap_can_affect(0, key)  # other corpus
+        m._REMOVAL_EPOCH = 2
+        m._record_event("sf_dir", "/sf/A")
+        assert m._overlap_can_affect(0, key)  # matching corpus
+        assert m._overlap_can_affect(1, key)
+        m._REMOVAL_EPOCH = 3
+        m._record_event("executor", "7")
+        assert m._overlap_can_affect(2, key)  # removal: hits all
+        m._REMOVAL_EPOCH = 4
+        m._record_event("clear", None)
+        assert m._overlap_can_affect(3, key)  # clear: hits all
+        assert m._overlap_can_affect(3, "weird-key")  # non-tuple key
+        assert not m._overlap_can_affect(4, "weird-key")
+        m._EVENTS.clear()  # simulate deque eviction
+        m._REMOVAL_EPOCH = 10
+        assert m._overlap_can_affect(5, key)  # truncated: conservative
+    finally:
+        m._EVENTS.clear()
+        m._EVENTS.extend(saved_events)
+        m._REMOVAL_EPOCH = saved_epoch
