@@ -187,8 +187,11 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 # 233, 307, 373, 443, 479, 601, 691, 797, 853, 967, 1000211 — and a
 # second r10 batch of 12 on the final r10 code (staging release, the
 # revenue prefix-sum and map-only k-means rewrites landed): 199, 257,
-# 311, 383, 449, 491, 607, 709, 811, 857, 971, 1000253 —
-# cumulative distinct seeds green: 124.
+# 311, 383, 449, 491, 607, 709, 811, 857, 971, 1000253. Round 11 ran
+# 12 fresh seeds green on the final r11 code (scoped insert guard +
+# pending_guard + real listener deregistration landed): 263, 317, 389,
+# 461, 499, 617, 719, 821, 859, 977, 983, 1000303 —
+# cumulative distinct seeds green: 136.
 _SEEDS = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "11,42").split(",")
