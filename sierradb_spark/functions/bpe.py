@@ -377,6 +377,13 @@ def _learn_merges(
         got = _MERGES_MEMO.get(key)
         if got is not None:
             return got
+    else:
+        # The benchmark path skips the read but still refreshes the
+        # memo at the end — register the build-start snapshot so that
+        # insert stays subject to the invalidation-overlap guard
+        # (without this the bypass insert carries no snapshot and
+        # would cache a pre-mutation learn unguarded; r11 review).
+        _MERGES_MEMO.begin(key)
     d = load(spark, sf_dir, "documents")
     wfreq = (
         d.select(F.explode(_toks()).alias("word"))

@@ -182,22 +182,43 @@ class _MemoDict(dict):
     def __init__(self) -> None:
         super().__init__()
         self.built_on: dict = {}
-        # key -> (epoch at get-miss, live executor ids at get-miss):
-        # the build-start snapshot backing the two race guards in
-        # __setitem__. Every builder follows get-miss -> build ->
-        # insert, so the miss IS build start.
+        # (key, thread id) -> (epoch at build start, live executor ids
+        # at build start): the build-start snapshot backing the two
+        # race guards in __setitem__. Every builder follows get-miss ->
+        # build -> insert ON ONE THREAD, so the miss IS build start and
+        # the thread id scopes the snapshot to ITS build: a hit-path
+        # ``fail`` (the pending_guard finally) can never strip a
+        # DIFFERENT thread's in-flight snapshot, which would let that
+        # build's insert sail past the invalidation guard (r11 review:
+        # hit on T1 -> key deleted by an invalidation -> miss + build
+        # on T2 -> T1's finally used to pop T2's snapshot).
         self._pending: dict = {}
+
+    def begin(self, key) -> None:
+        """Register the build-start snapshot WITHOUT the read: for
+        builders that deliberately bypass the memo read path (e.g. the
+        BPE learn loop's ``use_memo=False`` benchmark mode) but still
+        refresh the entry — without this, their insert would carry no
+        snapshot and dodge the invalidation-overlap guard entirely."""
+        with _LOCK:
+            self._pending[(key, threading.get_ident())] = (
+                _REMOVAL_EPOCH,
+                _active_live_ids(),
+            )
 
     def get(self, key, default=None):
         with _LOCK:
             if super().__contains__(key):
                 return super().__getitem__(key)
-            self._pending[key] = (_REMOVAL_EPOCH, _active_live_ids())
+            self._pending[(key, threading.get_ident())] = (
+                _REMOVAL_EPOCH,
+                _active_live_ids(),
+            )
             return default
 
     def __setitem__(self, key, value) -> None:
         with _LOCK:
-            pend = self._pending.pop(key, None)
+            pend = self._pending.pop((key, threading.get_ident()), None)
             if (
                 pend is not None
                 and pend[0] != _REMOVAL_EPOCH
@@ -250,14 +271,16 @@ class _MemoDict(dict):
         return pre | post
 
     def fail(self, key) -> None:
-        """Drop ``key``'s build-start snapshot: the build was abandoned
-        (builder raised, or a cache gate refused the insert), so the
-        entry must not outlive the window — ``_pending`` holds exactly
-        the in-flight builds, not a residue of every failed one
-        (r11, VERDICT item 4). Idempotent; a successful insert already
-        consumed the snapshot."""
+        """Drop THIS THREAD's build-start snapshot for ``key``: the
+        build was abandoned (builder raised, or a cache gate refused
+        the insert), so the snapshot must not outlive the window —
+        ``_pending`` holds exactly the in-flight builds, not a residue
+        of every failed one (r11, VERDICT item 4). Idempotent; a
+        successful insert already consumed it. Thread-scoped on
+        purpose: a hit-path caller's pop must never strip a concurrent
+        build's snapshot (see ``_pending``'s comment)."""
         with _LOCK:
-            self._pending.pop(key, None)
+            self._pending.pop((key, threading.get_ident()), None)
 
     def __delitem__(self, key) -> None:
         with _LOCK:
@@ -299,10 +322,11 @@ def pending_guard(memo: _MemoDict):
     4; pre-r11 a builder that raised between the get-miss and the
     insert left its snapshot in ``_pending`` forever). The ``finally``
     pop is a no-op on hits and after normal inserts (``__setitem__``
-    already consumed the snapshot). Safe concurrently: an entry and a
-    pending snapshot for the same key cannot coexist (any insert pops
-    the snapshot, any miss overwrites it), so a hit-path pop can never
-    strip a live build's snapshot."""
+    already consumed the snapshot). Safe concurrently because both the
+    pop and the snapshot are THREAD-scoped ((key, thread id) entries):
+    a hit-path pop on one thread can never strip another thread's live
+    build snapshot, whatever interleaving of hits, misses, and
+    invalidation-driven deletes led there."""
 
     def deco(fn):
         import functools
@@ -452,14 +476,22 @@ class ExecutorLossListener:
                 cleared = invalidate_executor(exec_id)
             self.cleared_total += sum(cleared.values())
             if cleared:
-                import warnings
+                # Own guard: the invalidation above already SUCCEEDED,
+                # so an escalated warning (warnings-as-errors, common
+                # in downstream CI) must not fall through to the outer
+                # except — that branch would misread it as a lost
+                # invalidation and wipe every family (r11 review).
+                try:
+                    import warnings
 
-                warnings.warn(
-                    f"executor {exec_id} removed; cleared session memos "
-                    f"{cleared} (localCheckpoint blocks may have died "
-                    "with it — consumers rebuild cold)",
-                    stacklevel=1,
-                )
+                    warnings.warn(
+                        f"executor {exec_id} removed; cleared session "
+                        f"memos {cleared} (localCheckpoint blocks may "
+                        "have died with it — consumers rebuild cold)",
+                        stacklevel=1,
+                    )
+                except Exception:
+                    pass
         except Exception as exc:  # noqa: BLE001
             # The targeted invalidation may have been LOST mid-way.
             # Record it, then fall back to dropping everything — stale

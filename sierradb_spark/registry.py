@@ -210,10 +210,20 @@ def bucketed_cumulative(
             df.groupBy(key)
             .count()
             .where(F.col("count") > 1)
+            .select(
+                F.col(key).alias("k"),
+                "count",
+                F.lit("UNIQUE").alias("violated"),
+            )
             .unionByName(
                 df.where(F.col(key).isNull())
                 .groupBy(key)
                 .count()
+                .select(
+                    F.col(key).alias("k"),
+                    "count",
+                    F.lit("NON-NULL").alias("violated"),
+                )
             )
             .limit(1)
             .collect()
@@ -221,8 +231,8 @@ def bucketed_cumulative(
         if bad:
             raise ValueError(
                 f"bucketed_cumulative: key column {key!r} violates the "
-                "UNIQUE + NON-NULL precondition "
-                f"(offending key={bad[0][0]!r}, count={bad[0][1]}); "
+                f"{bad[0]['violated']} precondition "
+                f"(offending key={bad[0]['k']!r}, count={bad[0]['count']}); "
                 "aggregate to the key (groupBy) and filter nulls "
                 "upstream — see the docstring"
             )

@@ -367,13 +367,14 @@ def test_failed_build_leaves_no_pending_snapshot(spark, monkeypatch):
     monkeypatch.setattr(dedup_wide, "wide_bands_for", _raise)
     with _pytest.raises(RuntimeError, match="mid-flight"):
         dedup_wide._wide_bands(spark, sf)
-    assert key not in memo._pending  # snapshot popped, not leaked
+    # _pending entries are (key, thread id) scoped (r11 review)
+    assert not any(k == key for (k, _tid) in memo._pending)
     assert key not in memo
 
     monkeypatch.undo()
     rebuilt = dedup_wide._wide_bands(spark, sf)
     assert memo.get(key) is rebuilt  # next build caches normally
-    assert key not in memo._pending
+    assert not any(k == key for (k, _tid) in memo._pending)
 
 
 def test_insert_refusal_is_scoped_to_the_key(spark):
@@ -425,6 +426,122 @@ def test_insert_refusal_is_scoped_to_the_key(spark):
     )
     # full clear: refuses
     assert not build_with_overlap(lambda: clear_session_memos())
+
+
+def test_hit_path_fail_cannot_unguard_a_concurrent_build():
+    """r11 review: ``fail`` (the pending_guard finally, a no-op on the
+    hit path) must be THREAD-scoped. Pre-fix it popped by key alone, so
+    a hit on T1 whose entry was then invalidated could strip T2's
+    in-flight build-start snapshot — and T2's insert, arriving with no
+    snapshot, sailed past the invalidation-overlap guard and cached a
+    pre-mutation pass the completed invalidation could no longer drop.
+    Pure-unit: the guard is epoch-based, no Spark needed."""
+    import threading
+    import warnings
+
+    from sierradb_spark.functions import memo as M
+
+    d = M._MemoDict()
+    key = ("app-race", "/tmp/memo-race-sf")
+    d[key] = "seed"  # entry present...
+    assert d.get(key) == "seed"  # ...so T1's get is a HIT: no snapshot
+    del d[key]  # an invalidation then drops the key
+
+    started = threading.Event()
+    resume = threading.Event()
+    cached: list[bool] = []
+
+    def t2_build():
+        assert d.get(key) is None  # miss: registers T2's snapshot
+        started.set()
+        assert resume.wait(10)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            d[key] = "built over pre-mutation data"
+        cached.append(key in d)
+
+    t2 = threading.Thread(target=t2_build)
+    t2.start()
+    assert started.wait(10)
+    d.fail(key)  # T1's hit-path finally — must NOT strip T2's snapshot
+    assert any(k == key for (k, _tid) in d._pending), (
+        "hit-path fail stripped the concurrent build's snapshot"
+    )
+    M.invalidate_sf_dir("/tmp/memo-race-sf")  # overlaps T2's build
+    resume.set()
+    t2.join(10)
+    assert cached == [False], (
+        "T2's insert dodged the invalidation-overlap guard"
+    )
+    assert not any(k == key for (k, _tid) in d._pending)
+
+
+def test_begin_subjects_read_bypassing_builders_to_the_guard():
+    """r11 review: a builder that skips the memo read (the BPE learn
+    loop's ``use_memo=False`` benchmark mode) but still refreshes the
+    entry used to insert with NO build-start snapshot — bypassing the
+    invalidation-overlap guard entirely. ``begin`` registers the
+    snapshot without the read; the insert then refuses normally when a
+    matching invalidation overlapped the build."""
+    import warnings
+
+    from sierradb_spark.functions import memo as M
+
+    d = M._MemoDict()
+    key = ("app-begin", "/tmp/memo-begin-sf")
+    d.begin(key)  # build start, read path deliberately skipped
+    M.invalidate_sf_dir("/tmp/memo-begin-sf")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        d[key] = "stale learn"
+    assert key not in d, "bypass insert dodged the overlap guard"
+
+    # clean window: begin -> insert caches normally
+    d.begin(key)
+    d[key] = "fresh learn"
+    assert d.get(key) == "fresh learn"
+    assert not any(k == key for (k, _tid) in d._pending)
+
+
+def test_successful_invalidation_warn_escalation_is_contained(spark):
+    """r11 review: the success-path warn in onExecutorRemoved runs
+    AFTER the targeted invalidation already succeeded; under
+    warnings-as-errors (pytest filterwarnings=error and the like) its
+    escalation must not reach the outer except, which would misread it
+    as a LOST invalidation — recording a bogus error and wiping every
+    family instead of just the targeted entries."""
+    import warnings
+
+    from sierradb_spark.functions import dedup_wide, memo as M
+
+    listener = M.ExecutorLossListener()
+    memo = dedup_wide._BANDS_MEMO
+    key = (spark.sparkContext.applicationId, "/tmp/memo-warnerr-sf")
+    memo[key] = spark.range(3).localCheckpoint(eager=True)
+    memo.built_on[key] = None  # conservative: matches ANY removal
+
+    survivor_key = (spark.sparkContext.applicationId, "/tmp/memo-warnerr-B")
+    memo[survivor_key] = spark.range(3).localCheckpoint(eager=True)
+    memo.built_on[survivor_key] = frozenset({"driver"})
+
+    class _FakeRemoval:
+        def executorId(self):
+            return "warn-escalation-exec"
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            listener.onExecutorRemoved(_FakeRemoval())
+        assert not listener.errors, (
+            "escalated success-path warning misread as a lost "
+            "invalidation"
+        )
+        assert key not in memo  # the targeted drop itself happened
+        # stamped non-matching entry survives: no fallback full clear
+        assert survivor_key in memo
+    finally:
+        if survivor_key in memo:
+            del memo[survivor_key]
 
 
 def test_listener_handler_failure_is_observable(spark):

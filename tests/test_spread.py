@@ -259,9 +259,12 @@ def test_bucketed_cumulative_key_precondition_is_loud(spark):
     bucketed_cumulative(dup, "k", {"v": "cv"}, n_buckets=4)
     spark.conf.set("spark.sierradb.debug.checkCumulativeKeys", "true")
     try:
-        with _pytest.raises(ValueError, match="UNIQUE"):
+        # The messages are branch-specific (r11 review: a shared
+        # "UNIQUE + NON-NULL" message matched either pattern, so a
+        # broken branch could hide behind the other's raise).
+        with _pytest.raises(ValueError, match="UNIQUE precondition"):
             bucketed_cumulative(dup, "k", {"v": "cv"}, n_buckets=4)
-        with _pytest.raises(ValueError, match="NON-NULL"):
+        with _pytest.raises(ValueError, match="NON-NULL precondition"):
             bucketed_cumulative(nullkey, "k", {"v": "cv"}, n_buckets=4)
         # unique + non-null passes the check and still computes
         ok = spark.createDataFrame(
