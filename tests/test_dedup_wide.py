@@ -637,3 +637,51 @@ def test_overlap_scoping_matrix_pure():
         m._EVENTS.clear()
         m._EVENTS.extend(saved_events)
         m._REMOVAL_EPOCH = saved_epoch
+
+
+def test_every_memo_writing_builder_is_lifecycle_guarded():
+    """r11 review: pending_guard is call-site discipline, so nothing
+    stopped a FUTURE memo family's builder from shipping without it —
+    silently reintroducing the permanent-_pending leak (and, for
+    read-bypassing builders, the unguarded insert). Enforce the
+    convention structurally: every function in the package that
+    assigns into a ``*_MEMO`` store must either carry the
+    ``@pending_guard`` decorator or call ``.begin(`` / ``.get(`` on
+    that store before the insert (build-start snapshot registered
+    either way; the decorator also guarantees the fail-path pop)."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "sierradb_spark"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(py.read_text(), filename=str(py))
+        for node in ast.walk(tree):
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            src = ast.get_source_segment(py.read_text(), node) or ""
+            writes = [
+                t.value.id
+                for st in ast.walk(node)
+                if isinstance(st, ast.Assign)
+                for t in st.targets
+                if isinstance(t, ast.Subscript)
+                and isinstance(t.value, ast.Name)
+                and t.value.id.endswith("MEMO")
+            ]
+            if not writes:
+                continue
+            decorated = any(
+                (isinstance(d, ast.Call) and getattr(d.func, "id", "") == "pending_guard")
+                for d in node.decorator_list
+            )
+            snapshot_taken = any(
+                f"{m}.get(" in src or f"{m}.begin(" in src for m in writes
+            )
+            if not (decorated or snapshot_taken):
+                offenders.append(f"{py.name}:{node.lineno} {node.name} -> {writes}")
+    assert not offenders, (
+        "memo-writing builders without a lifecycle guard "
+        "(add @pending_guard(<MEMO>) and a get/begin build-start "
+        f"snapshot): {offenders}"
+    )
