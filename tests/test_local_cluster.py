@@ -158,8 +158,9 @@ def test_memo_loss_machinery_on_real_executors():
 # random live executor / invalidate the sf_dir / post a benign fake
 # removal — against a state model, on the same real multi-JVM master.
 # Cumulative distinct green seeds: 11, 17 (defaults below),
-# 23, 29, and a second r11 batch 31, 41, 59 (run via
-# SPARK_GRAFT_LC_FUZZ_SEEDS) — 7 distinct seeds green.
+# 23, 29, a second r11 batch 31, 41, 59, and a third batch 43, 47 on
+# the post-review-fix memo code (run via SPARK_GRAFT_LC_FUZZ_SEEDS) —
+# 9 distinct seeds green.
 _FUZZ_SCENARIO = r"""
 import os
 import random

@@ -190,8 +190,11 @@ def random_expected(rng: random.Random, model: DatabaseModel, stream: str) -> st
 # 311, 383, 449, 491, 607, 709, 811, 857, 971, 1000253. Round 11 ran
 # 12 fresh seeds green on the final r11 code (scoped insert guard +
 # pending_guard + real listener deregistration landed): 263, 317, 389,
-# 461, 499, 617, 719, 821, 859, 977, 983, 1000303 —
-# cumulative distinct seeds green: 136.
+# 461, 499, 617, 719, 821, 859, 977, 983, 1000303 — and a third r11
+# batch of 12 on the post-review-fix code (thread-scoped _pending,
+# begin() on the BPE bypass path, contained success-path warn): 271,
+# 337, 397, 463, 509, 619, 727, 827, 863, 991, 997, 1000313 —
+# cumulative distinct seeds green: 148.
 _SEEDS = [
     int(s)
     for s in os.environ.get("SPARK_GRAFT_FUZZ_SEEDS", "11,42").split(",")
