@@ -428,39 +428,61 @@ def _jaccard_pairs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _build_jaccard_pairs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The base's plan, pre-checkpoint — split out so the plan-shape
-    test can assert the pair generation is a source-blocked EQUI-join
-    (the memoized relation's own plan is just a checkpoint scan)."""
+    test can assert the pair generation is a shingle-postings EQUI-join
+    (the memoized relation's own plan is just a checkpoint scan).
+
+    Shape (r11): inverted-index pair generation. The old plan was a
+    source-blocked BroadcastHashJoin whose non-equi condition evaluated
+    ``array_intersect`` for EVERY same-source doc pair — Catalyst fused
+    the jac filter into the join condition AHEAD of the cheap size-ratio
+    prune, so all ~(docs/source)²/2 pairs paid the intersect: O(pairs ×
+    set size) with a 4-6 s quiet-host build at sf0.1 and a quadratic
+    term at scale. Instead, explode each doc's (distinct) shingle set
+    into postings and equi-join postings on the shingle itself: only
+    pairs that actually SHARE a shingle are generated, ``count(*)`` per
+    pair IS ``|A∩B|`` (sets, so each shared shingle contributes exactly
+    one match), and the union derives from the carried set sizes.
+    Identical results by construction — every integer is exact, the
+    final division is the same two ints — while the cost is
+    O(Σ_shingle df²) (co-occurrence volume), not O(pairs): a shingle
+    appearing in one doc generates zero work. At 100 TB this is the
+    standard sparse-similarity plan; a pathological hot shingle (df in
+    the millions) would need banding first, which the production-width
+    MinHash twins (dedup_wide) already are."""
     sh = _shingle_sets_pinned(spark, sf_dir)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(
-        F.array_intersect(F.col("a.shingle_set"), F.col("b.shingle_set"))
+    posts = sh.select(
+        "doc_id", "source", "ns", F.explode("shingle_set").alias("shingle")
     )
-    union = (
-        F.size(F.col("a.shingle_set")) + F.size(F.col("b.shingle_set")) - inter
-    )
-    jac = inter.cast("double") / F.nullif(union, F.lit(0))
-    df = (
+    a, b = posts.alias("a"), posts.alias("b")
+    pairs = (
         a.join(
             b,
-            (F.col("a.source") == F.col("b.source"))
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size-ratio prune: jac <= min/max sizes, so this drops only
-            # pairs the raw filter below drops anyway — BEFORE paying
-            # for the intersect.
+            # pairs the jac filter below drops anyway — BEFORE the
+            # match rows reach the pair aggregate.
             & (
                 F.least(F.col("a.ns"), F.col("b.ns")).cast("double")
                 / F.greatest(F.col("a.ns"), F.col("b.ns"))
                 >= _JACCARD_BASE_MIN
             ),
         )
-        .where(jac >= _JACCARD_BASE_MIN)
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jac_raw"),
+            F.col("a.ns").alias("na"),
+            F.col("b.ns").alias("nb"),
         )
+        .agg(F.count("*").alias("inter"))
     )
-    return df
+    jac = F.col("inter").cast("double") / F.nullif(
+        F.col("na") + F.col("nb") - F.col("inter"), F.lit(0)
+    )
+    return pairs.where(jac >= _JACCARD_BASE_MIN).select(
+        "doc_a", "doc_b", jac.alias("jac_raw")
+    )
 
 
 def _jaccard_pairs(
