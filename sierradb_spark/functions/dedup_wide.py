@@ -381,25 +381,47 @@ def minhash_wide_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(_hash32(F.col("doc_id")) < F.lit(thr))
         .select("doc_id", F.col("shingle_set").alias("ss"))
     )
-    a, b = sets.alias("a"), sets.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss")))
-    union = F.size(F.col("a.ss")) + F.size(F.col("b.ss")) - inter
-    jac = inter.cast("double") / F.nullif(union, F.lit(0))
-    # Size-ratio prune in the join condition (mirrored in the oracle):
-    # jac <= min(|A|,|B|)/max(|A|,|B|), so a pair failing the ratio can
-    # never pass the 0.8 filter — identical results, and the dominant
-    # array_intersect runs only on plausible pairs (sets are non-empty
-    # by the SHINGLE_K filter, so the ratio never divides by zero).
-    ratio = F.least(F.size("a.ss"), F.size("b.ss")).cast(
-        "double"
-    ) / F.greatest(F.size("a.ss"), F.size("b.ss"))
+    # r11: the sampled truth set is an inverted-index postings join —
+    # the same shape as dedup._build_jaccard_pairs_base — instead of an
+    # all-pairs self-join evaluating array_intersect per pair: explode
+    # each sampled doc's (distinct) shingle set, equi-join postings on
+    # the shingle, and count(*) per pair IS |A∩B|. Only pairs actually
+    # sharing a shingle are generated (a jac >= 0.8 pair always does),
+    # the union derives from the carried set sizes, and the size-ratio
+    # prune (mirrored in the oracle) still drops hopeless pairs before
+    # the aggregate. Integer counts + the same final division: results
+    # identical by construction.
+    posts = sets.select(
+        "doc_id", F.size("ss").alias("ns"), F.explode("ss").alias("shingle")
+    )
+    a, b = posts.alias("a"), posts.alias("b")
     truth = (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (ratio >= 0.8))
-        .where(jac >= 0.8)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.ns"), F.col("b.ns")).cast("double")
+                / F.greatest(F.col("a.ns"), F.col("b.ns"))
+                >= 0.8
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ns").alias("na"),
+            F.col("b.ns").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .where(
+            F.col("inter").cast("double")
+            / F.nullif(F.col("na") + F.col("nb") - F.col("inter"), F.lit(0))
+            >= 0.8
+        )
+        .select("doc_a", "doc_b")
         # Pinned: truth feeds BOTH the n_true aggregate and the covered
-        # join below — unpinned, the sampled O(sample²) self-join ran
-        # twice per call (profiled r8: ~27 s -> ~13 s at sf0.1).
+        # join below — unpinned, the sampled postings join ran twice
+        # per call (profiled r8, pre-rewrite: ~27 s -> ~13 s at sf0.1).
         .localCheckpoint(eager=False)
     )
     n_true = truth.agg(F.count("*").alias("n_true"))

@@ -189,22 +189,29 @@ def min_label_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
         "label", F.col("id")
     )
     for _ in range(max_rounds):
+        # One Spark job per round (r11): the node's own previous label
+        # rides through the aggregate in a second column (each id has
+        # exactly ONE own-row, so max() recovers it), the checkpoint is
+        # LAZY, and the convergence probe — a narrow filter over the
+        # checkpointed blocks, which is also what materializes them —
+        # replaces the old per-round shuffle join of prop against the
+        # previous labels (2-3 jobs/round -> 1). min-propagation labels
+        # are monotone non-increasing, so "no node's new label differs
+        # from its own old label" IS the fixpoint.
         prop = (
             edges.join(labels, edges.doc_a == labels.id)
-            .select(F.col("doc_b").alias("id"), "label")
-            .union(labels)
+            .select(
+                F.col("doc_b").alias("id"),
+                "label",
+                F.lit(None).cast(labels.schema["label"].dataType).alias("own"),
+            )
+            .union(labels.select("id", "label", F.col("label").alias("own")))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label"), F.max("own").alias("own"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = prop
+        changed = prop.where(F.col("label") != F.col("own")).limit(1).count()
+        labels = prop.select("id", "label")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -242,12 +249,14 @@ def _scored_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares: the edge list / LPA chain below, the scored pair audit
     (embedding_near_dup_pairs), and the bucketed-recall truth set.
     Memoized per (session, sf_dir) behind an eager checkpoint."""
-    from sierradb_spark.functions.similarity import dot_col, norm_col
+    from sierradb_spark.functions.similarity import norm_col
 
     key = (spark.sparkContext.applicationId, sf_dir)
     memo = _SCORED_PAIRS_MEMO.get(key)
     if memo is not None:
         return memo
+
+    import numpy as np
 
     emb = load(spark, sf_dir, "embeddings")
     n = emb.select(
@@ -255,22 +264,53 @@ def _scored_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
         norm_col(F.col("embedding").cast("array<double>")).alias("nrm"),
     )
-    # spread the probe side: the all-pairs comparison loop (this is the
-    # labeled exact-baseline audit; production twins are banded) runs
-    # entirely on a's partitions — the scan's single input split
-    # otherwise (see registry.spread). Memo build 18.7 s -> ~2 s.
-    a, b = spread(n, "vec_id").alias("a"), n.alias("b")
-    cos = dot_col(F.col("a.v"), F.col("b.v")) / F.nullif(
-        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
-    )
+    # r11: Arrow-batched BLAS GEMM replaces the broadcast nested-loop
+    # join whose per-pair cosine was an interpreted zip_with/aggregate
+    # fold (guide §4.2: hand whole batches to vectorized native code).
+    # The comparison side ships as a sparkContext.broadcast of the SAME
+    # relation the old plan's BroadcastExchange shipped to every
+    # executor — identical memory posture, but each task now scores its
+    # batch against all of B in one float64 matrix product instead of
+    # |batch|×n interpreted lambda folds. numpy's dot reassociates the
+    # 64-term sums, so last-ulp cosine differences vs the JVM fold are
+    # possible in principle; every consumer thresholds at 0.4 or rounds
+    # to 4 decimals, and the collected pair set was verified identical
+    # to the old plan's at sf0.001/0.01/0.1 (plus DuckDB-oracle parity
+    # on all downstream consumers).
+    rows = n.collect()  # the old plan's broadcast side, driver-held once
+    ids_all = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    mat_all = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    nrm_all = np.asarray([r["nrm"] for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids_all, mat_all, nrm_all))
+
+    def score(batches):
+        import pandas as pd
+
+        ids_b, mat_b, nrm_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            a_n = pdf["nrm"].to_numpy().astype(np.float64)
+            a_id = pdf["vec_id"].to_numpy()
+            denom = np.outer(a_n, nrm_b)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, np.nan, (a_m @ mat_b.T) / denom)
+            # NaN >= 0.4 is False, matching the SQL null-drop semantics
+            # of nullif(0) under the >= filter.
+            keep = (cos >= 0.4) & (a_id[:, None] < ids_b[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "doc_a": a_id[ai],
+                    "doc_b": ids_b[bj],
+                    "cosine": cos[ai, bj],
+                }
+            )
+
     df = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(cos >= 0.4)
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            cos.alias("cosine"),
-        )
+        spread(n, "vec_id")
+        .mapInPandas(score, "doc_a long, doc_b long, cosine double")
         .localCheckpoint(eager=True)
     )
     _SCORED_PAIRS_MEMO[key] = df
