@@ -76,9 +76,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the word arrays first: the gram lambda below slices
     # the words per position, and an inline split expression would be
     # re-evaluated per gram (O(len^2) per doc). repartition: single
-    # input split. The exploded gram table is ALSO materialized because
-    # both the bench side and the corpus side consume it — one gram
-    # pass instead of two.
+    # input split. r11: the exploded gram table is NOT materialized any
+    # more — the bench side filters to the 1/97 eval docs BEFORE gram
+    # generation (so its second gram pass is ~free), and the corpus
+    # side streams its grams straight into the broadcast semi join
+    # instead of writing the full gram explode to storage memory and
+    # reading it back (the old eager checkpoint materialized every gram
+    # string once just to consume the two disjoint halves separately:
+    # strictly more bytes moved than the recompute it saved).
     n_slices = _shuffle_width(d.sparkSession)
     w = (
         d.select("doc_id", "source", _words_col().alias("ws"))
@@ -93,14 +98,14 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(ws, i + 1, _GRAM_N)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = w.select("doc_id", "source", F.explode(grams).alias("gram")).localCheckpoint(
-        eager=True
-    )
     bench = (
-        g.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+        w.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
     )
     hits = (
-        g.where(F.col("doc_id") % 97 != 0)
+        w.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode(grams).alias("gram"))
         .join(F.broadcast(bench), "gram", "left_semi")
         .select("doc_id")
         .distinct()
