@@ -787,11 +787,13 @@ def _sql_markov() -> str:
     "Renormalizing each step keeps mass exact even when transitions "
     "point at sink types with no outgoing edges. Scale shape: the "
     "event table is touched twice (pair counts + empirical counts, "
-    "both map-side combined); each iteration multiplies an O(|types|) "
-    "vector against an O(|types|^2) matrix — broadcast-sized at any "
-    "corpus scale; the fixed iteration count keeps the plan static and "
-    "the oracle expressible as unrolled SQL (same convention as "
-    "pagerank_near_dup).",
+    "both map-side combined); the iteration state is an O(|types|) "
+    "vector against an O(|types|^2) matrix — bounded by the event-type "
+    "vocabulary at any corpus scale, so the power iteration runs "
+    "driver-side over the collected matrix (the k-means-centroid "
+    "boundedness argument) instead of paying a Spark job per step; the "
+    "fixed iteration count keeps the oracle expressible as unrolled "
+    "SQL (same convention as pagerank_near_dup).",
 )
 def markov_stationary_distribution(
     spark: SparkSession, sf_dir: str
@@ -813,31 +815,31 @@ def markov_stationary_distribution(
         "dst",
         (F.col("n") / F.sum("n").over(Window.partitionBy("src"))).alias("p"),
     )
-    pi = (
-        pairs.select("src").distinct().crossJoin(
-            F.broadcast(
-                pairs.select("src").distinct().agg(
-                    (1.0 / F.count("*")).alias("v0")
-                )
-            )
-        ).select(F.col("src").alias("s"), F.col("v0").alias("v"))
-    )
+    # r11: the power iteration runs driver-side over the collected
+    # transition matrix. The iteration state was always broadcast-sized
+    # (O(|types|) vector x O(|types|^2) matrix, bounded by the event-type
+    # vocabulary — never by corpus size, same boundedness argument as the
+    # k-means centroid collect), but each of the 12 renormalized steps
+    # paid an eager localCheckpoint Spark job purely to stop the
+    # pi{i+1}-references-raw{i+1}-twice plan doubling. Iterating the
+    # tiny matrix on the driver removes all 12+ jobs per run; the inner
+    # join's sink-drop semantics (a state contributes only while it has
+    # a pi row) are reproduced by the presence check below.
+    p_rows = p.collect()
+    srcs = sorted({r["src"] for r in p_rows})
+    v: dict = {s: 1.0 / len(srcs) for s in srcs}
     for _ in range(_MK_ITERS):
-        raw = (
-            p.join(F.broadcast(pi), p["src"] == pi["s"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
-            # Sever lineage every step: pi{i+1} references raw{i+1}
-            # TWICE (numerator + normalizing total) — without a
-            # barrier the plan doubles per iteration (2^ITERS nodes)
-            # and analysis alone dominates. The checkpointed state is
-            # O(|types|) rows — trivial at any corpus scale.
-            .localCheckpoint(eager=True)
-        )
-        tot = raw.agg(F.sum("v").alias("tot"))
-        pi = raw.crossJoin(F.broadcast(tot)).select(
-            F.col("dst").alias("s"), (F.col("v") / F.col("tot")).alias("v")
-        )
+        raw: dict = {}
+        for r in p_rows:
+            m = v.get(r["src"])
+            if m is None:  # join semantics: absent state, not zero mass
+                continue
+            raw[r["dst"]] = raw.get(r["dst"], 0.0) + m * r["p"]
+        tot = sum(raw.values())
+        v = {d: x / tot for d, x in raw.items()}
+    pi = spark.createDataFrame(
+        [(s, float(x)) for s, x in sorted(v.items())], "s string, v double"
+    )
     outdeg = pairs.groupBy("src").agg(
         F.count("*").cast("long").alias("n_out"),
         F.sum("n").cast("long").alias("n_transitions"),
