@@ -29,9 +29,10 @@ strings, so the parity is exact, not rounded.
 
 Scale shape (100 TB): the vocabulary is capped at the top-K words by
 corpus frequency (one token-explode aggregate with map-side combine +
-TakeOrderedAndProject); every merge round then works on K rows of
-symbol arrays — driver traffic is ONE (pair, count) row per round,
-the same O(k) routing pattern as the k-means/IVF centroid loops.
+TakeOrderedAndProject); the merge rounds then work on K symbol arrays
+— bounded by the vocab cap, never the corpus — collected once and
+iterated driver-side (r11; the k-means-centroid boundedness argument),
+instead of two Spark jobs per round over 300 rows.
 """
 
 from __future__ import annotations
@@ -312,10 +313,11 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the oracle's gaps-and-islands parity selection (overlaps only "
     "exist for a==b runs, where greedy = every other match) agree "
     "EXACTLY, pinned by the value hash. Scale shape: one corpus "
-    "token aggregate + TakeOrderedAndProject caps the vocab; each "
-    f"round is a job over {_BPE_TOP_WORDS} symbol arrays with one "
-    "(pair,count) row to the driver — O(merges) driver traffic, like "
-    "the k-means centroid loop.",
+    "token aggregate + TakeOrderedAndProject caps the vocab at "
+    f"{_BPE_TOP_WORDS} words; the merge rounds iterate that bounded "
+    "vocabulary driver-side (collected once — the k-means-centroid "
+    "boundedness argument), so corpus size sets only the aggregate's "
+    "cost.",
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # use_memo=False: this query IS the learn loop's recorded
@@ -395,39 +397,45 @@ def _learn_merges(
     )
     v = wfreq.select(
         "freq", F.regexp_extract_all("word", F.lit("."), 0).alias("syms")
-    ).localCheckpoint(eager=True)
+    )
 
+    # r11: the merge rounds run driver-side over the collected capped
+    # vocabulary. The working set is _BPE_TOP_WORDS symbol arrays —
+    # bounded by the vocab cap, never by corpus size (the same
+    # boundedness argument as the markov/k-means collects) — yet each
+    # round paid TWO Spark jobs (pair argmax + fuse checkpoint) over
+    # those 300 rows. The corpus-scale pass (token explode + top-K
+    # aggregate) stays in-engine; symbol splitting stays on the Spark
+    # regexp so engine parity of the split is untouched. Pure integer
+    # counts and string compares (UTF-8 order == code-point order ==
+    # Python str order), so the driver loop is bit-exact with the old
+    # per-round jobs; the fuse is the same greedy left-to-right
+    # non-overlapping rule the fold implemented (pinned equivalent on
+    # adversarial shapes by tests/test_bpe.py).
+    vocab = [(int(r["freq"]), list(r["syms"])) for r in v.collect()]
     merges = []
     for rank in range(1, _BPE_MERGES + 1):
-        pairs = (
-            v.where(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                        lambda x, y: F.struct(
-                            x.alias("a"), y.alias("b")
-                        ),
-                    )
-                ).alias("pr"),
-            )
-            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
-            .agg(F.sum("freq").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
-        )
-        best = pairs.head()  # one row to the driver per round
-        a, b, c = best["a"], best["b"], int(best["c"])
-        merges.append((rank, a, b, c))
-        step = merge_step(a, b)
-
-        v = v.select(
-            "freq",
-            F.aggregate(
-                F.col("syms"), F.array().cast("array<string>"), step
-            ).alias("syms"),
-        ).localCheckpoint(eager=True)  # flat lineage; 300 rows
+        cnt: dict = {}
+        for freq, syms in vocab:
+            for x, y in zip(syms, syms[1:]):
+                cnt[(x, y)] = cnt.get((x, y), 0) + freq
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, int(c)))
+        vocab = [(freq, _py_fuse(syms, a, b)) for freq, syms in vocab]
 
     _MERGES_MEMO[key] = merges
     return merges
+
+
+def _py_fuse(syms: list, a: str, b: str) -> list:
+    """Greedy left-to-right non-overlapping fuse of adjacent (a, b) —
+    the driver-side twin of ``merge_step``'s array fold (a fused
+    position cannot chain-fuse because the new last element is a||b,
+    never ``a``)."""
+    out: list = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out

@@ -72,3 +72,13 @@ def test_learned_merge_counts_nonincreasing(spark, sf_dir):
     # ranks are 1..10 and merges are distinct pairs
     assert [r["merge_rank"] for r in rows] == list(range(1, 11))
     assert len({(r["left_sym"], r["right_sym"]) for r in rows}) == 10
+
+
+def test_py_fuse_matches_greedy_reference():
+    """The r11 driver-side fuse twin must agree with the index-scan
+    greedy reference on the same adversarial shapes that pin the Spark
+    fold (runs, alternations, fused-symbol collisions)."""
+    from sierradb_spark.functions.bpe import _py_fuse
+
+    for syms, a, b in CASES:
+        assert _py_fuse(syms, a, b) == py_greedy_fuse(syms, a, b), (syms, a, b)
