@@ -800,69 +800,75 @@ def markov_stationary_distribution(
 ) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
-    ).where(F.col("next_type").isNotNull())
-    pairs = (
-        seq.groupBy(
+    # ONE events pass (r11 second cut): keeping the null-next rows in the
+    # pair aggregate makes it carry the empirical marginals too — every
+    # event contributes exactly one (event_type, next_type) row, so
+    # sum(n) over a src's rows INCLUDING the null-dst group is that
+    # type's total event count and sum over everything is count(*).
+    # The old shape paid a second full events scan just for the
+    # empirical distribution, plus an eager localCheckpoint of the pair
+    # table so two downstream consumers (normalization window + outdeg)
+    # could share it. The collected pair table is O(|types|^2+|types|),
+    # bounded by the event-type vocabulary at any corpus scale, so
+    # outdeg / normalization / the 12 renormalized power-iteration
+    # steps all run driver-side (the k-means-centroid boundedness
+    # argument); the inner join's sink-drop semantics (a state
+    # contributes only while it has a pi row) are reproduced by the
+    # presence check below. Exactness: n/total is the same IEEE-double
+    # division of exact integers both engines perform, and the
+    # accumulation order is pinned by the (src, dst) sort.
+    allpairs = (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .groupBy(
             F.col("event_type").alias("src"), F.col("next_type").alias("dst")
         )
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)  # read per iteration + outdeg
+        .collect()
     )
-    p = pairs.select(
-        "src",
-        "dst",
-        (F.col("n") / F.sum("n").over(Window.partitionBy("src"))).alias("p"),
+    out_n: dict = {}
+    out_cnt: dict = {}
+    emp_n: dict = {}
+    for r in allpairs:
+        emp_n[r["src"]] = emp_n.get(r["src"], 0) + r["n"]
+        if r["dst"] is not None:
+            out_n[r["src"]] = out_n.get(r["src"], 0) + r["n"]
+            out_cnt[r["src"]] = out_cnt.get(r["src"], 0) + 1
+    tot_ev = sum(emp_n.values())
+    p_rows = sorted(
+        (r["src"], r["dst"], r["n"] / out_n[r["src"]])
+        for r in allpairs
+        if r["dst"] is not None
     )
-    # r11: the power iteration runs driver-side over the collected
-    # transition matrix. The iteration state was always broadcast-sized
-    # (O(|types|) vector x O(|types|^2) matrix, bounded by the event-type
-    # vocabulary — never by corpus size, same boundedness argument as the
-    # k-means centroid collect), but each of the 12 renormalized steps
-    # paid an eager localCheckpoint Spark job purely to stop the
-    # pi{i+1}-references-raw{i+1}-twice plan doubling. Iterating the
-    # tiny matrix on the driver removes all 12+ jobs per run; the inner
-    # join's sink-drop semantics (a state contributes only while it has
-    # a pi row) are reproduced by the presence check below.
-    p_rows = p.collect()
-    srcs = sorted({r["src"] for r in p_rows})
+    srcs = sorted(out_n)
     v: dict = {s: 1.0 / len(srcs) for s in srcs}
     for _ in range(_MK_ITERS):
         raw: dict = {}
-        for r in p_rows:
-            m = v.get(r["src"])
+        for s, d, p in p_rows:
+            m = v.get(s)
             if m is None:  # join semantics: absent state, not zero mass
                 continue
-            raw[r["dst"]] = raw.get(r["dst"], 0.0) + m * r["p"]
+            raw[d] = raw.get(d, 0.0) + m * p
         tot = sum(raw.values())
         v = {d: x / tot for d, x in raw.items()}
-    pi = spark.createDataFrame(
-        [(s, float(x)) for s, x in sorted(v.items())], "s string, v double"
+    # Output rows = pi INNER JOIN outdeg INNER JOIN emp: sink states
+    # (no outgoing edges) drop, exactly as the old distributed joins
+    # did. Rounding stays in Spark so HALF_UP semantics are unchanged.
+    out = spark.createDataFrame(
+        [
+            (s, float(v[s]), emp_n[s] / tot_ev, out_cnt[s], out_n[s])
+            for s in sorted(v)
+            if s in out_n
+        ],
+        "s string, v double, e double, n_out long, n_transitions long",
     )
-    outdeg = pairs.groupBy("src").agg(
-        F.count("*").cast("long").alias("n_out"),
-        F.sum("n").cast("long").alias("n_transitions"),
-    )
-    emp = (
-        ev.groupBy("event_type")
-        .agg(F.count("*").alias("c"))
-        .crossJoin(F.broadcast(ev.agg(F.count("*").alias("tot_ev"))))
-        .select(
-            "event_type",
-            (F.col("c") / F.col("tot_ev")).alias("empirical_p"),
-        )
-    )
-    return (
-        pi.join(outdeg, pi["s"] == outdeg["src"])
-        .join(emp, F.col("s") == F.col("event_type"), "inner")
-        .select(
-            F.col("s").alias("event_type"),
-            F.round("v", 6).alias("stationary_p"),
-            F.round("empirical_p", 6).alias("empirical_p"),
-            "n_out",
-            "n_transitions",
-        )
+    return out.select(
+        F.col("s").alias("event_type"),
+        F.round("v", 6).alias("stationary_p"),
+        F.round("e", 6).alias("empirical_p"),
+        "n_out",
+        "n_transitions",
     )
 
 
