@@ -1621,6 +1621,21 @@ _STEPS_HORIZON = 12
 _STEPS_TARGET = "purchase"
 
 
+def _round9(x: float) -> float:
+    """Driver-side twin of Spark's ``round(col, 9)`` on doubles
+    (HALF_UP over the shortest decimal representation): Java's
+    ``BigDecimal.valueOf(double)`` quantizes ``Double.toString``'s
+    shortest-roundtrip decimal, and Python's ``repr(float)`` is the
+    same shortest-roundtrip string, so the two quantized grids agree.
+    Python's builtin ``round()`` is half-even and would diverge at
+    exact .5e-9 ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+    )
+
+
 def _sql_expected_steps() -> str:
     parts = [
         """
@@ -1689,7 +1704,23 @@ def _sql_expected_steps() -> str:
 def expected_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
+    # r11: the 12 value-iteration rounds run driver-side over the
+    # collected transition matrix — the same treatment (and boundedness
+    # argument) as markov_stationary_distribution above: the iteration
+    # state is an O(|types|) vector against an O(|types|^2) matrix,
+    # bounded by the event-type vocabulary at any corpus scale, yet
+    # each round paid an eager localCheckpoint Spark job plus two
+    # broadcast joins (14 jobs per invocation with the pm/types pins).
+    # The corpus-scale pass (lead window + pair aggregate) stays
+    # in-engine; ONE events pass, one collect of the tiny pair table.
+    # Exactness: p = c/tc is the same IEEE-double division of exact
+    # integers both engines perform; the per-round HALF_UP round(_, 9)
+    # is reproduced exactly via Decimal(repr(x)) quantization — Java's
+    # BigDecimal.valueOf(double) and Python's repr(float) both take the
+    # shortest decimal representation, so the quantized grids agree;
+    # the dot-product accumulation order is pinned by the (src, dst)
+    # sort; the final round(_, 4) stays in Spark, unchanged.
+    allpairs = (
         ev.select(
             "event_type", F.lead("event_type").over(w).alias("next_type")
         )
@@ -1699,48 +1730,26 @@ def expected_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_type").alias("dst"),
         )
         .agg(F.count("*").alias("c"))
+        .collect()
     )
-    tot = pairs.groupBy("src").agg(F.sum("c").alias("tc"))
-    pm = (
-        pairs.join(tot, "src")
-        .select(
-            "src",
-            "dst",
-            (F.col("c").cast("double") / F.col("tc")).alias("p"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    types = (
-        pm.select(F.col("src").alias("t"))
-        .union(pm.select(F.col("dst").alias("t")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    e = types.select("t", F.lit(0.0).alias("e"))
+    tc: dict = {}
+    for r in allpairs:
+        tc[r["src"]] = tc.get(r["src"], 0) + r["c"]
+    p_rows = sorted((r["src"], r["dst"], r["c"] / tc[r["src"]]) for r in allpairs)
+    types = sorted({s for s, _, _ in p_rows} | {d for _, d, _ in p_rows})
+    e: dict = {t: 0.0 for t in types}
     for _ in range(_STEPS_HORIZON):
-        nxt = (
-            types.join(F.broadcast(pm), types["t"] == pm["src"], "left")
-            .join(
-                F.broadcast(e.select(F.col("t").alias("dt"), "e")),
-                F.col("dst") == F.col("dt"),
-                "left",
-            )
-            .groupBy(types["t"].alias("t"))
-            .agg(
-                F.round(
-                    1.0 + F.coalesce(F.sum(F.col("p") * F.col("e")), F.lit(0.0)),
-                    9,
-                ).alias("e_raw")
-            )
-            .select(
-                "t",
-                F.when(F.col("t") == _STEPS_TARGET, F.lit(0.0))
-                .otherwise(F.col("e_raw"))
-                .alias("e"),
-            )
-        )
-        e = nxt.localCheckpoint(eager=True)
-    return e.select(
+        acc = {t: 0.0 for t in types}
+        for s, d, p in p_rows:
+            acc[s] += p * e[d]
+        e = {
+            t: (0.0 if t == _STEPS_TARGET else _round9(1.0 + acc[t]))
+            for t in types
+        }
+    out = spark.createDataFrame(
+        [(t, e[t]) for t in types], "t string, e double"
+    )
+    return out.select(
         F.col("t").alias("event_type"),
         F.round("e", 4).alias(f"expected_steps_{_STEPS_HORIZON}h"),
     )

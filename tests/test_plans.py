@@ -1060,9 +1060,10 @@ def test_skyline_dominance_on_dates_aggregate(q):
 
 
 def test_expected_steps_broadcast_iteration(q):
-    """Each value-iteration round joins the O(|types|) vector broadcast-
-    side; no sort-merge join anywhere in the chain (the markov
-    discipline)."""
+    """The value iteration runs driver-side over the collected
+    O(|types|^2) pair table (r11, the markov discipline); the only
+    distributed work is the one events pass, so no sort-merge join can
+    appear anywhere in the chain."""
     f = assert_plan(q("expected_steps_to_purchase"))
     assert f["sort_merge_joins"] == 0, f["plan"][:1500]
 
@@ -1141,3 +1142,24 @@ def test_bucketed_cumulative_callers_satisfy_key_contract(q, spark):
         assert q("time_to_convert_stats").limit(1).count() >= 0
     finally:
         spark.conf.set("spark.sierradb.debug.checkCumulativeKeys", "false")
+
+
+def test_expected_steps_round9_matches_spark_half_up(q, spark):
+    """r11 (driver-side value iteration): the per-round HALF_UP
+    round(_, 9) moved to the driver; _round9 must agree with Spark's
+    round(col, 9) bit-for-bit — including exact .5e-9 decimal ties,
+    where Python's builtin half-even round() diverges."""
+    import random
+
+    from sierradb_spark.operators.event_analytics import _round9
+
+    rng = random.Random(9)
+    vals = [1.0000000005, 2.0000000015, 0.0000000005, 3.1415926535,
+            1.9999999995, 7.0000000025]
+    vals += [rng.uniform(0.0, 20.0) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    from pyspark.sql import functions as F
+
+    got = [r[0] for r in df.select(F.round("x", 9)).collect()]
+    want = [_round9(v) for v in vals]
+    assert got == want
