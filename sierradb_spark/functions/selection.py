@@ -667,10 +667,32 @@ def _kc_sql() -> str:
     "Oracle: the same rounds unrolled as chained 1-row CTEs.",
 )
 def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sierradb_spark.functions.memo import release_checkpoint
+
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+
+    # r11: incremental farthest-point traversal. Round j used to
+    # re-evaluate ALL j center distances per row (each one TWO
+    # interpreted zip_with/aggregate folds — the self dot product was
+    # recomputed per center), so per-round work grew linearly and the
+    # suite paid ~sum(j) = O(k^2) folds per row. Now the self dot
+    # product is computed once into a pinned ``vv`` column and the
+    # running min-distance ``mind`` rides a per-round lazy
+    # localCheckpoint: each round evaluates exactly ONE new-center fold
+    # per row and folds it into the min. Exactness: every per-center
+    # distance is rounded to 9 dp BEFORE the min exactly as before, and
+    # least(least(d1..dj-1), dj) == least(d1..dj) — the same doubles in
+    # the same grid, so argmax picks (and the vec_id tiebreak) are
+    # identical; verified by oracle hash at 3 SFs. The scan stays
+    # distributed (corpus-scale embeddings are never collected); driver
+    # traffic is unchanged at one row per round. The previous round's
+    # checkpoint blocks are released deterministically once the next
+    # generation materializes (the r10 staging-release discipline), so
+    # peak pinned storage is 2 generations of (id, emb, vv, mind), not
+    # k.
 
     def dist_to(center_vec: list[float]):
         c = F.array(*[F.lit(float(x)) for x in center_vec])
@@ -679,45 +701,59 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda a, x: a + x,
         )
-        dot_vv = F.aggregate(
-            F.zip_with("emb", F.col("emb"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
         cc = float(sum(x * x for x in center_vec))
-        return F.round(dot_vv - 2.0 * dot_vc + F.lit(cc), 9)
+        return F.round(F.col("vv") - 2.0 * dot_vc + F.lit(cc), 9)
 
+    dot_vv = F.aggregate(
+        F.zip_with("emb", F.col("emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     first = v.where(F.col("vec_id") == 0).select("vec_id", "emb").head()
     chosen = [(int(first[0]), list(first[1]), None)]
+    state = v.withColumn("vv", dot_vv)
+    prev = None
     for j in range(1, _KC_K):
-        mind_cols = [dist_to(vec) for _, vec, _ in chosen]
-        md = mind_cols[0] if len(mind_cols) == 1 else F.least(*mind_cols)
+        dnew = dist_to(chosen[-1][1])
+        mind = dnew if j == 1 else F.least(F.col("mind"), dnew)
+        state = state.withColumn("mind", mind).localCheckpoint(eager=False)
         ids = [cid for cid, _, _ in chosen]
         pick = (
-            v.where(~F.col("vec_id").isin(ids))
-            .select(F.struct((-md).alias("nd"), "vec_id", "emb").alias("s"))
+            state.where(~F.col("vec_id").isin(ids))
+            .select(
+                F.struct(
+                    (-F.col("mind")).alias("nd"), "vec_id", "emb"
+                ).alias("s")
+            )
             .agg(F.min("s").alias("s"))
             .select("s.nd", "s.vec_id", "s.emb")
             .head()
         )
         chosen.append((int(pick[1]), list(pick[2]), -float(pick[0])))
+        if prev is not None:
+            release_checkpoint(prev)
+        prev = state
 
-    cover_md = F.least(*[dist_to(vec) for _, vec, _ in chosen])
-    fin = v.agg(F.round(F.max(cover_md), 6).alias("sq_radius")).select(
-        F.lit(_KC_K).alias("sel_order"),
-        F.lit(None).cast("bigint").alias("vec_id"),
-        "sq_radius",
-    )
+    # Cover radius = max over the corpus of the min distance to ALL k
+    # centers: the running mind plus the last pick's distance. Computed
+    # eagerly (one more distributed scan of the pinned state, rounding
+    # still Spark-side) so the final checkpoint generation can be
+    # released too — a completed query leaves zero pinned blocks.
+    cover_md = F.least(F.col("mind"), dist_to(chosen[-1][1]))
+    cov_row = state.agg(F.round(F.max(cover_md), 6).alias("sq_radius")).head()
+    cover = None if cov_row[0] is None else float(cov_row[0])
+    release_checkpoint(state)
+
     def _round6(x: float) -> float:
         # Half-away-from-zero, matching Spark/DuckDB round(); Python's
         # round() is half-even and would diverge at exact .5e-6 ties.
         return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
-    rows = spark.createDataFrame(
+    return spark.createDataFrame(
         [
             (j, cid, None if r is None else _round6(r))
             for j, (cid, _, r) in enumerate(chosen)
-        ],
+        ]
+        + [(_KC_K, None, cover)],
         "sel_order int, vec_id bigint, sq_radius double",
     )
-    return rows.unionAll(fin)

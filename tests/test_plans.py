@@ -811,8 +811,10 @@ def test_vocab_coverage_no_window_tiny_nested_loops(q):
 
 
 def test_kcenter_argmax_rounds_no_joins(q):
-    """Every greedy round reduces a single scan against literal
-    broadcast centers — the plan has no join of any kind and no window;
+    """Every greedy round reduces a single scan of the pinned
+    (id, emb, vv, mind) state against ONE literal new-center distance
+    (r11: the running min rides a per-round checkpoint instead of
+    re-evaluating all j center folds) — no join of any kind, no window;
     driver traffic is O(k)."""
     f = assert_plan(q("kcenter_coreset_selection"), forbid_nested_loop=True)
     assert f["sort_merge_joins"] == 0 and f["broadcast_hash_joins"] == 0
@@ -1163,3 +1165,19 @@ def test_expected_steps_round9_matches_spark_half_up(q, spark):
     got = [r[0] for r in df.select(F.round("x", 9)).collect()]
     want = [_round9(v) for v in vals]
     assert got == want
+
+
+def test_kcenter_releases_every_checkpoint_generation(q, spark):
+    """r11 (incremental farthest-point traversal): each greedy round
+    pins (id, emb, vv, mind) behind a lazy localCheckpoint; every
+    generation — including the last, after the eager cover scan — must
+    be released deterministically, so a completed query leaves the
+    block store where it found it."""
+    sc = spark.sparkContext
+
+    def cached() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    before = cached()
+    assert q("kcenter_coreset_selection").collect()
+    assert cached() == before, "kcenter left pinned checkpoint blocks"
