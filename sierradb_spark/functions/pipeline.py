@@ -248,23 +248,70 @@ def min_label_components(edges: DataFrame, max_rounds: int = 200) -> DataFrame:
 
 
 # Session-scoped memos (same pattern as dedup_wide._BANDS_MEMO, r7):
-# the exact-cosine edge list and its min-label fixpoint are shared by
+# the exact-cosine pair list and its component fixpoint are shared by
 # near_dup_components, dedup_survivor_corpus, and the clustering
 # consumers; each was re-running the O(n^2) cosine join plus the full
 # label-propagation loop per query.
 _SCORED_PAIRS_MEMO = register_memo("pipeline.scored_pairs")
-_EDGES_MEMO = register_memo("pipeline.edges")
 _LABELS_MEMO = register_memo("pipeline.labels")
 
 
 @pending_guard(_LABELS_MEMO)
 def _near_dup_labels_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id, label) components of the exact near-dup graph, memoized —
-    the LPA fixpoint is deterministic, so consumers share one run."""
+    """(id, label) components of the exact near-dup graph, memoized.
+
+    r11: driver-side union-find over the collected pair list instead of
+    the distributed min-label fixpoint (~13 one-job LPA rounds of pure
+    scheduling latency at bench scale). Boundedness: this is the labeled
+    exact-baseline audit family — :func:`_scored_near_dup_pairs` already
+    holds the ENTIRE comparison matrix on the driver (``n.collect()``),
+    and its output pair list is what we collect here, so the driver
+    footprint stays within the audit posture documented in docs/SCALE.md
+    (production near-dup components run on the banded LSH graph via
+    :func:`dedup_wide.wide_near_dup_components`, which keeps the
+    distributed :func:`min_label_components` fixpoint). Union-by-min-root
+    makes every tree root the component's minimum id, so ``find`` IS the
+    label — identical to the LPA fixpoint (and the recursive-CTE oracle)
+    by definition, and independent of union order.
+    """
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _LABELS_MEMO.get(key)
     if df is None:
-        df = min_label_components(_near_dup_edges(spark, sf_dir))
+        pairs = (
+            _scored_near_dup_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .collect()
+        )
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in pairs:
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = sorted((x, find(x)) for x in parent)
+        # Eager checkpoint: a plain createDataFrame relation re-runs the
+        # Python->JVM row conversion on EVERY consumer action
+        # (applySchemaToPythonRDD in the scan); pinning once gives warm
+        # consumers the same block-scan reads the old distributed
+        # fixpoint had. One partition — the relation is O(near-dup
+        # nodes) small and every consumer broadcasts it.
+        df = (
+            spark.createDataFrame(rows, "id long, label long")
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
         _LABELS_MEMO[key] = df
     return df
 
@@ -341,24 +388,6 @@ def _scored_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     _SCORED_PAIRS_MEMO[key] = df
-    return df
-
-
-@pending_guard(_EDGES_MEMO)
-def _near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric near-duplicate edge list (cosine >= 0.4 pairs), eagerly
-    checkpointed so iterative consumers don't rebuild the O(n^2) join;
-    memoized per (session, sf_dir)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    memo = _EDGES_MEMO.get(key)
-    if memo is not None:
-        return memo
-
-    pairs = _scored_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    df = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    _EDGES_MEMO[key] = df
     return df
 
 

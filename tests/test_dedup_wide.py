@@ -112,7 +112,6 @@ def test_memo_lifecycle_hooks(spark):
         "dedup_wide.candidates",
         "dedup_wide.wide_labels",
         "pipeline.scored_pairs",
-        "pipeline.edges",
         "pipeline.labels",
         "bpe.merges",
         "bpe.encoded_vocab",

@@ -40,3 +40,62 @@ def test_validate_invariants_healthy_store(spark, tmp_path):
     store.append([AppendRequest("v-0", "tail")])
     problems = validate(store)
     assert problems == {k: 0 for k in problems}, problems
+
+
+def test_union_find_labels_match_distributed_fixpoint(spark, sf_dir):
+    """r11 opt: `_near_dup_labels_pinned` computes components with a
+    driver-side union-find over the collected exact-baseline pair list
+    (the family already holds the full comparison matrix driver-side).
+    Its (id, label) set must equal the distributed min-label fixpoint
+    the wide/LSH path still uses, run on the same symmetric edges —
+    and also cover an adversarial chain where naive label-as-you-go
+    (without root resolution) would split a component."""
+    from pyspark.sql import functions as F
+
+    from sierradb_spark.functions.pipeline import (
+        _near_dup_labels_pinned,
+        _scored_near_dup_pairs,
+        min_label_components,
+    )
+
+    pairs = _scored_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    want = {(r[0], r[1]) for r in min_label_components(edges).collect()}
+    got = {(r[0], r[1]) for r in _near_dup_labels_pinned(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+    # Adversarial chain: unions arriving high-to-low with a late bridge —
+    # (7,8) (5,6) (6,7) then (1,5): every node must land on label 1, and
+    # a second component (2,3) keeps label 2. Exercises path compression
+    # across already-merged trees, which the corpus graph may not.
+    import sierradb_spark.functions.pipeline as pl
+
+    class _FakePairs:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def select(self, *_):
+            return self
+
+        def collect(self):
+            return self._rows
+
+    orig = pl._scored_near_dup_pairs
+    key_rows = [(7, 8), (5, 6), (6, 7), (1, 5), (2, 3)]
+    try:
+        pl._scored_near_dup_pairs = lambda s, d: _FakePairs(key_rows)
+        pl._LABELS_MEMO.pop(
+            (spark.sparkContext.applicationId, "/fake/chain"), None
+        )
+        out = {
+            (r[0], r[1])
+            for r in pl._near_dup_labels_pinned(spark, "/fake/chain").collect()
+        }
+    finally:
+        pl._scored_near_dup_pairs = orig
+        pl._LABELS_MEMO.pop(
+            (spark.sparkContext.applicationId, "/fake/chain"), None
+        )
+    assert out == {(1, 1), (5, 1), (6, 1), (7, 1), (8, 1), (2, 2), (3, 2)}
