@@ -278,8 +278,6 @@ def _sql_label_prop() -> str:
     "expressible as unrolled SQL.",
 )
 def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from sierradb_spark.functions.dedup_wide import _wide_candidates_pinned
 
     cand = _wide_candidates_pinned(spark, sf_dir)
@@ -293,15 +291,32 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("u").orderBy(F.desc("c"), "label")
+    # Deterministic argmax (count desc, label asc) as ONE long max:
+    # m = c * 2^32 + (2^32-1 - label) ranks by count first, then by
+    # SMALLEST label on ties — the identical winner the old
+    # row_number()-over-(desc c, label) window picked, but as a plain
+    # hash-aggregable max: partial aggregation before the exchange and
+    # zero per-round Sort/Window of the (u, label, c) relation (r11; a
+    # struct-valued max would fall back to SortAggregate). Exact long
+    # arithmetic: labels are doc ids < 2^31 (the shared multiplicative-
+    # hash precondition, functions/pipeline.py) and c <= degree < 2^31,
+    # so m < 2^63 never overflows.
+    _ENC = 1 << 32
     for _ in range(_LP_ITERS):
         labels = (
             edges.join(F.broadcast(labels), F.col("v") == F.col("node"))
             .groupBy("u", "label")
             .agg(F.count("*").alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("u").alias("node"), "label")
+            .groupBy("u")
+            .agg(
+                F.max(
+                    F.col("c") * _ENC + (_ENC - 1 - F.col("label"))
+                ).alias("m")
+            )
+            .select(
+                F.col("u").alias("node"),
+                (_ENC - 1 - (F.col("m") % _ENC)).alias("label"),
+            )
         )
     return labels.groupBy("label").agg(
         F.count("*").alias("n_members"),
@@ -524,12 +539,18 @@ def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sierradb_spark.functions.dedup_wide import _wide_candidates_pinned
 
     cand = _wide_candidates_pinned(spark, sf_dir)
+    # Lazy per-round checkpoints (r11): each round's barrier still
+    # truncates lineage (the DataFrame is a LogicalRDD immediately) and
+    # still evaluates once (blocks cache on first access — the degree
+    # aggregate and the semi-join of the SAME round share them), but
+    # materialization happens inside the final action instead of one
+    # standalone Spark job per round: 7 jobs -> 1, identical subgraph.
     edges = (
         cand.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
             cand.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("u").agg(F.count("*").alias("d"))
@@ -539,7 +560,7 @@ def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(
                 keep.select(F.col("u").alias("v")), "v", "left_semi"
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return edges.groupBy("u").agg(
         F.count("*").cast("bigint").alias("core_degree")
