@@ -718,23 +718,28 @@ def _sign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on colliding candidates; embedding_bucketed_recall audits the width.",
 )
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sierradb_spark.functions.similarity import dot_col, norm_col
+    from sierradb_spark.functions.similarity import dot_col
 
     n = _sign_banded(spark, sf_dir)
     bands = n.select(
         "vec_id", F.posexplode("bks").alias("band_idx", "bucket")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    # NO distinct here (r11): deduplicating the ~1M raw band collisions
+    # cost a full-width shuffle of the candidate list, and the band
+    # overlap is mild (1.0M raw vs 0.8M unique at sf0.1) — scoring the
+    # duplicates is cheaper than shuffling to remove them. Each
+    # duplicate evaluates the identical fold on identical doubles, so
+    # the post-filter distinct (on the ~10^2-row survivor set, a
+    # trivially small exchange) returns the identical pair set (guide
+    # §2.2: shuffle fewer bytes — here, shuffle survivors, not
+    # candidates).
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     x = n.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -749,6 +754,7 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(y, "vec_b")
         .where(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .distinct()
     )
 
 

@@ -24,6 +24,16 @@ REG = Registry()
 
 
 def dot_col(a: Column, b: Column) -> Column:
+    # Kept as the zip_with/aggregate fold DELIBERATELY (r11 measured):
+    # unrolling the 64-term dot into a flat element_at multiply-add
+    # chain — nominally "codegen-friendly" — ran ~5x SLOWER on the
+    # banded near-dup candidate filter (10.5 s vs 2.0 s warm at sf0.1,
+    # single- and double-evaluation variants alike); Spark 4.1 executes
+    # the array fold as a tight specialized loop, while the 129-node
+    # expression tree loses to per-node overhead. An Arrow/numpy einsum
+    # over broadcast vectors measured ~equal to the fold (1.15 vs
+    # 1.9 s) — not worth a Python-boundary node. Details in
+    # OPTIMIZATION_r11.md.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
