@@ -44,65 +44,42 @@ from sierradb_spark.config import DEFAULT_CONFIG, EngineConfig
 from sierradb_spark.eventstore.store import EventStore
 
 
-def enrich_requests(
-    df: DataFrame, config: EngineConfig = DEFAULT_CONFIG
-) -> DataFrame:
-    """Derive partition_key/partition_id/event_id/timestamp columns and
-    validate the request — all JVM-side.
+# Enrichment Column-expression cache (r11). Building the derived-column
+# trees (uuid5 sha1 bit-twiddling, v7 event-id assembly, the validation
+# when-chain) costs ~0.5-1 s of py4j round-trips per call — charged to
+# EVERY batch append and every streaming micro-batch, ~25-50% of a 20k-
+# event append's wall time. The expressions are pure functions of the
+# input column SET and the config knobs (the per-batch `now_ns` literals
+# live in the timestamp column, which the cached expressions only
+# reference by NAME), so one build per (schema, config) serves the whole
+# session: unresolved Columns are immutable and reusable across plans;
+# nondeterministic ones (the v4 txn id) still evaluate fresh per query.
+_ENRICH_COL_CACHE: dict[tuple, dict] = {}
 
-    Mirrors request enrichment + validation in the reference handler
-    (``request/eappend.rs:180-217``, ``database.rs:867-897``): default
-    partition_key = uuid5(NAMESPACE, stream_id), partition_hash from the
-    key, event_id = v7-with-embedded-hash, ms→ns timestamp scaling.
-    Invalid requests (caller event_id that does not embed the routing
-    hash — database.rs:880; stream_id/event_name length limits —
-    lib.rs:26, format.rs:150; malformed or strict-rejected
-    expected_version — eappend.rs:180-188) get a non-null
-    ``reject_reason`` and are routed to rejected results downstream —
-    never an executor exception that would fail the whole micro-batch.
 
-    Entirely JVM-side Column algebra (ids.uuid5_col / event_id_col /
-    txn_id_col — sha1 + conv + substring): the first implementation used
-    chained pandas UDFs and each UDF-on-UDF dependency became its own
-    ArrowEvalPython stage — a serial JVM↔Python round-trip per batch that
-    dominated ingest wall time. Keeping enrichment in whole-stage codegen
-    removed Python from the ingest hot path entirely.
-    """
-    cols = dict.fromkeys(df.columns)
-    if "expected_version" not in cols:
-        df = df.withColumn("expected_version", F.lit("any"))
-    else:
-        # A NULL precondition means "no precondition" (= 'any'). Without
-        # the coalesce, NULL slips past the rlike reject (NULL rlike →
-        # NULL → no reason) and then crashes parse_expected_version on
-        # the slow path — an executor exception that would fail the whole
-        # micro-batch, violating the reject-don't-crash contract.
-        df = df.withColumn(
-            "expected_version", F.coalesce(F.col("expected_version"), F.lit("any"))
-        )
-    if "metadata" not in cols:
-        df = df.withColumn("metadata", F.lit(b""))
-    if "payload" not in cols:
-        df = df.withColumn("payload", F.lit(b""))
-    now_ns = time.time_ns()
-    if "timestamp_ms" in cols:
-        df = df.withColumn(
-            "timestamp_ns",
-            F.coalesce(F.col("timestamp_ms") * 1_000_000, F.lit(now_ns)),
-        )
-    else:
-        df = df.withColumn("timestamp_ns", F.lit(now_ns))
-    if "partition_key" in cols:
-        df = df.withColumn(
-            "partition_key",
-            F.coalesce(F.col("partition_key"), ids.uuid5_col("stream_id")),
-        )
-    else:
-        df = df.withColumn("partition_key", ids.uuid5_col("stream_id"))
-    phash = ids.uuid_hash_col("partition_key")
-    df = df.withColumn(
-        "partition_id", F.pmod(phash, F.lit(config.num_partitions)).cast("int")
+def _enrichment_columns(cols_key: tuple, config: EngineConfig) -> dict:
+    """Reusable enrichment/validation Columns for an input schema whose
+    sorted column names are ``cols_key`` — see _ENRICH_COL_CACHE."""
+    key = (
+        cols_key,
+        config.num_partitions,
+        config.max_stream_id_len,
+        config.max_event_name_len,
+        config.strict_versioning,
     )
+    cached = _ENRICH_COL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    cols = dict.fromkeys(cols_key)
+    c: dict = {}
+    if "partition_key" in cols:
+        c["partition_key"] = F.coalesce(
+            F.col("partition_key"), ids.uuid5_col("stream_id")
+        )
+    else:
+        c["partition_key"] = ids.uuid5_col("stream_id")
+    phash = ids.uuid_hash_col("partition_key")
+    c["partition_id"] = F.pmod(phash, F.lit(config.num_partitions)).cast("int")
     user_event_id = "event_id" in cols
     gen_eid = ids.event_id_col(
         phash, (F.col("timestamp_ns") / 1_000_000).cast("long")
@@ -133,16 +110,14 @@ def enrich_requests(
                 F.substring(h32, 21, 12),
             ),
         ).otherwise(F.col("event_id"))
-        df = df.withColumn("event_id", F.coalesce(canon, gen_eid))
+        c["event_id"] = F.coalesce(canon, gen_eid)
     else:
-        df = df.withColumn("event_id", gen_eid)
-    user_txn_id = "txn_id" in cols
-    if not user_txn_id:
-        # One event per transaction (EAPPEND), implicit-commit flag set
-        # (id.rs:77-100): txn id equals a flagged v4 uuid.
-        df = df.withColumn("txn_id", ids.txn_id_col(implicit_commit=True))
+        c["event_id"] = gen_eid
+    # One event per transaction (EAPPEND), implicit-commit flag set
+    # (id.rs:77-100): txn id equals a flagged v4 uuid.
+    c["txn_id"] = ids.txn_id_col(implicit_commit=True)
 
-    # --- request validation (reject, don't crash) ---------------------------
+    # --- request validation (reject, don't crash) ----------------------
     # NULL-safe throughout: a NULL field makes every comparison NULL,
     # and a plain when() chain would fall through and ACCEPT the row
     # (with a NULL partition_id corrupting assignment downstream) —
@@ -162,8 +137,8 @@ def enrich_requests(
         F.length("event_name") > config.max_event_name_len,
         F.lit("event_name too long"),  # format.rs:150
     ).when(
-        # expected_version is never NULL here — a NULL precondition was
-        # coalesced to 'any' above ("no precondition").
+        # expected_version is never NULL here — a NULL precondition is
+        # coalesced to 'any' by the caller ("no precondition").
         ~F.col("expected_version").rlike(r"^(any|exists|empty|[0-9]+)$"),
         F.concat(F.lit("invalid expected_version: "), F.col("expected_version")),
     )
@@ -181,7 +156,67 @@ def enrich_requests(
             ~ids.uuid_hash_col("event_id").eqNullSafe(phash),
             F.lit("event_id does not embed partition hash"),  # database.rs:880
         )
-    df = df.withColumn("reject_reason", reason.otherwise(F.lit(None)))
+    c["reject_reason"] = reason.otherwise(F.lit(None))
+    _ENRICH_COL_CACHE[key] = c
+    return c
+
+
+def enrich_requests(
+    df: DataFrame, config: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Derive partition_key/partition_id/event_id/timestamp columns and
+    validate the request — all JVM-side.
+
+    Mirrors request enrichment + validation in the reference handler
+    (``request/eappend.rs:180-217``, ``database.rs:867-897``): default
+    partition_key = uuid5(NAMESPACE, stream_id), partition_hash from the
+    key, event_id = v7-with-embedded-hash, ms→ns timestamp scaling.
+    Invalid requests (caller event_id that does not embed the routing
+    hash — database.rs:880; stream_id/event_name length limits —
+    lib.rs:26, format.rs:150; malformed or strict-rejected
+    expected_version — eappend.rs:180-188) get a non-null
+    ``reject_reason`` and are routed to rejected results downstream —
+    never an executor exception that would fail the whole micro-batch.
+
+    Entirely JVM-side Column algebra (ids.uuid5_col / event_id_col /
+    txn_id_col — sha1 + conv + substring): the first implementation used
+    chained pandas UDFs and each UDF-on-UDF dependency became its own
+    ArrowEvalPython stage — a serial JVM↔Python round-trip per batch that
+    dominated ingest wall time. Keeping enrichment in whole-stage codegen
+    removed Python from the ingest hot path entirely.
+    """
+    cols = dict.fromkeys(df.columns)
+    c = _enrichment_columns(tuple(sorted(cols)), config)
+    if "expected_version" not in cols:
+        df = df.withColumn("expected_version", F.lit("any"))
+    else:
+        # A NULL precondition means "no precondition" (= 'any'). Without
+        # the coalesce, NULL slips past the rlike reject (NULL rlike →
+        # NULL → no reason) and then crashes parse_expected_version on
+        # the slow path — an executor exception that would fail the whole
+        # micro-batch, violating the reject-don't-crash contract.
+        df = df.withColumn(
+            "expected_version", F.coalesce(F.col("expected_version"), F.lit("any"))
+        )
+    if "metadata" not in cols:
+        df = df.withColumn("metadata", F.lit(b""))
+    if "payload" not in cols:
+        df = df.withColumn("payload", F.lit(b""))
+    now_ns = time.time_ns()
+    if "timestamp_ms" in cols:
+        df = df.withColumn(
+            "timestamp_ns",
+            F.coalesce(F.col("timestamp_ms") * 1_000_000, F.lit(now_ns)),
+        )
+    else:
+        df = df.withColumn("timestamp_ns", F.lit(now_ns))
+    df = df.withColumn("partition_key", c["partition_key"])
+    df = df.withColumn("partition_id", c["partition_id"])
+    df = df.withColumn("event_id", c["event_id"])
+    user_txn_id = "txn_id" in cols
+    if not user_txn_id:
+        df = df.withColumn("txn_id", c["txn_id"])
+    df = df.withColumn("reject_reason", c["reject_reason"])
     if user_txn_id:
         # Caller-grouped transactions: a txn must resolve to ONE
         # partition (database.rs:867-897) and is rejected whole if any

@@ -189,3 +189,37 @@ def test_append_df_caller_grouped_transactions(spark, tmp_path):
     assert sorted(r["event_name"] for r in ev) == ["E1", "E2"]
     assert len({r["transaction_id"] for r in ev}) == 1
     assert [r["stream_version"] for r in sorted(ev, key=lambda r: r["stream_version"])] == [0, 1]
+
+
+def test_enrich_column_cache_respects_config_and_schema(spark):
+    """r11 opt: enrich_requests memoizes its derived-column expressions
+    per (input schema, config knobs). Two configs sharing a schema must
+    not share validation expressions, and schema variants (user event_id
+    present/absent) must key separately."""
+    from sierradb_spark.config import EngineConfig
+    from sierradb_spark.streaming.ingest import enrich_requests
+
+    df = spark.createDataFrame(
+        [("s", "E" * 40, b"")],
+        "stream_id string, event_name string, payload binary",
+    )
+    ok = enrich_requests(df, EngineConfig(max_event_name_len=64)).select(
+        "reject_reason"
+    ).first()[0]
+    bad = enrich_requests(df, EngineConfig(max_event_name_len=10)).select(
+        "reject_reason"
+    ).first()[0]
+    assert ok is None
+    assert bad == "event_name too long"
+
+    # user-supplied event_id variant: the embedded-hash validation only
+    # exists in that schema's cached expression set
+    df2 = spark.createDataFrame(
+        [("s", "E", b"", "0" * 32)],
+        "stream_id string, event_name string, payload binary, event_id string",
+    )
+    rej = enrich_requests(df2).select("reject_reason").first()[0]
+    assert rej == "event_id does not embed partition hash"
+    # and the no-event_id schema (cached separately) still accepts
+    again = enrich_requests(df).select("reject_reason").first()[0]
+    assert again is None
