@@ -27,6 +27,14 @@ N_HASHES = 4  # minhash signature width (seeds 0..3)
 SHINGLE_K = 3  # words per shingle
 
 
+# Lazily-built constant Column expressions for with_shingles (r11):
+# constructing the token/shingle trees costs dozens of py4j round-trips,
+# and the streaming corpus dedup pays it once per MICRO-BATCH. The
+# expressions reference input columns by name only, so one build serves
+# the session (Columns need a live JVM, hence lazy not import-time).
+_SHINGLE_COLS: dict = {}
+
+
 def with_shingles(d: DataFrame, *keep: str) -> DataFrame:
     """Project documents → (*keep, n_toks, shingles) in two stages.
 
@@ -38,21 +46,25 @@ def with_shingles(d: DataFrame, *keep: str) -> DataFrame:
     makes each access an O(1) array lookup; Catalyst keeps the stage
     boundary because the alias is expensive and multiply-referenced.
     """
-    toks = F.when(
-        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
-    staged = d.select(*keep, toks.alias("toks"))
-    t = F.col("toks")
-    n = F.size(t)
-    sh = F.when(n < SHINGLE_K, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - SHINGLE_K),
-            lambda i: F.concat_ws(
-                " ", F.get(t, i), F.get(t, i + 1), F.get(t, i + 2)
-            ),
+    c = _SHINGLE_COLS
+    if not c:
+        toks = F.when(
+            F.length(F.trim(F.col("text"))) == 0,
+            F.array().cast("array<string>"),
+        ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+        t = F.col("toks")
+        n = F.size(t)
+        sh = F.when(n < SHINGLE_K, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - SHINGLE_K),
+                lambda i: F.concat_ws(
+                    " ", F.get(t, i), F.get(t, i + 1), F.get(t, i + 2)
+                ),
+            )
         )
-    )
-    return staged.select(*keep, n.alias("n_toks"), sh.alias("shingles"))
+        c.update(toks=toks.alias("toks"), n=n.alias("n_toks"), sh=sh.alias("shingles"))
+    staged = d.select(*keep, c["toks"])
+    return staged.select(*keep, c["n"], c["sh"])
 
 
 def minhash_col(shingles: Column, seed: int) -> Column:

@@ -70,6 +70,9 @@ _SQL_WIDE_MINS = f"""
 """
 
 
+_WIDE_BAND_COLS: dict = {}
+
+
 def wide_bands_for(
     docs: DataFrame, staging_out: list | None = None
 ) -> DataFrame:
@@ -95,7 +98,33 @@ def wide_bands_for(
     leaving one dead staging generation per call to GC.
     """
     d = with_shingles(docs, "doc_id")
-    sh = F.col("shingles")
+    # Lazily-built constant Column trees (r11): the 64 minhash exprs +
+    # 16 band digests cost hundreds of py4j round-trips to CONSTRUCT
+    # (~1-2 s), and the streaming corpus dedup paid that once per
+    # micro-batch. They reference columns by name only, so one build
+    # serves the session.
+    c = _WIDE_BAND_COLS
+    if not c:
+        sh = F.col("shingles")
+        c["mins"] = F.array(
+            *[minhash_col(sh, k) for k in range(N_HASHES_WIDE)]
+        ).alias("m")
+        m = F.col("m")
+        c["bands"] = F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            *[
+                                F.get(m, b * ROWS_PER_BAND + i)
+                                for i in range(ROWS_PER_BAND)
+                            ]
+                        )
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_digest")
     # repartition: the testdata corpus arrives as one parquet file (one
     # input split), which would serialize the whole md5 pass on a single
     # core; signatures are embarrassingly parallel, so spread first.
@@ -110,22 +139,8 @@ def wide_bands_for(
     )
     if staging_out is not None:
         staging_out.append(staged)
-    mins = staged.select(
-        "doc_id",
-        F.array(*[minhash_col(sh, k) for k in range(N_HASHES_WIDE)]).alias("m"),
-    )
-    m = F.col("m")
-    band_arr = F.array(
-        *[
-            F.md5(
-                F.concat(*[F.get(m, b * ROWS_PER_BAND + i) for i in range(ROWS_PER_BAND)])
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    return mins.select(
-        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_digest")
-    )
+    mins = staged.select("doc_id", c["mins"])
+    return mins.select("doc_id", c["bands"])
 
 
 # Session-scoped memo of the banded-LSH intermediates. Six registry
