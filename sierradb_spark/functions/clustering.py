@@ -249,19 +249,26 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         at cluster scale assignment now touches no exchange at all and
         each round's only shuffle is the centroid-mean reduce. The
         Python-side center self-dot is the same sequential left fold
-        as dot_col, so the doubles are bit-identical."""
+        as dot_col, so the doubles are bit-identical.
+
+        Built as ONE SQL string (r11): the k x dim centroid literals
+        plus 2k dot folds cost ~1 ms of py4j per node to construct as
+        Columns — ~1 s per round before any data moved; sql_dot/sql_arr
+        compile to the identical Catalyst expressions (same folds, same
+        literal bits — see similarity.sql_dlit) through a single
+        F.expr call. The per-vector self dot stays inside each struct
+        exactly as before, so dist arithmetic order is unchanged."""
+        from sierradb_spark.functions.similarity import sql_arr, sql_dot
+
         entries = []
+        ee = sql_dot("emb", "emb")
         for cid, cent in centers:
-            c = F.array(*[F.lit(float(x)) for x in cent])
             dist = (
-                dot_col(F.col("emb"), F.col("emb"))
-                - 2 * dot_col(F.col("emb"), c)
-                + F.lit(float(sum(x * x for x in cent)))
+                f"{ee} - 2 * {sql_dot('emb', sql_arr(cent))}"
+                f" + {float(sum(x * x for x in cent))!r}D"
             )
-            entries.append(
-                F.struct(dist.alias("md"), F.lit(int(cid)).alias("cid"))
-            )
-        best = F.array_min(F.array(*entries))
+            entries.append(f"named_struct('md', {dist}, 'cid', {int(cid)})")
+        best = F.expr(f"array_min(array({', '.join(entries)}))")
         return v.select(
             "vec_id", "emb", best["cid"].alias("cid"), best["md"].alias("md")
         )

@@ -695,14 +695,20 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k.
 
     def dist_to(center_vec: list[float]):
-        c = F.array(*[F.lit(float(x)) for x in center_vec])
-        dot_vc = F.aggregate(
-            F.zip_with("emb", c, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
+        # SQL-text form (r11): the 64 center literals + fold cost ~75
+        # py4j round-trips per ROUND as Columns; sql_dot/sql_arr compile
+        # to the identical Catalyst fold and literal bits via one F.expr
+        # (see similarity.sql_dlit). Same arithmetic order:
+        # (vv - 2.0*dot) + cc, rounded to 9 dp before the min.
+        from sierradb_spark.functions.similarity import (
+            sql_arr,
+            sql_dlit,
+            sql_dot,
         )
-        cc = float(sum(x * x for x in center_vec))
-        return F.round(F.col("vv") - 2.0 * dot_vc + F.lit(cc), 9)
+
+        dot_vc = sql_dot("emb", sql_arr(center_vec))
+        cc = sql_dlit(sum(x * x for x in center_vec))
+        return F.expr(f"round(vv - 2.0D * {dot_vc} + {cc}, 9)")
 
     dot_vv = F.aggregate(
         F.zip_with("emb", F.col("emb"), lambda x, y: x * y),

@@ -45,6 +45,43 @@ def norm_col(a: Column) -> Column:
     return F.sqrt(dot_col(a, a))
 
 
+# --- SQL-text builders for literal-heavy expressions (r11) -------------
+# Column construction crosses py4j once per node, so expressions that
+# embed collected vectors (k centroids x 64 dims, built per round) cost
+# ~1 ms per literal to BUILD — multiple seconds per query before any
+# data moves. Building the same expression as ONE SQL string (Python
+# string work is free; F.expr is a single py4j call + JVM parse) is
+# ~20x cheaper and bit-exact: repr(float) is the shortest round-trip
+# decimal and a D-suffixed SQL literal parses via correctly-rounded
+# Double.parseDouble back to the identical bits (verified for
+# subnormals, -0.0 and exponents in tests), while sql_dot compiles to
+# the IDENTICAL Catalyst aggregate/zip_with fold dot_col builds.
+
+
+def sql_dlit(x: float) -> str:
+    """One double literal, bit-exact round trip. Finite values only —
+    centroid/query vectors are; NaN/Inf would need special forms."""
+    import math
+
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(f"sql_dlit requires a finite double, got {x!r}")
+    return f"{x!r}D"
+
+
+def sql_arr(vals) -> str:
+    return "array(" + ",".join(sql_dlit(x) for x in vals) + ")"
+
+
+def sql_dot(a: str, b: str) -> str:
+    """SQL text of dot_col(a, b) — same zip_with/aggregate fold, same
+    left-associated accumulation, same doubles."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / F.nullif(norm_col(a) * norm_col(b), F.lit(0.0))
 
@@ -342,29 +379,31 @@ def assign_cells(embeddings: DataFrame, cent_rows: list) -> DataFrame:
     later lands in exactly the cell the original build would have
     chosen."""
     assert [c for c, _ in cent_rows] == list(range(len(cent_rows)))
-    v = F.col("embedding").cast("array<double>")
+    v_sql = "cast(embedding as array<double>)"
 
-    def cos_to(cv: list) -> Column:
-        carr = F.array(*[F.lit(float(x)) for x in cv])
+    def cos_to(cv: list) -> str:
         # A zero-norm vector has NULL cosine to every centroid; without
         # the coalesce its cell_id is NULL, it lands in the
         # __HIVE_DEFAULT_PARTITION__ directory, and probe_ivf (which
         # filters cell_id.isin(...)) can never return it. The -2.0
         # sentinel (< any real cosine) assigns such rows to cell 0
         # deterministically so every vector stays probeable.
-        return F.coalesce(
-            dot_col(v, carr)
-            / F.nullif(
-                norm_col(v) * F.lit(sum(x * x for x in cv) ** 0.5), F.lit(0.0)
-            ),
-            F.lit(-2.0),
+        # SQL-text form (r11): the k x dim centroid literals cost ~1 ms
+        # of py4j per node as Columns; sql_dot/sql_arr compile to the
+        # identical Catalyst folds and literal bits via one F.expr.
+        return (
+            f"coalesce({sql_dot(v_sql, sql_arr(cv))}"
+            f" / nullif(sqrt({sql_dot(v_sql, v_sql)})"
+            f" * {sql_dlit(sum(x * x for x in cv) ** 0.5)}, 0.0D), -2.0D)"
         )
 
     # Argmax via array_max + array_position (first match → ties break to
     # the lowest cell id, deterministic). Building the argmax as a
     # when-chain instead would reference the running best twice per step
     # and double the expression tree per centroid — O(2^cells) blowup.
-    cos_arr = F.array(*[cos_to(cv) for _, cv in cent_rows])
+    cos_arr = F.expr(
+        "array(" + ", ".join(cos_to(cv) for _, cv in cent_rows) + ")"
+    )
     cell = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
     return embeddings.select(
         "vec_id", "label", "embedding", cell.alias("cell_id")
@@ -685,22 +724,18 @@ def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((r["seed"], list(r["cv"])) for r in cent.collect()), key=lambda t: t[0]
     )
 
-    def cos_to(cv: list):
-        carr = F.array(*[F.lit(float(x)) for x in cv])
-        return F.coalesce(
-            F.round(
-                dot_col(F.col("emb"), carr)
-                / F.nullif(
-                    norm_col(F.col("emb"))
-                    * F.lit(sum(x * x for x in cv) ** 0.5),
-                    F.lit(0.0),
-                ),
-                9,
-            ),
-            F.lit(-2.0),
+    def cos_to(cv: list) -> str:
+        # SQL-text form (r11): identical folds/literals to the Column
+        # construction it replaces, one F.expr instead of ~75 py4j
+        # round-trips per centroid (see sql_dlit).
+        return (
+            f"coalesce(round({sql_dot('emb', sql_arr(cv))}"
+            f" / nullif(sqrt({sql_dot('emb', 'emb')})"
+            f" * {sql_dlit(sum(x * x for x in cv) ** 0.5)}, 0.0D), 9),"
+            " -2.0D)"
         )
 
-    arr = F.array(*[cos_to(cv) for _, cv in cents])
+    arr = F.expr("array(" + ", ".join(cos_to(cv) for _, cv in cents) + ")")
     assigned = seeded.select(
         (F.array_position(arr, F.array_max(arr)) - 1)
         .cast("int")

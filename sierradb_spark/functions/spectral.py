@@ -172,10 +172,15 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # scanned twice per round
     )
     dims = e.select("vec_id", F.posexplode("emb").alias("dim", "x"))
+    from sierradb_spark.functions.similarity import sql_arr, sql_dot
+
     v = [0.125] * _DIMS
     for _ in range(_PC_ITERS):
-        v_lit = F.array(*[F.lit(x) for x in v])
-        s = e.select("vec_id", dot_col(F.col("emb"), v_lit).alias("s"))
+        # SQL-text dot against the iterate (r11): identical fold,
+        # one F.expr instead of ~75 py4j calls per round.
+        s = e.select(
+            "vec_id", F.expr(sql_dot("emb", sql_arr(v))).alias("s")
+        )
         u_rows = (
             dims.join(s, "vec_id")
             .groupBy("dim")
@@ -228,10 +233,11 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = [0.0] * _DIMS
     for r in pc:
         v[r["dim"]] = r["loading"]
-    v_lit = F.array(*[F.lit(x) for x in v])
+    from sierradb_spark.functions.similarity import sql_arr, sql_dot
+
     e = load(spark, sf_dir, "embeddings").select(_dvec("embedding").alias("emb"))
     proj = e.select(
-        dot_col(F.col("emb"), v_lit).alias("s"),
+        F.expr(sql_dot("emb", sql_arr(v))).alias("s"),
         dot_col(F.col("emb"), F.col("emb")).alias("sq"),
     )
     return proj.agg(
@@ -329,15 +335,18 @@ def _sql_jl() -> str:
 )
 def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    from sierradb_spark.functions.similarity import sql_arr, sql_dot
+
+    # SQL-text projections (r11): 16 x 64 row literals cost ~1 s of
+    # py4j as Columns; identical folds/literal bits via one F.expr each.
+    _emb_sql = "cast(embedding as array<double>)"
     sample = e.filter(
         (F.col("vec_id") * _KNUTH) % _RING < _JL_SAMPLE_THRESHOLD
     ).select(
         "vec_id",
         _dvec("embedding").alias("emb"),
         *[
-            dot_col(_dvec("embedding"), F.array(*[F.lit(x) for x in _JL_R[p]])).alias(
-                f"y{p}"
-            )
+            F.expr(sql_dot(_emb_sql, sql_arr(_JL_R[p]))).alias(f"y{p}")
             for p in range(_JL_K)
         ],
     )
