@@ -1175,9 +1175,16 @@ def test_kcenter_releases_every_checkpoint_generation(q, spark):
     block store where it found it."""
     sc = spark.sparkContext
 
-    def cached() -> int:
-        return len(sc._jsc.sc().getRDDStorageInfo())
+    def cached_ids() -> set:
+        infos = sc._jsc.sc().getRDDStorageInfo()
+        return {infos[i].id() for i in range(len(infos))}
 
-    before = cached()
+    # Compare block-store IDs, not a global count: the ContextCleaner
+    # reaps OTHER tests' dead blocks asynchronously, so an equality on
+    # the count is order-dependent in a full-suite run (observed: count
+    # dropped 15 -> 13 mid-test). A leak is precisely "a block id that
+    # did not exist before and survives the query".
+    before = cached_ids()
     assert q("kcenter_coreset_selection").collect()
-    assert cached() == before, "kcenter left pinned checkpoint blocks"
+    leaked = cached_ids() - before
+    assert not leaked, f"kcenter left pinned checkpoint blocks: {leaked}"
