@@ -17,8 +17,11 @@ registry query with a DuckDB value oracle:
 - ``referential_integrity_audit``: orphan rows/keys and parent-key
   coverage for every foreign key the relational suite joins on. The
   child side collapses to distinct FK counts FIRST (map-side combined
-  groupBy on the key), so the anti-join probe sees keys, not rows;
-  parent key sets are broadcast for the dimension-sized parents.
+  groupBy on the key), so the probe sees keys, not rows; the parent
+  key set attaches via an exchange-free full-outer join (both sides
+  are already hash-partitioned by the key from their aggregates), and
+  the parent key count comes out of the same aggregate as the orphan
+  stats — one scan per table per relation.
 - ``dq_constraint_violations``: row-level CHECK-style rules (domain,
   range, cross-column consistency) evaluated in one aggregate per
   table — whole-stage-codegen expressions, counters out only. A NULL
@@ -184,10 +187,11 @@ def _ri_sql(label: str, ct: str, ck: str, pt: str, pk: str) -> str:
     "excluded (SQL CHECK semantics: unknown is not a violation). "
     "Scale shape: the child side collapses to per-key counts first "
     "(map-side combined groupBy on the join key — keys cross the "
-    "wire, not rows), the parent key set joins broadcast for "
-    "dimension-sized parents, and the 1-row parent count attaches "
-    "via broadcast, so each relation costs one child aggregation "
-    "plus a key-set probe.",
+    "wire, not rows), then full-outer joins the distinct parent key "
+    "set; both sides leave their aggregates hash-partitioned by the "
+    "key, so the join itself is exchange-free, and parent_keys falls "
+    "out of the same single aggregate as the orphan stats — one scan "
+    "of each table per relation, no second parent pass, no crossJoin.",
 )
 def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
@@ -203,24 +207,34 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col(pk).isNotNull())
             .select(F.col(pk).alias("k"))
             .distinct()
+            .withColumn("present", F.lit(1))
         )
-        joined = child.join(
-            F.broadcast(parent.withColumn("present", F.lit(1))), "k", "left"
-        )
-        stats = joined.agg(
+        # ONE pass over each side: full-outer join of the child per-key
+        # counts against the parent key set. Both inputs are unique on k
+        # (each is an aggregate on k) and already hash-partitioned by k
+        # from their own exchanges, so the join adds no shuffle; and
+        # because every parent key appears exactly once in the joined
+        # rows (matched or parent-only), parent_keys falls out of the
+        # SAME aggregate as the orphan stats. The old shape scanned each
+        # parent twice (broadcast probe + distinct count) and attached
+        # the count via a crossJoin — two extra subtrees per relation.
+        fo = child.join(parent, "k", "full_outer")
+        stats = fo.agg(
             F.sum("c").cast("long").alias("child_rows"),
-            F.count(F.lit(1)).alias("n_child_keys"),
+            F.count(F.col("c")).alias("n_child_keys"),
             F.coalesce(
                 F.sum(F.when(F.col("present").isNull(), F.col("c"))), F.lit(0)
             )
             .cast("long")
             .alias("orphan_rows"),
             F.count(F.when(F.col("present").isNull(), 1)).alias("n_orphan_keys"),
-            F.count(F.when(F.col("present").isNotNull(), 1)).alias("n_covered"),
+            F.count(
+                F.when(F.col("present").isNotNull() & F.col("c").isNotNull(), 1)
+            ).alias("n_covered"),
+            F.count(F.when(F.col("present").isNotNull(), 1)).alias("parent_keys"),
         )
-        pstats = parent.agg(F.count(F.lit(1)).alias("parent_keys"))
         parts.append(
-            stats.crossJoin(F.broadcast(pstats)).select(
+            stats.select(
                 F.lit(label).alias("relation"),
                 "child_rows",
                 "n_child_keys",

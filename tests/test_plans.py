@@ -398,6 +398,22 @@ def test_ivf_pq_composite_broadcast_probe_topk(q):
     assert f["broadcast_hash_joins"] >= 2, f["broadcast_hash_joins"]
 
 
+def test_referential_integrity_single_pass_per_table(q):
+    """RI audit: per relation, ONE scan of each table — the child
+    per-key counts full-outer join the distinct parent key set with no
+    join exchange (both sides leave their aggregates hash-partitioned
+    by the key), and parent_keys comes out of the same aggregate as
+    the orphan stats (no second parent scan, no crossJoin attach)."""
+    f = assert_plan(q("referential_integrity_audit"), forbid_nested_loop=True)
+    plan = f["plan"]
+    # 7 relations x (child + parent) = 14 scans; the old shape paid 21.
+    assert plan.count("Scan parquet") == 14, plan.count("Scan parquet")
+    assert plan.count("FullOuter") == 7, plan.count("FullOuter")
+    # 3 exchanges per relation: child agg, parent agg, final 1-row agg.
+    # The full-outer join itself must not add one.
+    assert f["exchanges"] <= 21, f["exchanges"]
+
+
 def test_dsir_model_broadcast_no_gram_text_in_aggregates(q):
     """DSIR: the 1024-bucket log-ratio model joins back as a broadcast;
     the scoring aggregate shuffles (doc_id, bucket)-shaped rows only —
