@@ -10,13 +10,15 @@ user runs *on top of* that store/corpus).
 
 Scale shapes, stated up front:
 
-- ``basket_association_rules``: pair candidates come from a self-join
-  keyed on the basket id (l_orderkey), so the pair count is bounded by
+- ``basket_association_rules``: pair candidates explode map-side from
+  per-basket sorted item sets (one basket-keyed collect_set aggregate;
+  (parts[i], parts[j]) for i < j is exactly the part_a < part_b
+  self-join output with zero join), so the pair count is bounded by
   sum(basket_size^2) — never |items|^2. An apriori prefilter drops
-  items that cannot reach the pair-support floor BEFORE the self-join
-  (a pair seen >= MIN_PAIR times needs each member seen >= MIN_PAIR
-  times), so the shuffle carries only (orderkey, partkey, item_count)
-  for plausible items. Top-k by lift is TakeOrderedAndProject.
+  pairs whose members cannot reach the pair-support floor BEFORE the
+  pair exchange (broadcast key-set joins: a pair seen >= MIN_PAIR
+  times needs each member seen >= MIN_PAIR times), so only plausible
+  pairs shuffle. Top-k by lift is TakeOrderedAndProject.
 - ``hard_negative_mining``: the query batch (a deterministic id
   sample) is the broadcast side of a BroadcastNestedLoopJoin; the
   corpus streams past it once. This is the exact mining pass for a
@@ -88,38 +90,60 @@ TOP_RULES = 100
     """,
     doc="Market-basket association rules over order baskets (distinct "
     "parts per order): pair support, directional confidence, and lift, "
-    "top-k by lift. Candidates come from a basket-keyed self-join "
-    "(bounded by basket sizes, never |parts|^2) with an apriori "
-    "prefilter — items that cannot reach the pair-support floor are "
-    "dropped before the self-join, so only plausible items shuffle.",
+    "top-k by lift. Candidates explode map-side from per-basket sorted "
+    "item sets (bounded by basket sizes, never |parts|^2 — no "
+    "self-join) with an apriori prefilter — pairs whose members cannot "
+    "reach the pair-support floor are dropped by broadcast key-set "
+    "joins before the pair exchange, so only plausible pairs shuffle.",
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    item = baskets.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    n = baskets.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    # ONE basket-keyed aggregate serves everything: collect_set is the
+    # DISTINCT (per-basket dedup happens map-side, inside the partial
+    # aggregate), sort_array makes ascending in-array order the pair
+    # order, and the same relation feeds item counts, pair generation,
+    # and the basket count — the old shape recomputed the basket
+    # distinct under five subtrees and generated pairs by broadcasting
+    # the whole filtered basket table against itself.
+    arr = (
+        li.where(F.col("l_orderkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    # Apriori prune: a pair with c_ab >= MIN_PAIR needs both members to
-    # appear in >= MIN_PAIR baskets; carrying c through the join also
-    # saves re-joining item counts after the pair aggregate.
-    bf = baskets.join(
-        item.where(F.col("c") >= MIN_PAIR), "l_partkey"
-    ).select("l_orderkey", "l_partkey", "c")
-    a = bf.alias("a")
-    b = bf.alias("b")
+    item = (
+        arr.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+    )
+    n = arr.agg(F.count("*").cast("double").alias("n_orders"))
+    # Pairs explode map-side from the sorted set: (parts[i], parts[j])
+    # for i < j is exactly the a.l_partkey < b.l_partkey self-join
+    # output, with zero join. The apriori prune (a pair reaching
+    # MIN_PAIR needs both members in >= MIN_PAIR baskets) applies as
+    # broadcast key-set joins BEFORE the pair exchange, so only
+    # plausible pairs shuffle; carrying c through also saves re-joining
+    # item counts after the pair aggregate.
+    keep = item.where(F.col("c") >= MIN_PAIR)
+    pairs = arr.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b"))
+    ka = keep.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")
+    )
+    kb = keep.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")
+    )
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-            F.col("a.c").alias("c_a"),
-            F.col("b.c").alias("c_b"),
-        )
+        pairs.join(F.broadcast(ka), "part_a")
+        .join(F.broadcast(kb), "part_b")
+        .groupBy("part_a", "part_b", "c_a", "c_b")
         .agg(F.count("*").alias("c_ab"))
         .where(F.col("c_ab") >= MIN_PAIR)
     )

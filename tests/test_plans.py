@@ -414,6 +414,22 @@ def test_referential_integrity_single_pass_per_table(q):
     assert f["exchanges"] <= 21, f["exchanges"]
 
 
+def test_basket_rules_pairs_explode_mapside_no_self_join(q):
+    """Basket rules: pairs come from exploding per-basket sorted sets
+    (Generate over the collect_set aggregate) — never from a self-join
+    of the basket relation; the only broadcasts are the plausible-item
+    key sets and the 1-row basket count; top-k stays TakeOrdered."""
+    f = assert_plan(q("basket_association_rules"), require_top_k=True)
+    plan = f["plan"]
+    assert f["sort_merge_joins"] == 0, f["sort_merge_joins"]
+    # the cross attach of the 1-row n_orders is the only nested loop
+    assert f["nested_loop_joins"] <= 1, f["nested_loop_joins"]
+    assert plan.count("Generate") >= 1, "expected map-side pair explosion"
+    # one lineitem subtree per consumer (pairs, 2x keep, n) at most —
+    # the old self-join shape carried five
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+
+
 def test_dsir_model_broadcast_no_gram_text_in_aggregates(q):
     """DSIR: the 1024-bucket log-ratio model joins back as a broadcast;
     the scoring aggregate shuffles (doc_id, bucket)-shaped rows only —
