@@ -1053,41 +1053,48 @@ class EventStore:
     def _assign_fast(enr: DataFrame, base_seq) -> DataFrame:
         """Pure-JVM gapless assignment for precondition-free batches.
 
-        partition_sequence: row_number over hash(partition_id) — ONE
-        exchange; stream_version: row_number over (partition_id,
-        stream_id), which Catalyst satisfies with a sort under the same
-        exchange (hash(pid) clusters (pid, stream) too — no second
-        shuffle; verified in tests/test_plans.py). Rejected requests
-        (request validation) are excluded before assignment so they
-        never consume sequences, mirroring the slow path.
+        partition_sequence: a running count of VALID rows over
+        hash(partition_id) — ONE exchange; stream_version: the same
+        running count per (partition_id, stream_id), which Catalyst
+        satisfies with a sort under the same exchange (hash(pid)
+        clusters (pid, stream) too — no second shuffle; verified in
+        tests/test_plans.py). Rejected requests (request validation)
+        contribute 0 to both running counts and take NULL assignments,
+        so they never consume sequences — row-for-row the same output
+        as filtering them out before a row_number, but in ONE branch:
+        the old valid/rejected union doubled the pinned result's
+        partition count (and with it every downstream job's task count
+        — the events write, the heads aggregation, the caller's count)
+        and the plan Catalyst re-analyzes per batch.
         """
-        ws = Window.partitionBy("partition_id").orderBy("arrival")
-        wv = Window.partitionBy("partition_id", "stream_id").orderBy("arrival")
-        valid = enr.where(F.col("reject_reason").isNull())
-        assigned = (
-            valid.withColumn(
+        ws = (
+            Window.partitionBy("partition_id")
+            .orderBy("arrival")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wv = (
+            Window.partitionBy("partition_id", "stream_id")
+            .orderBy("arrival")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        valid = F.col("reject_reason").isNull()
+        vflag = F.when(valid, F.lit(1)).otherwise(F.lit(0))
+        return (
+            enr.withColumn(
                 "partition_sequence",
-                (base_seq + F.row_number().over(ws)).cast("long"),
+                F.when(valid, base_seq + F.sum(vflag).over(ws)).cast("long"),
             )
             .withColumn(
                 "stream_version",
-                (
+                F.when(
+                    valid,
                     F.coalesce(F.col("cur_stream_version"), F.lit(-1))
-                    + F.row_number().over(wv)
+                    + F.sum(vflag).over(wv),
                 ).cast("long"),
             )
-            .withColumn("accepted", F.lit(True))
-            .withColumn("error", F.lit(None).cast("string"))
-        )
-        rejected = (
-            enr.where(F.col("reject_reason").isNotNull())
-            .withColumn("accepted", F.lit(False))
+            .withColumn("accepted", valid)
             .withColumn("error", F.col("reject_reason"))
-            .withColumn("partition_sequence", F.lit(None).cast("long"))
-            .withColumn("stream_version", F.lit(None).cast("long"))
-        )
-        return assigned.select(*_RESULT_COLS).unionByName(
-            rejected.select(*_RESULT_COLS)
+            .select(*_RESULT_COLS)
         )
 
     def _commit(

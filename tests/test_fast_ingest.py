@@ -94,6 +94,33 @@ def test_fast_path_rejects_bad_event_id_without_consuming(store, spark):
     _assert_gapless(store)
 
 
+def test_fast_path_single_exchange_single_branch(store, spark):
+    """The fast-path assignment plan: ONE hash(partition_id) exchange
+    serves both running-count windows (hash(pid) clusters (pid, stream)
+    too), and there is no valid/rejected Union — rejected rows ride the
+    same branch with NULL assignments, so the pinned result keeps the
+    shuffle's partition count instead of doubling it."""
+    from pyspark.sql import functions as F
+
+    from sierradb_spark.eventstore.store import APPEND_REQUEST_SCHEMA
+    from sierradb_spark.plans import plan_features
+    from sierradb_spark.streaming.ingest import enrich_requests
+
+    enriched = enrich_requests(_mk_reqs(spark, 50, 5), store.config)
+    cols = [f.name for f in APPEND_REQUEST_SCHEMA.fields]
+    # a literal head column isolates the assignment plan from the
+    # heads-log join subtree (whose broadcast has exchanges of its own)
+    enr = enriched.select(*cols).withColumn(
+        "cur_stream_version", F.lit(None).cast("long")
+    )
+    result = store._assign_fast(enr, F.lit(-1).cast("long"))
+    f = plan_features(result)
+    assert f["exchanges"] == 1, f["plan"][:2000]
+    assert "Union" not in f["plan"], "valid/rejected union is back"
+    # two window specs under the one exchange
+    assert f["plan"].count("windowspecdefinition") >= 2
+
+
 def test_fast_path_matches_row_api_semantics(store, spark):
     """Interleave fast-path DF appends with row-API appends: shared
     version/sequence spaces stay consistent."""
