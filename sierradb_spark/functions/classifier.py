@@ -190,10 +190,6 @@ def _train(spark: SparkSession, sf_dir: str):
     base = d.select(
         "doc_id", "text", toks.alias("toks"), F.size(toks).alias("n")
     )
-    med = base.agg(
-        F.round(F.expr("percentile(CAST(n AS DOUBLE), 0.5)"), 4).alias("m")
-    ).head()["m"]
-
     tk = F.col("toks")
     nd = F.nullif(F.col("n").cast("double"), F.lit(0.0))
     feats = [
@@ -212,12 +208,20 @@ def _train(spark: SparkSession, sf_dir: str):
             6,
         ),
     ]
+    # ONE tokenize pass over the corpus: n rides the checkpoint beside
+    # the features, so the label median and the moments both read the
+    # cached 4-column blocks in ONE combined aggregate. The old shape
+    # paid a full tokenize for the standalone median job, a SECOND full
+    # tokenize materializing the feature checkpoint, and a third job
+    # for the moments.
     raw = base.select(
-        F.when(F.col("n") > F.lit(med), F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        "n",
         *[c.alias(f"x{j}") for j, c in enumerate(feats, start=1)],
-    ).localCheckpoint(eager=True)  # reused: moments + every GD round
+    ).localCheckpoint(eager=True)  # reused: med+moments + GD input
 
-    mo_aggs = []
+    mo_aggs = [
+        F.round(F.expr("percentile(CAST(n AS DOUBLE), 0.5)"), 4).alias("med")
+    ]
     for j in range(1, _NF + 1):
         x = F.col(f"x{j}")
         mo_aggs.append(F.round(F.avg(x), 9).alias(f"m{j}"))
@@ -226,7 +230,8 @@ def _train(spark: SparkSession, sf_dir: str):
                 f"s{j}"
             )
         )
-    mo = raw.agg(*mo_aggs).head()  # one row of moments to the driver
+    mo = raw.agg(*mo_aggs).head()  # median + moments to the driver
+    med = mo["med"]
 
     zcols = [
         F.coalesce(
@@ -236,7 +241,12 @@ def _train(spark: SparkSession, sf_dir: str):
         ).alias(f"z{j}")
         for j in range(1, _NF + 1)
     ]
-    ft = raw.select("y", *zcols).localCheckpoint(eager=True)
+    ft = raw.select(
+        F.when(F.col("n") > F.lit(med), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        *zcols,
+    ).localCheckpoint(eager=True)
 
     w = [0.0] * (_NF + 1)  # intercept + features, O(1) driver state
     for _ in range(_LR_ROUNDS):
