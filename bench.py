@@ -57,6 +57,30 @@ def _load_probe() -> dict:
     return {"gemm": round(statistics.median(runs), 4), "load1": load1}
 
 
+def _settle_wait(gate: float, settle_max: float) -> dict:
+    """Bounded wait for the 1-min load average to decay below ``gate``
+    before a timed section starts — the gate the iterative section has
+    had since r8, shared so the headline/ingest sections can use it
+    too (r11 VERDICT item 2: a burst at t=0 poisoned the 17 PERF rows
+    because only the iterative section gated)."""
+    t0 = time.time()
+    settled = None
+    while True:
+        try:
+            settled = os.getloadavg()[0]
+        except OSError:
+            break
+        if settled <= gate or time.time() - t0 >= settle_max:
+            break
+        time.sleep(5)
+    return {
+        "gate_load1": gate,
+        "settle_seconds": round(time.time() - t0, 1),
+        "settled_load1": round(settled, 2) if settled is not None else None,
+        "gated": settled is not None and settled <= gate,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -99,21 +123,91 @@ def main() -> int:
     headline_order = sorted(headline)
     first = headline[headline_order[0]]
     first.spark(spark, sf_dir).collect()
-    for name in headline_order:
-        q = headline[name]
-        runs: list[float] = []
-        n = 0
-        for _ in range(k):
-            t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            n = len(df.collect())
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+
+    def run_headline(tag: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in headline_order:
+            q = headline[name]
+            runs: list[float] = []
+            n = 0
+            for _ in range(k):
+                t0 = time.perf_counter()
+                df = q.spark(spark, sf_dir)
+                n = len(df.collect())
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(runs), 3)
+            print(
+                f"# {name}{tag}: median={out[name]}s "
+                f"runs={[round(r, 3) for r in runs]} rows={n}",
+                file=sys.stderr,
+            )
+        return out
+
+    # Quiet gate for the HEADLINE section (r11 VERDICT item 2; additions
+    # only — same 17 queries, same timed action, same medians-of-k). The
+    # section's boundary GEMM probes are compared against a quiet floor
+    # (min of the canonical quiet figure and every probe observed this
+    # run: a uniformly slower host raises its own floor, a burst does
+    # not lower it). A section whose boundary probes exceed ~3x the
+    # floor was run under an external host burst — the r11 record's
+    # failure mode (pre-run GEMM 57x the floor poisoned all 17 PERF
+    # rows) — so it is re-run ONCE after a bounded load-settle wait and
+    # the attempt with the cleaner boundary probes is reported; both
+    # attempts and the decision land in the detail line.
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "6"))
+    settle_max = float(os.environ.get("SPARK_GRAFT_SETTLE_S", "120"))
+    gemm_floor_env = float(os.environ.get("SPARK_GRAFT_GEMM_FLOOR", "0.0014"))
+    retry_factor = float(os.environ.get("SPARK_GRAFT_RETRY_FACTOR", "3"))
+
+    def _contaminated(boundary: list[dict]) -> tuple[bool, float]:
+        floor = min(
+            [gemm_floor_env]
+            + [p["gemm"] for p in probes.values()]
+            + [p["gemm"] for p in boundary]
+        )
+        worst = max(p["gemm"] for p in boundary)
+        return worst > retry_factor * floor, floor
+
+    hl_settle = _settle_wait(gate, settle_max)
+    probe_hl0 = _load_probe()
+    timings_try1 = run_headline("")
+    probe_hl1 = _load_probe()
+    dirty1, floor1 = _contaminated([probe_hl0, probe_hl1])
+    headline_retry: dict = {
+        "attempt1_probes": {"before": probe_hl0, "after": probe_hl1},
+        "settle": hl_settle,
+        "quiet_floor": floor1,
+        "retry_factor": retry_factor,
+        "retried": bool(dirty1),
+    }
+    if dirty1:
         print(
-            f"# {name}: median={timings[name]}s "
-            f"runs={[round(r, 3) for r in runs]} rows={n}",
+            f"# headline section contaminated (boundary gemm "
+            f"{max(probe_hl0['gemm'], probe_hl1['gemm'])} > "
+            f"{retry_factor}x floor {floor1}); retrying once",
             file=sys.stderr,
         )
+        headline_retry["settle2"] = _settle_wait(gate, settle_max)
+        probe_hl2 = _load_probe()
+        timings_try2 = run_headline(" [retry]")
+        probe_hl3 = _load_probe()
+        headline_retry["attempt2_probes"] = {
+            "before": probe_hl2,
+            "after": probe_hl3,
+        }
+        headline_retry["attempt1_timings"] = timings_try1
+        headline_retry["attempt2_timings"] = timings_try2
+        # Report the attempt whose boundary probes are cleaner.
+        if max(probe_hl2["gemm"], probe_hl3["gemm"]) <= max(
+            probe_hl0["gemm"], probe_hl1["gemm"]
+        ):
+            headline_retry["used"] = "attempt2"
+            timings.update(timings_try2)
+        else:
+            headline_retry["used"] = "attempt1"
+            timings.update(timings_try1)
+    else:
+        timings.update(timings_try1)
 
     probes["after_queries"] = _load_probe()
 
@@ -138,26 +232,7 @@ def main() -> int:
     # were just as contaminated); (3) attach per-rep (seconds, pre-rep
     # load1) samples in `iterative_runs` so a contaminated recording
     # is self-evident rather than silently inflated.
-    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "6"))
-    settle_max = float(os.environ.get("SPARK_GRAFT_SETTLE_S", "120"))
-    t_settle0 = time.time()
-    settled_load1 = None
-    while True:
-        try:
-            settled_load1 = os.getloadavg()[0]
-        except OSError:
-            break
-        if settled_load1 <= gate or time.time() - t_settle0 >= settle_max:
-            break
-        time.sleep(5)
-    iterative_probe = {
-        "gate_load1": gate,
-        "settle_seconds": round(time.time() - t_settle0, 1),
-        "settled_load1": round(settled_load1, 2)
-        if settled_load1 is not None
-        else None,
-        "gated": settled_load1 is not None and settled_load1 <= gate,
-    }
+    iterative_probe = _settle_wait(gate, settle_max)
     print(f"# iterative settle: {iterative_probe}", file=sys.stderr)
     # best-of-3: at this (early) position rep 1 pays the session's
     # memo builds and fan-out codegen, rep 2 still carries JIT residue
@@ -222,22 +297,61 @@ def main() -> int:
         warm = EventStore(spark, os.path.join(scratch, "warm"))
         warm.append_df(reqs.limit(10)).where("accepted").count()
         # Median of k trials, each on a FRESH store: the measured op is
-        # "20k-event batch append into an empty table".
-        ing_runs: list[float] = []
-        n_ok = 0
-        for trial in range(k):
-            tdir = os.path.join(scratch, f"t{trial}")
-            store_t = EventStore(spark, tdir)
-            t0 = time.perf_counter()
-            n_ok = store_t.append_df(reqs).where("accepted").count()
-            ing_runs.append(time.perf_counter() - t0)
-        timings["ingest_20k_events"] = round(statistics.median(ing_runs), 3)
-        print(
-            f"# ingest_20k_events: median={timings['ingest_20k_events']}s "
-            f"runs={[round(r, 3) for r in ing_runs]} accepted={n_ok} "
-            f"({int(n_ok / timings['ingest_20k_events'])} ev/s)",
-            file=sys.stderr,
-        )
+        # "20k-event batch append into an empty table". Quiet-gated and
+        # retried once exactly like the headline section — this row is
+        # one of the 17 PERF rows, and the r11 burst inflated it 3x.
+        def run_ingest_trials(tag: str, prefix: str) -> tuple[float, list]:
+            runs_g: list[float] = []
+            n_acc = 0
+            for trial in range(k):
+                tdir = os.path.join(scratch, f"{prefix}{trial}")
+                store_t = EventStore(spark, tdir)
+                t0 = time.perf_counter()
+                n_acc = store_t.append_df(reqs).where("accepted").count()
+                runs_g.append(time.perf_counter() - t0)
+            med = round(statistics.median(runs_g), 3)
+            print(
+                f"# ingest_20k_events{tag}: median={med}s "
+                f"runs={[round(r, 3) for r in runs_g]} accepted={n_acc} "
+                f"({int(n_acc / med)} ev/s)",
+                file=sys.stderr,
+            )
+            return med, runs_g
+
+        ing_settle = _settle_wait(gate, settle_max)
+        probe_ing0 = _load_probe()
+        ing_med1, _ing_runs1 = run_ingest_trials("", "t")
+        probe_ing1 = _load_probe()
+        ing_dirty, ing_floor = _contaminated([probe_ing0, probe_ing1])
+        ingest_retry: dict = {
+            "attempt1_probes": {"before": probe_ing0, "after": probe_ing1},
+            "settle": ing_settle,
+            "quiet_floor": ing_floor,
+            "retried": bool(ing_dirty),
+        }
+        timings["ingest_20k_events"] = ing_med1
+        if ing_dirty:
+            print(
+                "# ingest_20k section contaminated; retrying once",
+                file=sys.stderr,
+            )
+            ingest_retry["settle2"] = _settle_wait(gate, settle_max)
+            probe_ing2 = _load_probe()
+            ing_med2, _ing_runs2 = run_ingest_trials(" [retry]", "r")
+            probe_ing3 = _load_probe()
+            ingest_retry["attempt2_probes"] = {
+                "before": probe_ing2,
+                "after": probe_ing3,
+            }
+            ingest_retry["attempt1_median"] = ing_med1
+            ingest_retry["attempt2_median"] = ing_med2
+            if max(probe_ing2["gemm"], probe_ing3["gemm"]) <= max(
+                probe_ing0["gemm"], probe_ing1["gemm"]
+            ):
+                ingest_retry["used"] = "attempt2"
+                timings["ingest_20k_events"] = ing_med2
+            else:
+                ingest_retry["used"] = "attempt1"
         store = EventStore(spark, os.path.join(scratch, "sustained"))
         # Sustained ingest: consecutive micro-batches into the SAME growing
         # table — the reference's headline claim is write performance
@@ -548,6 +662,8 @@ def main() -> int:
         "iterative_runs": iterative_runs,
         "iterative_probe": iterative_probe,
         "load_probe": probes,
+        "headline_retry": headline_retry,
+        "ingest_retry": ingest_retry,
     }
     print(f"# bench detail: {json.dumps(detail)}", file=sys.stderr)
     line = json.dumps(
@@ -591,6 +707,12 @@ def main() -> int:
             "iterative_runs": iterative_runs,
             "iterative_gated": iterative_probe["gated"],
             "settled_load1": iterative_probe["settled_load1"],
+            # One bit each for the r12 quiet-gate: whether the headline /
+            # ingest sections had to be re-run under the burst rule (the
+            # full probe evidence is in the detail line's headline_retry /
+            # ingest_retry blocks).
+            "hl_retry": headline_retry["retried"],
+            "ing_retry": ingest_retry["retried"],
             "load1": {
                 "pre": probes["pre"]["load1"],
                 "post": probes["post"]["load1"],
