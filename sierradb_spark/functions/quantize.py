@@ -340,7 +340,6 @@ def _pq_train_codes(v: DataFrame) -> tuple[DataFrame, DataFrame]:
     the Spark twin of _SQL_PQ_RECON's training CTEs; consumed by the
     reconstruction helper below and by the materialized IVF-PQ index
     builder (build_ivf_pq_index)."""
-    from pyspark.sql import Window
     from sierradb_spark.functions.similarity import dot_col
 
     sub = v.select(
@@ -357,22 +356,52 @@ def _pq_train_codes(v: DataFrame) -> tuple[DataFrame, DataFrame]:
     sub = sub.localCheckpoint(eager=False)
 
     def assign(cents: DataFrame) -> DataFrame:
-        d = sub.join(F.broadcast(cents), "j").select(
-            "vec_id",
-            "j",
-            "cid",
-            (
-                dot_col(F.col("sv"), F.col("sv"))
-                - 2 * dot_col(F.col("sv"), F.col("cent"))
-                + dot_col(F.col("cent"), F.col("cent"))
-            ).alias("dist"),
+        # r12 (VERDICT item 4): hash/sort-free argmin. The old shape
+        # exploded sub x cents into an n*M*K distance relation, then
+        # paid Exchange(vec_id, j) + Sort for a window min, a filter,
+        # and a re-aggregate (SortAggregate in the dump) — per
+        # assignment pass, twice per train. Folding the K candidates
+        # of each subspace into ONE broadcast array row makes the
+        # argmin a per-row array fold with NO Exchange at all.
+        # Bit-exactness vs the window form (and the oracle):
+        # - each dist is the same `s - 2t + u` dot_col fold over the
+        #   same operands, evaluated ONCE per candidate (transform
+        #   materializes the scored struct before the fold);
+        # - the fold keeps the earlier element unless a STRICTLY
+        #   smaller dist appears, and cands is sorted by cid ascending,
+        #   so ties yield the minimum cid — exactly the old
+        #   min(cid)-among-window-min rows;
+        # - dist can never be -0.0 (a+b == -0.0 only when both halves
+        #   are -0.0; s >= +0.0 as a +0.0-seeded fold of squares) nor
+        #   NaN (finite inputs), so strict `<` on doubles agrees with
+        #   the window min's total order on every reachable value.
+        cands = cents.groupBy("j").agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cent"))).alias(
+                "cands"
+            )
         )
-        wmin = Window.partitionBy("vec_id", "j")
-        return (
-            d.withColumn("md", F.min("dist").over(wmin))
-            .where(F.col("dist") == F.col("md"))
-            .groupBy("vec_id", "j")
-            .agg(F.min("cid").alias("cid"))
+        sv = F.col("sv")
+        scored = F.transform(
+            F.col("cands"),
+            lambda s: F.struct(
+                s.cid.alias("cid"),
+                (
+                    dot_col(sv, sv)
+                    - 2 * dot_col(sv, s.cent)
+                    + dot_col(s.cent, s.cent)
+                ).alias("dist"),
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(None).cast("long").alias("cid"),
+                F.lit(float("inf")).alias("dist"),
+            ),
+            lambda acc, s: F.when(s.dist < acc.dist, s).otherwise(acc),
+        )
+        return sub.join(F.broadcast(cands), "j").select(
+            "vec_id", "j", best.getField("cid").alias("cid")
         )
 
     c0 = sub.where(F.col("vec_id") < _PQ_K).select(
