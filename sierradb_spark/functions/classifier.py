@@ -35,9 +35,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sierradb_spark.registry import Registry, load
+from sierradb_spark.functions.memo import (
+    pending_guard,
+    register_memo,
+    release_checkpoint,
+)
 from sierradb_spark.functions.text import STOPWORDS, _SQL_TOKS, tokens_col
 
 REG = Registry()
+
+# r12 (VERDICT item 5): the classifier and the calibration query each
+# ran the FULL trainer — a corpus tokenize pass, the moment aggregate,
+# and 8 GD-round aggregates — per invocation. The trained model is a
+# pure function of the immutable (sf_dir) corpus, so it memoizes per
+# (applicationId, sf_dir) exactly like the dedup pass families.
+_LR_TRAIN_MEMO = register_memo("classifier.lr_train")
+
+
+class _LRTrain:
+    """Memo value for one trained model: moments row, weights, and the
+    standardized-feature checkpoint. Exposes the checkpoint DataFrame's
+    ``sparkSession``/``_jdf`` so the memo lifecycle (build-time executor
+    stamps, block release on eviction) sees the localCheckpoint blocks
+    through the wrapper."""
+
+    __slots__ = ("mo", "w", "ft")
+
+    def __init__(self, mo, w, ft) -> None:
+        self.mo, self.w, self.ft = mo, w, ft
+
+    @property
+    def sparkSession(self):
+        return self.ft.sparkSession
+
+    @property
+    def _jdf(self):
+        return self.ft._jdf
 
 _LR_ROUNDS = 8
 _LR_RATE = 2.0
@@ -182,9 +215,18 @@ def quality_lr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@pending_guard(_LR_TRAIN_MEMO)
 def _train(spark: SparkSession, sf_dir: str):
     """Run the GD loop; returns (moments row, weights list, the
-    standardized feature DataFrame for downstream scoring)."""
+    standardized feature DataFrame for downstream scoring). Memoized
+    per (applicationId, sf_dir): the second consumer in a session
+    (classifier then calibration, or either twice) reuses the trained
+    model and the feature checkpoint instead of re-tokenizing the
+    corpus and re-running the 8 GD rounds."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _LR_TRAIN_MEMO.get(key)
+    if got is not None:
+        return got.mo, got.w, got.ft
     d = load(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
     base = d.select(
@@ -247,6 +289,10 @@ def _train(spark: SparkSession, sf_dir: str):
         .alias("y"),
         *zcols,
     ).localCheckpoint(eager=True)
+    # The raw feature checkpoint is staging: both of its consumers (the
+    # moment aggregate above, the ft materialization) have run, so its
+    # blocks are dead — release them now instead of GC-paced (r12).
+    release_checkpoint(raw)
 
     w = [0.0] * (_NF + 1)  # intercept + features, O(1) driver state
     for _ in range(_LR_ROUNDS):
@@ -274,6 +320,7 @@ def _train(spark: SparkSession, sf_dir: str):
         row = ft.agg(*aggs).head()  # four rounded weights per round
         w = [row[f"w{j}"] for j in range(0, _NF + 1)]
 
+    _LR_TRAIN_MEMO[key] = _LRTrain(mo, w, ft)
     return mo, w, ft
 
 

@@ -117,6 +117,7 @@ def test_memo_lifecycle_hooks(spark):
         "bpe.encoded_vocab",
         "text.winnow_fps",
         "dedup_wide.simhash64",
+        "classifier.lr_train",
     }
 
     small, big = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
@@ -138,6 +139,31 @@ def test_memo_lifecycle_hooks(spark):
     assert sum(cleared.values()) >= 2  # at least the two bands entries
     assert all(n == 0 for n in memo_families().values())
     assert dedup_wide._wide_bands(spark, small) is not rebuilt
+
+
+def test_lr_train_memo(spark):
+    """r12 (VERDICT r11 item 5): the LR trainer memoizes per
+    (applicationId, sf_dir) — the second consumer in a session reuses
+    the trained model and feature checkpoint instead of re-running the
+    tokenize pass and the 8 GD rounds — and the memo obeys the shared
+    lifecycle (invalidate_sf_dir drops it; the rebuild trains the SAME
+    model, it being a pure function of the immutable corpus)."""
+    from sierradb_spark.functions import classifier
+    from sierradb_spark.functions.memo import invalidate_sf_dir
+
+    small = "/root/testdata/sf0.001"
+    app = spark.sparkContext.applicationId
+    mo1, w1, ft1 = classifier._train(spark, small)
+    mo2, w2, ft2 = classifier._train(spark, small)
+    assert ft2 is ft1  # memo hit: the pinned checkpoint is reused
+    assert w2 == w1 and mo2 == mo1
+    assert (app, small) in classifier._LR_TRAIN_MEMO
+
+    invalidate_sf_dir(small)
+    assert (app, small) not in classifier._LR_TRAIN_MEMO
+    mo3, w3, ft3 = classifier._train(spark, small)
+    assert ft3 is not ft1  # stale checkpoint NOT served
+    assert w3 == w1 and mo3 == mo1  # deterministic retrain
 
 
 def test_executor_loss_listener_clears_memos(spark):
