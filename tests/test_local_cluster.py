@@ -32,6 +32,11 @@ import sys
 
 import pytest
 
+# r12 slow tier (pytest.ini): local-cluster multi-JVM scenarios (real executor JVMs, memo kill fuzz) —
+# deselected from the driver's default verify run, kept in the
+# builder's full gate.
+pytestmark = pytest.mark.slow
+
 _SCENARIO = r"""
 import time
 

@@ -5,7 +5,10 @@ from __future__ import annotations
 
 import os
 
+import pytest
 
+
+@pytest.mark.slow  # r12 slow tier: full pipeline end-to-end run (~15 s)
 def test_pretrain_pipeline_end_to_end(spark, sf_dir, tmp_path):
     from examples.pretrain_pipeline import run_pipeline
 

@@ -6,6 +6,11 @@ import glob
 
 import pytest
 
+# r12 slow tier (pytest.ini): compaction/retention integration sweeps —
+# deselected from the driver's default verify run, kept in the
+# builder's full gate.
+pytestmark = pytest.mark.slow
+
 from sierradb_spark.config import EngineConfig
 from sierradb_spark.eventstore import AppendRequest, EventStore
 
