@@ -40,6 +40,15 @@ class EngineConfig:
     # append reads the whole heads log, so without folding per-batch cost
     # grows O(commits since compaction) and sustained ingest degrades.
     heads_fold_threshold: int = 64
+    # r12: when the heads log is at most this many bytes, the append
+    # path folds it DRIVER-side (pyarrow read + exact integer max per
+    # stream) into an inline LocalRelation instead of scanning it with
+    # a Spark job — AQE materializes the heads broadcast stage as its
+    # own job per append, a fixed ~0.2-0.3 s tax on every micro-batch.
+    # Above the threshold (huge stream cardinality at 100 TB scale) the
+    # scan + broadcast/sort-merge path is unchanged. 0 disables the
+    # driver-side fold entirely.
+    heads_local_fold_bytes: int = 4 << 20
     # Shuffle partitions for local testing; at 100 TB cluster scale this
     # should be ~2-3x total executor cores (AQE coalesces the tail).
     shuffle_partitions: int = 32

@@ -662,7 +662,17 @@ class EventStore:
 
     def _heads_for_state(self, state: _State) -> DataFrame:
         if not state.heads_files:
-            return self.spark.createDataFrame([], HEADS_SCHEMA)
+            # .where(lit(False)) makes the emptiness PROVABLE: a bare
+            # createDataFrame([]) is RDD-backed (Scan ExistingRDD),
+            # which Catalyst cannot fold, so the append path's heads
+            # join still planned (and AQE ran) a broadcast-stage job
+            # over the empty relation on every first append. The
+            # always-false filter collapses to an empty LocalRelation
+            # and the left join folds into a null projection — zero
+            # jobs (r12).
+            return self.spark.createDataFrame([], HEADS_SCHEMA).where(
+                F.lit(False)
+            )
         paths = [os.path.join(self.heads_path, p) for p in state.heads_files]
         return self.spark.read.schema(HEADS_SCHEMA).parquet(*paths)
 
@@ -973,14 +983,6 @@ class EventStore:
                     # Committed by the racing writer we just lost to,
                     # replaying the same source.
                     return self.spark.createDataFrame([], APPEND_RESULT_SCHEMA)
-            heads = (
-                # Same resolved state as the watermarks below: heads and
-                # watermark base always reflect ONE commit (and one
-                # chain resolution per attempt, not three).
-                self._heads_for_state(state)
-                .groupBy("partition_id", "stream_id")
-                .agg(F.max("stream_version").alias("cur_stream_version"))
-            )
             # Driver-side join-strategy pick: heads-log file sizes are
             # known, so broadcast outright when small (saves the
             # batch-side shuffle by (pid, stream) — the batch then
@@ -996,8 +998,28 @@ class EventStore:
                 except OSError:
                     heads_bytes = 1 << 40
                     break
-            if heads_bytes < 64 * 1024 * 1024:
-                heads = F.broadcast(heads)
+            heads = None
+            if (
+                state.heads_files
+                and 0 < heads_bytes <= self.config.heads_local_fold_bytes
+            ):
+                # r12: a small heads log folds DRIVER-side into an
+                # inline LocalRelation — the broadcast build then
+                # collects locally instead of running a scan+aggregate
+                # job per append (a fixed ~0.2-0.3 s tax on every
+                # micro-batch under AQE's eager stage materialization).
+                heads = self._heads_local_fold(state)
+            if heads is None:
+                heads = (
+                    # Same resolved state as the watermarks below: heads
+                    # and watermark base always reflect ONE commit (and
+                    # one chain resolution per attempt, not three).
+                    self._heads_for_state(state)
+                    .groupBy("partition_id", "stream_id")
+                    .agg(F.max("stream_version").alias("cur_stream_version"))
+                )
+                if heads_bytes < 64 * 1024 * 1024:
+                    heads = F.broadcast(heads)
             enr = batch.join(heads, ["partition_id", "stream_id"], "left")
             base_seq = (
                 self._wm_col(state.watermarks)
@@ -1048,6 +1070,67 @@ class EventStore:
                 last_err = e
                 continue
         raise last_err  # retries exhausted
+
+    # Driver-side heads folds above this many streams take the Spark
+    # scan path anyway: the inline-VALUES relation is built through the
+    # SQL parser, whose cost grows with row count (measured ~O(rows);
+    # the byte gate alone would admit ~100k rows at 4 MB).
+    _HEADS_LOCAL_FOLD_MAX_ROWS = 20_000
+
+    def _heads_local_fold(self, state: _State) -> "DataFrame | None":
+        """Fold the heads log driver-side into a true LocalRelation of
+        (partition_id, stream_id, cur_stream_version), or None to take
+        the Spark scan path (oversized, unreadable, or exotic ids).
+
+        Exactness: latest-wins per stream is an integer max — identical
+        to the scan path's groupBy/max. stream ids travel as base64
+        inside the VALUES text, so arbitrary id bytes cannot escape the
+        SQL literal; every expression in the VALUES list is foldable,
+        which is what makes ResolveInlineTables emit a LocalRelation
+        (broadcast builds over it collect locally — no job)."""
+        import base64
+
+        try:
+            import pyarrow.parquet as pq
+
+            rows: dict[tuple[int, str], int] = {}
+            for rel in state.heads_files:
+                t = pq.read_table(
+                    os.path.join(self.heads_path, rel),
+                    columns=["partition_id", "stream_id", "stream_version"],
+                )
+                for pid, sid, ver in zip(
+                    t.column(0).to_pylist(),
+                    t.column(1).to_pylist(),
+                    t.column(2).to_pylist(),
+                ):
+                    k = (pid, sid)
+                    if rows.get(k, -1) < ver:
+                        rows[k] = ver
+            if len(rows) > self._HEADS_LOCAL_FOLD_MAX_ROWS:
+                return None
+            if not rows:
+                return self.spark.createDataFrame(
+                    [],
+                    "partition_id int, stream_id string, "
+                    "cur_stream_version long",
+                ).where(F.lit(False))
+            vals = ",".join(
+                "({},CAST(unbase64('{}') AS STRING),{}L)".format(
+                    int(pid),
+                    base64.b64encode(sid.encode("utf-8")).decode("ascii"),
+                    int(ver),
+                )
+                for (pid, sid), ver in rows.items()
+            )
+            return F.broadcast(
+                self.spark.sql(
+                    f"SELECT * FROM (VALUES {vals}) AS "
+                    "heads(partition_id, stream_id, cur_stream_version)"
+                )
+            )
+        except Exception:
+            return None  # any surprise -> the scan path is always sound
 
     @staticmethod
     def _assign_fast(enr: DataFrame, base_seq) -> DataFrame:
