@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sierradb_spark.registry import Registry, load, spread
+from sierradb_spark.registry import Registry, load
 
 REG = Registry()
 
@@ -91,14 +91,19 @@ def _profile_sql(table: str, col: str) -> str:
 def dq_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for table, cols in _PROFILE:
-        # spread: multi-column exact distinct goes through Expand
-        # (rows x columns) BEFORE the aggregation exchange, i.e. on the
-        # scan's single input split otherwise (see registry.spread).
-        # Project to the profiled columns FIRST so the safety-net
-        # exchange (when it fires at all — spread is width-aware and a
-        # no-op on an already-wide scan) moves only those columns, not
-        # the whole table row.
-        t = spread(load(spark, sf_dir, table).select(*cols))
+        # r12: NO spread() here (it used to shuffle the full projected
+        # rows before the Expand). Measured at sf0.1/32 cores with
+        # matched quiet probes: warm 2.0-2.3 s without the exchange vs
+        # 2.7-3.2 s with it — the four table legs run their
+        # Expand + partial distinct-aggregate on their own scan splits
+        # in parallel, and the only exchanges left carry the deduped
+        # (gid, value) pairs. On a real multi-split cluster spread()
+        # was already a width-aware no-op, so this only removes the
+        # local/bench-mode exchange. (A per-column-leg variant — 22
+        # single-distinct aggregates, no Expand at all — was probed
+        # and measured WORSE: 3.7-4.8 s; 22 scans' fixed overhead
+        # exceeds the Expand saving.)
+        t = load(spark, sf_dir, table).select(*cols)
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in cols:
             aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
