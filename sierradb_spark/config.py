@@ -45,10 +45,13 @@ class EngineConfig:
     # stream) into an inline LocalRelation instead of scanning it with
     # a Spark job — AQE materializes the heads broadcast stage as its
     # own job per append, a fixed ~0.2-0.3 s tax on every micro-batch.
-    # Above the threshold (huge stream cardinality at 100 TB scale) the
-    # scan + broadcast/sort-merge path is unchanged. 0 disables the
-    # driver-side fold entirely.
-    heads_local_fold_bytes: int = 4 << 20
+    # Deliberately TINY: the inline relation goes through the SQL
+    # parser, whose cost grows ~linearly with stream count and
+    # overtakes the job it replaces past ~1-2k streams (store.py's
+    # row cap is the second gate). Bigger logs — any store with real
+    # stream cardinality — take the unchanged scan +
+    # broadcast/sort-merge path. 0 disables the driver-side fold.
+    heads_local_fold_bytes: int = 1 << 20
     # Shuffle partitions for local testing; at 100 TB cluster scale this
     # should be ~2-3x total executor cores (AQE coalesces the tail).
     shuffle_partitions: int = 32

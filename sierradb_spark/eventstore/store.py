@@ -1073,9 +1073,12 @@ class EventStore:
 
     # Driver-side heads folds above this many streams take the Spark
     # scan path anyway: the inline-VALUES relation is built through the
-    # SQL parser, whose cost grows with row count (measured ~O(rows);
-    # the byte gate alone would admit ~100k rows at 4 MB).
-    _HEADS_LOCAL_FOLD_MAX_ROWS = 20_000
+    # SQL parser, whose cost grows ~linearly with row count (measured:
+    # ~0.08-0.1 s per 1k rows warm), so past ~1-2k streams the parse
+    # exceeds the ~0.2-0.3 s broadcast-stage job it replaces — the
+    # sustained-ingest tail regressed visibly at 10k streams before
+    # this cap was lowered from 20k.
+    _HEADS_LOCAL_FOLD_MAX_ROWS = 1024
 
     def _heads_local_fold(self, state: _State) -> "DataFrame | None":
         """Fold the heads log driver-side into a true LocalRelation of
