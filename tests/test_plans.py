@@ -237,9 +237,13 @@ def test_no_session_lifetime_cache_leak(spark, sf_dir):
     # 2 queries); anything below that is in-flight async ContextCleaner
     # work, which under host contention has been observed to take well
     # over 90 s to drain — so poll long, and fail only at the
-    # real-leak threshold.
-    deadline = _time.time() + 240
-    while _time.time() < deadline and n_persistent() > baseline + 2:
+    # real-leak threshold. r12: poll against the SAME threshold the
+    # assert uses (+5, not +2) and longer — an external host burst can
+    # starve the cleaner thread past 240 s while 3-5 blocks are still
+    # in flight, which failed a full-tier run on a contended host even
+    # though the isolated re-run passed in 32 s.
+    deadline = _time.time() + 420
+    while _time.time() < deadline and n_persistent() > baseline + 5:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         _time.sleep(2)
